@@ -1,0 +1,115 @@
+"""Generic helper functions: array grouping, HDF5 version tags, string
+formatting.
+
+Capability parity with the reference ``yaw.utils.misc``
+(/root/reference/src/yaw/utils/misc.py:36-97): HDF5 compression defaults and
+version tagging (including detection of legacy v2 files), groupby over numpy
+arrays, and fixed-width float formatting for the ASCII serialisation.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import numpy as np
+import yaml
+
+from yet_another_wizz_tpu._version import __version__
+
+if TYPE_CHECKING:
+    from collections.abc import Generator, Iterable, Sized
+    from io import TextIOBase
+    from typing import Any
+
+    from numpy.typing import NDArray
+
+__all__ = [
+    "HDF_COMPRESSION",
+    "groupby",
+    "common_len_assert",
+    "write_version_tag",
+    "load_version_tag",
+    "is_legacy_dataset",
+    "format_float_fixed_width",
+    "format_long_num",
+    "format_time",
+    "write_yaml",
+]
+
+HDF_COMPRESSION = dict(fletcher32=True, compression="gzip", shuffle=True)
+"""Default compression options applied to HDF5 datasets."""
+
+
+def groupby(keys: NDArray, values: NDArray) -> Generator[tuple[Any, NDArray]]:
+    """Group ``values`` along their first axis by unique entries of ``keys``.
+
+    Yields ``(key, values_for_key)`` pairs in sorted key order. Uses a stable
+    sort so the relative order of rows within a group is preserved.
+    """
+    order = np.argsort(keys, kind="stable")
+    sorted_keys = keys[order]
+    sorted_vals = values[order]
+    unique, first_idx = np.unique(sorted_keys, return_index=True)
+    for key, chunk in zip(unique, np.split(sorted_vals, first_idx[1:])):
+        yield key, chunk
+
+
+def common_len_assert(items: Iterable[Sized]) -> int:
+    """Assert all containers share one length and return it."""
+    lengths = {len(item) for item in items}
+    if len(lengths) > 1:
+        raise ValueError("length of inputs does not match")
+    (length,) = lengths or {0}
+    return length
+
+
+def write_version_tag(dest) -> None:
+    """Stamp an HDF5 group with the current code version."""
+    dest.create_dataset("version", data=__version__)
+
+
+def load_version_tag(source) -> str:
+    """Read the code version stamp from an HDF5 group (``2.x.x`` if absent,
+    matching the reference's legacy convention)."""
+    try:
+        return source["version"][()].decode("utf-8")
+    except KeyError:
+        return "2.x.x"
+
+
+def is_legacy_dataset(source) -> bool:
+    """Whether an HDF5 group was produced by the reference's v2 format."""
+    return "version" not in source
+
+
+def format_float_fixed_width(value: float, width: int) -> str:
+    """Format a float as a fixed-width string (used by ASCII output files)."""
+    string = f"{value: .{width}f}"
+    if "nan" in string or "inf" in string:
+        string = f"{string.rstrip():>{width}s}"
+    num_int_digits = len(string.split(".")[0])
+    return string[: max(width, num_int_digits)]
+
+
+def format_long_num(value: float | int) -> str:
+    """Format a number with a 1000-step suffix, e.g. ``1234.0 -> '1.23K'``."""
+    value = float(f"{value:.3g}")
+    magnitude = 0
+    while abs(value) >= 1000.0:
+        magnitude += 1
+        value /= 1000.0
+    suffix = ["", "K", "M", "B", "T"][magnitude]
+    return f"{value:g}{suffix}"
+
+
+def format_time(elapsed: float) -> str:
+    """Format a duration in seconds as ``MmSS.SSs``."""
+    minutes, seconds = divmod(elapsed, 60.0)
+    return f"{int(minutes)}m{seconds:05.2f}s"
+
+
+def write_yaml(data: dict, file: TextIOBase, **kwargs) -> None:
+    """Serialise a dictionary to YAML with consistent defaults."""
+    kwargs.setdefault("default_flow_style", False)
+    kwargs.setdefault("sort_keys", False)
+    yaml.safe_dump(data, file, **kwargs)
