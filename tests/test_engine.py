@@ -1,0 +1,357 @@
+"""Validation of the tiled pair-count engine against the float64 kd-tree
+oracle and against analytically constructed point sets."""
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+from yet_another_wizz_tpu.coordinates import radec_to_xyz
+from yet_another_wizz_tpu.ops.cpu_oracle import count_pairs_oracle
+from yet_another_wizz_tpu.ops.linkage import build_linkage, build_tile_pairs
+from yet_another_wizz_tpu.ops.paircount import count_pairs_tiles
+from yet_another_wizz_tpu.ops.thresholds import (
+    build_angular_edges,
+    validate_angle_range,
+)
+from yet_another_wizz_tpu.ops.tiles import build_tile_set, morton_codes
+from yet_another_wizz_tpu.cosmology import new_scales
+
+
+def random_cap_catalog(rng, n, num_bins, cap_deg=20.0, weighted=True):
+    """Random points in a spherical cap around (ra, dec) = (1, 0.3) rad."""
+    cos_max = np.cos(np.deg2rad(cap_deg))
+    mu = rng.uniform(cos_max, 1.0, n)
+    theta = np.arccos(mu)
+    phi = rng.uniform(0, 2 * np.pi, n)
+    # local cap coordinates rotated to the cap center
+    xyz_local = np.column_stack(
+        [np.sin(theta) * np.cos(phi), np.sin(theta) * np.sin(phi), mu]
+    )
+    # rotate z-axis onto the cap center
+    center = radec_to_xyz([1.0], [0.3])[0]
+    z_axis = np.array([0.0, 0.0, 1.0])
+    v = np.cross(z_axis, center)
+    s, c = np.linalg.norm(v), np.dot(z_axis, center)
+    vx = np.array([[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0]])
+    rot = np.eye(3) + vx + vx @ vx * ((1 - c) / s**2)
+    xyz = xyz_local @ rot.T
+    xyz /= np.linalg.norm(xyz, axis=1, keepdims=True)
+
+    weights = rng.uniform(0.5, 2.0, n) if weighted else np.ones(n)
+    zbins = rng.integers(0, num_bins, n)
+    return xyz, weights, zbins
+
+
+def simple_patches(xyz, num_patches, rng):
+    """Assign patches by nearest random center (deterministic given rng)."""
+    centers = xyz[rng.choice(len(xyz), num_patches, replace=False)]
+    return np.argmax(xyz @ centers.T, axis=1)
+
+
+def patch_geometry(xyz, patch_ids, num_patches):
+    centers = np.zeros((num_patches, 3))
+    radii = np.zeros(num_patches)
+    for p in range(num_patches):
+        pts = xyz[patch_ids == p]
+        if len(pts) == 0:
+            centers[p, 0] = 1.0
+            continue
+        c = pts.mean(axis=0)
+        c /= np.linalg.norm(c)
+        centers[p] = c
+        chord = np.linalg.norm(pts - c, axis=1)
+        radii[p] = 2 * np.arcsin(np.min([chord.max() / 2, 1.0]))
+    return centers, radii
+
+
+def run_engine_vs_oracle(
+    rng,
+    n1=3000,
+    n2=4000,
+    num_bins=3,
+    num_patches=5,
+    cols_binned=False,
+    tile_size=64,
+    edges_deg=(0.2, 1.0),
+    backend="xla",
+    auto=False,
+):
+    xyz1, w1, z1 = random_cap_catalog(rng, n1, num_bins)
+    if auto:
+        xyz2, w2, z2 = xyz1, w1, z1
+    else:
+        xyz2, w2, z2 = random_cap_catalog(rng, n2, num_bins)
+
+    patch1 = simple_patches(xyz1, num_patches, np.random.default_rng(3))
+    patch2 = (
+        patch1 if auto else simple_patches(xyz2, num_patches, np.random.default_rng(3))
+    )
+
+    ts1 = build_tile_set(
+        xyz1, patch1, num_patches, weights=w1, zbins=z1, num_bins=num_bins,
+        tile_size=tile_size,
+    )
+    if auto:
+        ts2 = ts1
+    else:
+        ts2 = build_tile_set(
+            xyz2, patch2, num_patches, weights=w2,
+            zbins=z2 if cols_binned else None,
+            num_bins=num_bins if cols_binned else 0,
+            tile_size=tile_size,
+        )
+
+    # same angular edges in every bin for this test
+    edges = np.deg2rad(np.tile(edges_deg, (num_bins, 1)))
+    chord2 = (2 * np.sin(edges / 2)) ** 2
+
+    centers, radii = patch_geometry(xyz1, patch1, num_patches)
+    linkage = build_linkage(centers, radii, edges.max() * 1.000001)
+    pairs = build_tile_pairs(ts1, ts2, linkage, auto=auto)
+
+    result = count_pairs_tiles(
+        ts1, ts2, pairs, chord2.astype(np.float32), backend=backend
+    )
+    expect = count_pairs_oracle(
+        xyz1, w1, z1, patch1,
+        xyz2, w2, (z2 if (cols_binned or auto) else None), patch2,
+        pairs.slot_patches, edges,
+    )
+    return result, expect
+
+
+class TestTileSet:
+    def test_morton_locality(self, rng):
+        xyz, _, _ = random_cap_catalog(rng, 1000, 1)
+        codes = morton_codes(xyz)
+        order = np.argsort(codes)
+        # consecutive points in morton order should be much closer on
+        # average than in random order
+        sorted_d = np.linalg.norm(np.diff(xyz[order], axis=0), axis=1).mean()
+        rand_d = np.linalg.norm(np.diff(xyz, axis=0), axis=1).mean()
+        assert sorted_d < 0.3 * rand_d
+
+    def test_padding_and_sums(self, rng):
+        xyz, w, z = random_cap_catalog(rng, 500, 3)
+        patches = simple_patches(xyz, 4, rng)
+        ts = build_tile_set(
+            xyz, patches, 4, weights=w, zbins=z, num_bins=3, tile_size=64
+        )
+        assert ts.lane_data.shape[1:] == (8, 64)
+        assert ts.num_points == 500
+        # total weight channel equals true sum (padding rows are zero)
+        assert_allclose(
+            ts.lane_data[:, 6, :].astype(np.float64).sum(), w.sum(), rtol=1e-5
+        )
+        # per (bin, patch) sums
+        for b in range(3):
+            for p in range(4):
+                sel = (z == b) & (patches == p)
+                assert_allclose(ts.sum_weights[b, p], w[sel].sum(), rtol=1e-12)
+
+    def test_out_of_range_points_dropped(self, rng):
+        xyz, w, z = random_cap_catalog(rng, 300, 3)
+        z = z.astype(np.int64)
+        z[:50] = -1
+        z[50:80] = 7
+        patches = np.zeros(300, dtype=int)
+        ts = build_tile_set(
+            xyz, patches, 1, weights=w, zbins=z, num_bins=3, tile_size=64
+        )
+        assert ts.num_points == 220
+        assert_allclose(ts.sum_weights.sum(), w[80:].sum(), rtol=1e-12)
+
+    def test_tile_caps_contain_points(self, rng):
+        xyz, w, z = random_cap_catalog(rng, 1000, 2)
+        patches = simple_patches(xyz, 3, rng)
+        ts = build_tile_set(
+            xyz, patches, 3, weights=w, zbins=z, num_bins=2, tile_size=64
+        )
+        data = ts.lane_data
+        for t in range(ts.num_tiles):
+            hi = data[t, 0:3, :].astype(np.float64).T
+            lo = data[t, 3:6, :].astype(np.float64).T
+            pts = hi + lo
+            chord = np.linalg.norm(pts - ts.tile_center[t], axis=1)
+            angle = 2 * np.arcsin(np.clip(chord / 2, 0, 1))
+            assert np.all(angle <= ts.tile_radius[t] + 1e-7)
+
+
+class TestEngineVsOracle:
+    # Slot-level tolerances allow for single pair-weight flips where a pair
+    # sits within float32 resolution (~1.4e-7 relative) of a bin boundary;
+    # aggregated totals must hold the 1e-6 relative target.
+
+    def _check(self, result, expect):
+        assert_allclose(result, expect, rtol=1e-5, atol=10.0)
+        assert_allclose(
+            result.sum(axis=0), expect.sum(axis=0), rtol=2e-6, atol=1e-7
+        )
+
+    def test_cross_unbinned_cols(self, rng):
+        result, expect = run_engine_vs_oracle(rng)
+        self._check(result, expect)
+
+    def test_cross_binned_cols(self, rng):
+        result, expect = run_engine_vs_oracle(rng, cols_binned=True)
+        self._check(result, expect)
+
+    def test_auto_pairs(self, rng):
+        result, expect = run_engine_vs_oracle(rng, auto=True)
+        self._check(result, expect)
+
+    def test_unweighted_integer_counts(self, rng):
+        xyz1, _, z1 = random_cap_catalog(rng, 800, 2, weighted=False)
+        xyz2, _, _ = random_cap_catalog(rng, 900, 2, weighted=False)
+        patch1 = simple_patches(xyz1, 3, np.random.default_rng(7))
+        patch2 = simple_patches(xyz2, 3, np.random.default_rng(7))
+        ts1 = build_tile_set(
+            xyz1, patch1, 3, zbins=z1, num_bins=2, tile_size=64
+        )
+        ts2 = build_tile_set(xyz2, patch2, 3, tile_size=64)
+
+        edges = np.deg2rad(np.tile((0.3, 2.0), (2, 1)))
+        chord2 = (2 * np.sin(edges / 2)) ** 2
+        centers, radii = patch_geometry(xyz1, patch1, 3)
+        linkage = build_linkage(centers, radii, edges.max() * 1.000001)
+        pairs = build_tile_pairs(ts1, ts2, linkage, auto=False)
+        result = count_pairs_tiles(ts1, ts2, pairs, chord2, backend="xla")
+        # unweighted counts are integers and must be reproduced exactly
+        assert_allclose(result, np.round(result), atol=1e-9)
+        expect = count_pairs_oracle(
+            xyz1, np.ones(800), z1, patch1,
+            xyz2, np.ones(900), None, patch2,
+            pairs.slot_patches, edges,
+        )
+        assert_allclose(result, expect, atol=2.0)
+        assert_allclose(result.sum(axis=0), expect.sum(axis=0), rtol=2e-6)
+
+    def test_small_angles_precision(self, rng):
+        """Separations around 1e-4 rad: far below float32 resolution of the
+        dot-product formulation; the hi/lo path must stay accurate."""
+        n = 2000
+        # points in a tiny cap (0.02 deg) so typical separations ~1e-4 rad
+        xyz, w, z = random_cap_catalog(rng, n, 1, cap_deg=0.02)
+        patches = np.zeros(n, dtype=int)
+        ts = build_tile_set(
+            xyz, patches, 1, weights=w, zbins=z, num_bins=1, tile_size=64
+        )
+        edges = np.array([[0.5e-4, 2e-4, 3e-4]])
+        chord2 = ((2 * np.sin(edges / 2)) ** 2).astype(np.float32)
+        centers, radii = patch_geometry(xyz, patches, 1)
+        linkage = build_linkage(centers, radii, float(edges.max()) * 1.01)
+        pairs = build_tile_pairs(ts, ts, linkage, auto=True)
+        result = count_pairs_tiles(ts, ts, pairs, chord2, backend="xla")
+        expect = count_pairs_oracle(
+            xyz, w, z, patches, xyz, w, z, patches, pairs.slot_patches, edges
+        )
+        assert expect.sum() > 0
+        assert_allclose(result, expect, rtol=1e-4, atol=10.0)
+        assert_allclose(result.sum(axis=0), expect.sum(axis=0), rtol=3e-6)
+
+
+class TestGreatCircleAnalytic:
+    """Points every degree along the equator: pair counts against an
+    angular bin have exactly known values (reference test strategy,
+    /root/reference/tests/catalog/test_trees.py:134-254)."""
+
+    def setup_method(self):
+        deg = np.deg2rad(np.arange(360.0))
+        self.xyz = radec_to_xyz(deg, np.zeros(360))
+        self.n = 360
+
+    def _count(self, lo_deg, hi_deg, weights=None):
+        w = np.ones(self.n) if weights is None else weights
+        ts = build_tile_set(
+            self.xyz, np.zeros(self.n, dtype=int), 1,
+            weights=w, zbins=np.zeros(self.n, dtype=int), num_bins=1,
+            tile_size=64,
+        )
+        edges = np.deg2rad([[lo_deg, hi_deg]])
+        chord2 = (2 * np.sin(edges / 2)) ** 2
+        from yet_another_wizz_tpu.ops.linkage import Linkage
+
+        linkage = Linkage(max_angle=np.pi, linked=np.ones((1, 1), bool))
+        pairs = build_tile_pairs(ts, ts, linkage, auto=True)
+        cum = count_pairs_tiles(ts, ts, pairs, chord2, backend="xla")
+        return cum[0, 0, 1] - cum[0, 0, 0]
+
+    def test_neighbour_counts(self):
+        # (0.5, 1.5] deg: each point has exactly 2 neighbours at 1 deg
+        assert self._count(0.5, 1.5) == pytest.approx(2 * self.n, rel=1e-6)
+
+    def test_wider_window(self):
+        # (0.5, 3.5] deg: neighbours at 1, 2, 3 deg on both sides
+        assert self._count(0.5, 3.5) == pytest.approx(6 * self.n, rel=1e-6)
+
+    def test_self_pairs_excluded(self):
+        # (~0, 0.5] deg: no pairs below 1 deg separation, self pairs at 0
+        # are excluded by the open lower edge
+        assert self._count(1e-9, 0.5) == pytest.approx(0.0, abs=1e-6)
+
+    def test_weighted(self):
+        w = np.full(self.n, 2.0)
+        assert self._count(0.5, 1.5, weights=w) == pytest.approx(
+            2 * self.n * 4.0, rel=1e-6
+        )
+
+    def test_antipodal_window(self):
+        # (178.5, 179.5] deg: exactly 2 neighbours at 179 deg separation
+        assert self._count(178.5, 179.5) == pytest.approx(2 * self.n, rel=1e-6)
+
+
+class TestThresholds:
+    def test_validate_angle_range(self):
+        limits = validate_angle_range([0.1], [0.2])
+        assert limits.shape == (1, 2)
+        with pytest.raises(ValueError):
+            validate_angle_range([0.2], [0.1])
+        with pytest.raises(ValueError):
+            validate_angle_range([0.1], [4.0])
+        with pytest.raises(ValueError):
+            validate_angle_range([0.1, 0.2], [0.3])
+
+    def test_single_scale_edges(self):
+        scales = new_scales(1.0, 2.0, unit="deg")
+        ae = build_angular_edges(scales, np.array([0.3, 0.5]))
+        assert ae.num_bins == 2
+        assert ae.num_edges == 2
+        assert ae.num_scales == 1
+        assert_allclose(ae.edges[0], np.deg2rad([1.0, 2.0]))
+        # counts_to_scales: diff of cumulative
+        cum = np.array([[[1.0, 5.0]], [[2.0, 3.0]]]).reshape(1, 2, 2)
+        scales_counts = ae.counts_to_scales(cum)
+        assert scales_counts.shape == (1, 1, 2)
+        assert_allclose(scales_counts[0, 0], [4.0, 1.0])
+
+    def test_multi_scale_shared_edges(self):
+        scales = new_scales([1.0, 2.0], [2.0, 4.0], unit="deg")
+        ae = build_angular_edges(scales, np.array([0.4]))
+        # edges 1, 2, 4 deg; scale 0 = interval 0, scale 1 = interval 1
+        assert ae.num_edges == 3
+        cum = np.array([[[0.0, 10.0, 25.0]]])
+        out = ae.counts_to_scales(cum)
+        assert_allclose(out[:, 0, 0], [10.0, 15.0])
+
+    def test_rweight_normalisation(self):
+        scales = new_scales(1.0, 10.0, unit="deg")
+        ae = build_angular_edges(
+            scales, np.array([0.4]), weight_scale=-1.0, weight_res=16
+        )
+        assert ae.num_edges == 17
+        # uniform interval counts weighted by theta^-1, normalised: the
+        # scale map columns sum to 1 by construction
+        assert_allclose(ae.scale_maps[0].sum(), 1.0, rtol=1e-12)
+
+    def test_rweight_flat_counts_invariant(self):
+        # with equal counts in every log sub-bin, the normalised weighting
+        # must reproduce the per-interval count as the scale total
+        scales = new_scales(1.0, 10.0, unit="deg")
+        weighted = build_angular_edges(
+            scales, np.array([0.4]), weight_scale=-1.0, weight_res=8
+        )
+        assert weighted.num_edges == 9
+        # cumulative linear in edge index -> 5 counts per sub-interval
+        cum_w = np.arange(9.0)[None, None, :] * 5.0
+        total_w = weighted.counts_to_scales(cum_w).sum()
+        assert_allclose(total_w, 5.0, rtol=1e-12)

@@ -1,0 +1,66 @@
+"""Parity of the Pallas TPU kernel (interpreter mode on CPU) with the XLA
+reference path of the pair-count engine."""
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+from test_engine import (
+    patch_geometry,
+    random_cap_catalog,
+    simple_patches,
+)
+from yet_another_wizz_tpu.ops.linkage import build_linkage, build_tile_pairs
+from yet_another_wizz_tpu.ops.paircount import count_pairs_tiles
+from yet_another_wizz_tpu.ops.tiles import build_tile_set
+
+
+@pytest.mark.parametrize("cols_binned", [False, True])
+def test_pallas_matches_xla(rng, cols_binned):
+    num_bins, num_patches, tile_size = 3, 4, 64
+    xyz1, w1, z1 = random_cap_catalog(rng, 1500, num_bins)
+    xyz2, w2, z2 = random_cap_catalog(rng, 1200, num_bins)
+    patch1 = simple_patches(xyz1, num_patches, np.random.default_rng(3))
+    patch2 = simple_patches(xyz2, num_patches, np.random.default_rng(3))
+
+    ts1 = build_tile_set(
+        xyz1, patch1, num_patches, weights=w1, zbins=z1, num_bins=num_bins,
+        tile_size=tile_size,
+    )
+    ts2 = build_tile_set(
+        xyz2, patch2, num_patches, weights=w2,
+        zbins=z2 if cols_binned else None,
+        num_bins=num_bins if cols_binned else 0,
+        tile_size=tile_size,
+    )
+
+    edges = np.deg2rad(np.tile((0.2, 0.7, 1.0), (num_bins, 1)))
+    chord2 = ((2 * np.sin(edges / 2)) ** 2).astype(np.float32)
+    centers, radii = patch_geometry(xyz1, patch1, num_patches)
+    linkage = build_linkage(centers, radii, edges.max() * 1.000001)
+    pairs = build_tile_pairs(ts1, ts2, linkage, auto=False)
+
+    via_xla = count_pairs_tiles(ts1, ts2, pairs, chord2, backend="xla")
+    via_pallas = count_pairs_tiles(ts1, ts2, pairs, chord2, backend="pallas")
+    # identical math: results should agree to float32 accumulation noise
+    assert_allclose(via_pallas, via_xla, rtol=1e-6, atol=1e-3)
+
+
+def test_pallas_single_slot_accumulation(rng):
+    """Many tile pairs landing in one output slot must accumulate."""
+    num_bins = 2
+    xyz, w, z = random_cap_catalog(rng, 2000, num_bins, cap_deg=3.0)
+    patches = np.zeros(2000, dtype=int)
+    ts = build_tile_set(
+        xyz, patches, 1, weights=w, zbins=z, num_bins=num_bins, tile_size=64
+    )
+    edges = np.deg2rad(np.tile((0.5, 2.0), (num_bins, 1)))
+    chord2 = ((2 * np.sin(edges / 2)) ** 2).astype(np.float32)
+    centers, radii = patch_geometry(xyz, patches, 1)
+    linkage = build_linkage(centers, radii, edges.max() * 1.01)
+    pairs = build_tile_pairs(ts, ts, linkage, auto=True)
+    assert pairs.num_slots == 1 and pairs.num_pairs > 100
+
+    via_xla = count_pairs_tiles(ts, ts, pairs, chord2, backend="xla")
+    via_pallas = count_pairs_tiles(ts, ts, pairs, chord2, backend="pallas")
+    assert_allclose(via_pallas, via_xla, rtol=1e-5, atol=1e-2)

@@ -1,0 +1,532 @@
+"""Containers for pair counts per redshift bin and patch pair.
+
+Capability parity with the reference ``yaw.correlation.paircounts``
+(/root/reference/src/yaw/correlation/paircounts.py:46-666): the
+``(num_bins, num_patches, num_patches)`` count tensors, the sum-of-weights
+normalisation with the autocorrelation triangle/half-diagonal rules, the
+leave-one-out jackknife realised as index-free tensor algebra, sparse
+nonzero-pair HDF5 serialisation with v2 legacy-format readers, and the
+normalised-count wrappers (:class:`NormalisedCounts`,
+:class:`NormalisedScalarCounts`).
+
+Extension over the reference: patch **bootstrap** resampling (dropped in
+the reference's v3; required by BASELINE.md config #3) implemented as an
+einsum over patch multiplicity vectors.
+"""
+
+from __future__ import annotations
+
+from abc import abstractmethod
+from typing import TYPE_CHECKING
+
+import numpy as np
+
+from yet_another_wizz_tpu.binning import Binning, load_legacy_binning
+from yet_another_wizz_tpu.correlation.corrdata import SampledData
+from yet_another_wizz_tpu.options import ResamplingMethod
+from yet_another_wizz_tpu.utils import (
+    HDF_COMPRESSION,
+    is_legacy_dataset,
+    load_version_tag,
+    write_version_tag,
+)
+from yet_another_wizz_tpu.utils.abc import (
+    BinwiseData,
+    HdfSerializable,
+    PatchwiseData,
+)
+
+if TYPE_CHECKING:
+    from typing import Any
+
+    from h5py import Group
+    from numpy.typing import NDArray
+    from typing_extensions import Self
+
+    from yet_another_wizz_tpu.utils.abc import TypeSliceIndex
+
+__all__ = [
+    "BinwisePatchwiseArray",
+    "NormalisedCounts",
+    "NormalisedScalarCounts",
+    "PatchedCounts",
+    "PatchedSumWeights",
+    "bootstrap_multiplicities",
+]
+
+DEFAULT_NUM_BOOTSTRAP = 500
+BOOTSTRAP_SEED = 12345
+
+
+def bootstrap_multiplicities(
+    num_patches: int,
+    num_samples: int = DEFAULT_NUM_BOOTSTRAP,
+    seed: int = BOOTSTRAP_SEED,
+) -> NDArray:
+    """Patch multiplicity vectors for bootstrap resampling.
+
+    Each of the ``num_samples`` rows counts how often every patch appears
+    when drawing ``num_patches`` patches with replacement.
+    """
+    rng = np.random.default_rng(seed)
+    draws = rng.integers(0, num_patches, size=(num_samples, num_patches))
+    mult = np.zeros((num_samples, num_patches), dtype=np.float64)
+    for i, row in enumerate(draws):
+        mult[i] = np.bincount(row, minlength=num_patches)
+    return mult
+
+
+class BinwisePatchwiseArray(BinwiseData, PatchwiseData, HdfSerializable):
+    """Base class for data with shape (bins, patches, patches) supporting
+    patch-resampled sums."""
+
+    __slots__ = ()
+
+    @property
+    @abstractmethod
+    def auto(self) -> bool:
+        """Whether the data describes an autocorrelation measurement."""
+
+    def __repr__(self) -> str:
+        return (
+            f"{type(self).__name__}(auto={self.auto}, binning={self.binning}, "
+            f"num_patches={self.num_patches})"
+        )
+
+    @abstractmethod
+    def __eq__(self, other: Any) -> bool:
+        pass
+
+    __hash__ = None
+
+    def is_compatible(self, other: Any, *, require: bool = False) -> bool:
+        """Compatible = same binning and number of patches."""
+        return BinwiseData.is_compatible(
+            self, other, require=require
+        ) and PatchwiseData.is_compatible(self, other, require=require)
+
+    @abstractmethod
+    def get_array(self) -> NDArray:
+        """Dense representation with shape (num_bins, num_patches,
+        num_patches); element [b, i, j] pairs patch i of catalog 1 with
+        patch j of catalog 2 in redshift bin b."""
+
+    def sample_patch_sum(
+        self,
+        method: ResamplingMethod | str = ResamplingMethod.jackknife,
+        num_samples: int | None = None,
+        seed: int = BOOTSTRAP_SEED,
+    ) -> SampledData:
+        """Total over all patch pairs per bin, with patch-resampled samples.
+
+        Jackknife: leave-one-out samples computed without materialising the
+        resampled tensors — sample k is ``total - row_k - col_k + diag_k``
+        over the patch axes. Bootstrap: patches are drawn with replacement
+        and pairs weighted by the product of patch multiplicities.
+        """
+        method = ResamplingMethod(method)
+        array = self.get_array()
+        totals = np.einsum("bij->b", array)
+
+        if method == ResamplingMethod.jackknife:
+            row_sums = np.einsum("bij->jb", array)
+            col_sums = np.einsum("bij->ib", array)
+            diagonals = np.einsum("bii->ib", array)
+            samples = (totals[None, :] - row_sums - col_sums) + diagonals
+        else:
+            mult = bootstrap_multiplicities(
+                self.num_patches,
+                num_samples or DEFAULT_NUM_BOOTSTRAP,
+                seed,
+            )
+            samples = np.einsum("bij,ri,rj->rb", array, mult, mult)
+
+        return SampledData(self.binning, totals, samples, method=method)
+
+
+class PatchedSumWeights(BinwisePatchwiseArray):
+    """Sum of catalog weights per redshift bin and patch, for both catalogs
+    of a correlation measurement; the outer product normalises pair counts.
+
+    For autocorrelations the product matrix is upper-triangled with a half
+    diagonal to match the pair counting conventions.
+    """
+
+    __slots__ = ("binning", "auto", "sum_weights1", "sum_weights2")
+
+    binning: Binning
+    sum_weights1: NDArray
+    sum_weights2: NDArray
+    auto: bool
+
+    def __init__(
+        self,
+        binning: Binning,
+        sum_weights1: NDArray,
+        sum_weights2: NDArray,
+        *,
+        auto: bool,
+    ) -> None:
+        self.binning = binning
+        self.auto = auto
+
+        sum_weights1 = np.asarray(sum_weights1, dtype=np.float64)
+        sum_weights2 = np.asarray(sum_weights2, dtype=np.float64)
+        if sum_weights1.ndim != 2 or sum_weights2.ndim != 2:
+            raise ValueError("'sum_weights1/2' must be two-dimensional")
+        if sum_weights1.shape != sum_weights2.shape:
+            raise ValueError(
+                "'sum_weights1' and 'sum_weights2' must have the same shape"
+            )
+        if sum_weights1.shape[0] != self.num_bins:
+            raise ValueError(
+                "first dimension of 'sum_weights1/2' must match 'binning'"
+            )
+        self.sum_weights1 = sum_weights1
+        self.sum_weights2 = sum_weights2
+
+    @classmethod
+    def from_hdf(cls: type[Self], source: Group) -> Self:
+        auto = bool(source["auto"][()])
+        if is_legacy_dataset(source):
+            return cls(
+                load_legacy_binning(source),
+                np.transpose(source["totals1"][:]),
+                np.transpose(source["totals2"][:]),
+                auto=auto,
+            )
+        return cls(
+            Binning.from_hdf(source["binning"]),
+            source["sum_weights1"][:],
+            source["sum_weights2"][:],
+            auto=auto,
+        )
+
+    def to_hdf(self, dest: Group) -> None:
+        write_version_tag(dest)
+        self.binning.to_hdf(dest.create_group("binning"))
+        dest.create_dataset("auto", data=self.auto)
+        dest.create_dataset(
+            "sum_weights1", data=self.sum_weights1, **HDF_COMPRESSION
+        )
+        dest.create_dataset(
+            "sum_weights2", data=self.sum_weights2, **HDF_COMPRESSION
+        )
+
+    @property
+    def num_patches(self) -> int:
+        return self.sum_weights1.shape[1]
+
+    def __eq__(self, other: Any) -> bool:
+        if not isinstance(other, type(self)):
+            return NotImplemented
+        return (
+            self.binning == other.binning
+            and self.auto == other.auto
+            and np.array_equal(self.sum_weights1, other.sum_weights1)
+            and np.array_equal(self.sum_weights2, other.sum_weights2)
+        )
+
+    __hash__ = None
+
+    def _make_bin_slice(self, item: TypeSliceIndex) -> Self:
+        binning = self.binning[item]
+        if isinstance(item, int):
+            item = [item]
+        return type(self)(
+            binning,
+            self.sum_weights1[item],
+            self.sum_weights2[item],
+            auto=self.auto,
+        )
+
+    def _make_patch_slice(self, item: TypeSliceIndex) -> Self:
+        if isinstance(item, int):
+            item = [item]
+        return type(self)(
+            self.binning,
+            self.sum_weights1[:, item],
+            self.sum_weights2[:, item],
+            auto=self.auto,
+        )
+
+    def get_array(self) -> NDArray:
+        array = np.einsum("bi,bj->bij", self.sum_weights1, self.sum_weights2)
+        if self.auto:
+            # pairs are only counted for patch id2 >= id1; same-patch pairs
+            # are halved — normalisation must follow the same convention
+            array = np.triu(array)
+            diag_view = np.einsum("bii->bi", array)
+            diag_view *= 0.5
+        return array
+
+
+class PatchedCounts(BinwisePatchwiseArray):
+    """Weighted pair counts per redshift bin and patch pair."""
+
+    __slots__ = ("binning", "counts", "auto")
+
+    binning: Binning
+    counts: NDArray
+    auto: bool
+
+    def __init__(self, binning: Binning, counts: NDArray, *, auto: bool) -> None:
+        self.binning = binning
+        self.auto = auto
+
+        counts = np.asarray(counts, dtype=np.float64)
+        if counts.ndim != 3:
+            raise ValueError("'counts' must be three-dimensional")
+        if counts.shape[0] != self.num_bins:
+            raise ValueError("first dimension of 'counts' must match 'binning'")
+        if counts.shape[1] != counts.shape[2]:
+            raise ValueError(
+                "'counts' must have shape (num_bins, num_patches, num_patches)"
+            )
+        self.counts = counts
+
+    @classmethod
+    def zeros(
+        cls: type[Self], binning: Binning, num_patches: int, *, auto: bool
+    ) -> Self:
+        """New instance with all counts zero."""
+        shape = (len(binning), num_patches, num_patches)
+        return cls(binning, np.zeros(shape), auto=auto)
+
+    @classmethod
+    def from_hdf(cls: type[Self], source: Group) -> Self:
+        auto = bool(source["auto"][()])
+        if is_legacy_dataset(source):
+            binning = load_legacy_binning(source)
+            num_patches = int(source["n_patches"][()])
+            patch_pairs = source["keys"][:]
+            binned_counts = source["data"][:]
+        else:
+            binning = Binning.from_hdf(source["binning"])
+            num_patches = int(source["num_patches"][()])
+            patch_pairs = source["patch_pairs"][:]
+            binned_counts = source["binned_counts"][:]
+
+        new = cls.zeros(binning, num_patches, auto=auto)
+        for (id1, id2), counts in zip(patch_pairs, binned_counts):
+            new.set_patch_pair(id1, id2, counts)
+        return new
+
+    def to_hdf(self, dest: Group) -> None:
+        write_version_tag(dest)
+        self.binning.to_hdf(dest.create_group("binning"))
+        dest.create_dataset("auto", data=self.auto)
+        dest.create_dataset("num_patches", data=self.num_patches)
+
+        # sparse storage: only patch pairs with counts in any bin
+        ids1, ids2 = np.nonzero(np.any(self.counts, axis=0))
+        dest.create_dataset(
+            "patch_pairs", data=np.column_stack([ids1, ids2]), **HDF_COMPRESSION
+        )
+        binned = np.moveaxis(self.counts[:, ids1, ids2], 0, -1)
+        dest.create_dataset("binned_counts", data=binned, **HDF_COMPRESSION)
+
+    @property
+    def num_patches(self) -> int:
+        return self.counts.shape[1]
+
+    def __eq__(self, other: Any) -> bool:
+        if not isinstance(other, type(self)):
+            return NotImplemented
+        return (
+            self.binning == other.binning
+            and self.auto == other.auto
+            and np.array_equal(self.counts, other.counts)
+        )
+
+    __hash__ = None
+
+    def __add__(self, other: Any) -> Self:
+        if not isinstance(other, type(self)):
+            return NotImplemented
+        self.is_compatible(other, require=True)
+        return type(self)(
+            self.binning, self.counts + other.counts, auto=self.auto
+        )
+
+    def __mul__(self, factor: float) -> Self:
+        return type(self)(self.binning, self.counts * factor, auto=self.auto)
+
+    def _make_bin_slice(self, item: TypeSliceIndex) -> Self:
+        binning = self.binning[item]
+        if isinstance(item, int):
+            item = [item]
+        return type(self)(binning, self.counts[item], auto=self.auto)
+
+    def _make_patch_slice(self, item: TypeSliceIndex) -> Self:
+        if isinstance(item, int):
+            item = [item]
+        sub = self.counts[:, item, :][:, :, item]
+        return type(self)(self.binning, sub, auto=self.auto)
+
+    def get_array(self) -> NDArray:
+        return self.counts
+
+    def set_patch_pair(
+        self, patch_id1: int, patch_id2: int, counts_binned: NDArray
+    ) -> None:
+        """Assign the per-bin counts for one pair of patches."""
+        self.counts[:, patch_id1, patch_id2] = counts_binned
+
+
+class BaseNormalisedCounts(BinwisePatchwiseArray):
+    """A pair of containers: raw counts and their normalisation."""
+
+    __slots__ = ("_counts", "_norm")
+
+    _counts: BinwisePatchwiseArray
+    _norm: BinwisePatchwiseArray
+
+    def _init(
+        self, counts: BinwisePatchwiseArray, norm: BinwisePatchwiseArray
+    ) -> None:
+        if counts.num_patches != norm.num_patches:
+            raise ValueError(
+                "number of patches of counts- and weights-container does not match"
+            )
+        if counts.num_bins != norm.num_bins:
+            raise ValueError(
+                "number of bins of counts- and weights-container does not match"
+            )
+        self._counts = counts
+        self._norm = norm
+
+    @classmethod
+    @abstractmethod
+    def _hdf_group_names(cls, version_tag: str) -> tuple[str, str]:
+        """HDF5 group names for the counts and normalisation containers."""
+
+    def to_hdf(self, dest: Group) -> None:
+        write_version_tag(dest)
+        counts_name, norm_name = self._hdf_group_names(load_version_tag(dest))
+        self._counts.to_hdf(dest.create_group(counts_name))
+        self._norm.to_hdf(dest.create_group(norm_name))
+
+    @property
+    def binning(self) -> Binning:
+        return self._counts.binning
+
+    @property
+    def auto(self) -> bool:
+        return self._counts.auto
+
+    @property
+    def num_patches(self) -> int:
+        return self._counts.num_patches
+
+    def is_compatible(self, other: Any, *, require: bool = False) -> bool:
+        if type(self) is not type(other):
+            if not require:
+                return False
+            raise TypeError(f"{type(other)} is not compatible with {type(self)}")
+        return self._counts.is_compatible(other._counts, require=require)
+
+    def __eq__(self, other: Any) -> bool:
+        if type(self) is not type(other):
+            return NotImplemented
+        return self._counts == other._counts and self._norm == other._norm
+
+    __hash__ = None
+
+    def __add__(self, other: Any) -> Self:
+        if type(self) is not type(other):
+            return NotImplemented
+        return type(self)(self._counts + other._counts, self._norm)
+
+    def _make_bin_slice(self, item: TypeSliceIndex) -> Self:
+        return type(self)(self._counts.bins[item], self._norm.bins[item])
+
+    def _make_patch_slice(self, item: TypeSliceIndex) -> Self:
+        return type(self)(self._counts.patches[item], self._norm.patches[item])
+
+    def get_array(self) -> NDArray:
+        """Counts normalised by the *total* patch-summed normalisation."""
+        norm = self._norm.sample_patch_sum()
+        return self._counts.get_array() / norm.data[:, None, None]
+
+    def sample_patch_sum(
+        self,
+        method: ResamplingMethod | str = ResamplingMethod.jackknife,
+        num_samples: int | None = None,
+        seed: int = BOOTSTRAP_SEED,
+    ) -> SampledData:
+        """Normalised patch totals: counts / normalisation evaluated on the
+        totals and consistently on every resampled realisation."""
+        counts = self._counts.sample_patch_sum(method, num_samples, seed)
+        norm = self._norm.sample_patch_sum(method, num_samples, seed)
+        return SampledData(
+            self.binning,
+            counts.data / norm.data,
+            counts.samples / norm.samples,
+            method=method,
+        )
+
+
+class NormalisedCounts(BaseNormalisedCounts):
+    """Pair counts normalised by the product of catalog sums of weights."""
+
+    __slots__ = ("_counts", "_norm")
+
+    def __init__(self, counts: PatchedCounts, sum_weights: PatchedSumWeights):
+        self._init(counts, sum_weights)
+
+    @property
+    def counts(self) -> PatchedCounts:
+        """The raw pair counts."""
+        return self._counts
+
+    @property
+    def sum_weights(self) -> PatchedSumWeights:
+        """The sum-of-weights normalisation."""
+        return self._norm
+
+    @classmethod
+    def _hdf_group_names(cls, version_tag: str) -> tuple[str, str]:
+        if version_tag.startswith("2"):
+            return ("count", "total")
+        return ("counts", "sum_weights")
+
+    @classmethod
+    def from_hdf(cls: type[Self], source: Group) -> Self:
+        counts_name, norm_name = cls._hdf_group_names(load_version_tag(source))
+        return cls(
+            PatchedCounts.from_hdf(source[counts_name]),
+            PatchedSumWeights.from_hdf(source[norm_name]),
+        )
+
+
+class NormalisedScalarCounts(BaseNormalisedCounts):
+    """Scalar-field (kappa) weighted pair counts normalised by the plain
+    number pair counts."""
+
+    __slots__ = ("_counts", "_norm")
+
+    def __init__(self, kappa_counts: PatchedCounts, number_counts: PatchedCounts):
+        self._init(kappa_counts, number_counts)
+
+    @property
+    def kappa_counts(self) -> PatchedCounts:
+        """Pair counts weighted by the scalar field."""
+        return self._counts
+
+    @property
+    def number_counts(self) -> PatchedCounts:
+        """Plain pair counts used for normalisation."""
+        return self._norm
+
+    @classmethod
+    def _hdf_group_names(cls, version_tag: str) -> tuple[str, str]:
+        return ("kappa_counts", "number_counts")
+
+    @classmethod
+    def from_hdf(cls: type[Self], source: Group) -> Self:
+        counts_name, norm_name = cls._hdf_group_names(load_version_tag(source))
+        return cls(
+            PatchedCounts.from_hdf(source[counts_name]),
+            PatchedCounts.from_hdf(source[norm_name]),
+        )

@@ -1,0 +1,180 @@
+"""Patch- and tile-level pair pruning by bounding caps.
+
+The reference prunes the O(P^2) patch-pair grid with an angular cutoff
+(/root/reference/src/yaw/correlation/measurements.py:171-237) and relies on
+the kd-tree's internal node bounds for finer pruning. Here the same cutoff
+is applied twice: once per patch pair, and again per *tile* pair using the
+tile bounding caps from :mod:`yet_another_wizz_tpu.ops.tiles` — recovering
+the dual-tree's work complexity at tile granularity while keeping all
+shapes static for the device kernel.
+
+The resulting flat tile-pair list (sorted by patch-pair slot) is the grid
+the pair-count kernel iterates over, and the unit of sharding across
+devices.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import TYPE_CHECKING
+
+import numpy as np
+
+from yet_another_wizz_tpu.coordinates import angle_to_chord
+
+if TYPE_CHECKING:
+    from numpy.typing import NDArray
+
+    from yet_another_wizz_tpu.ops.tiles import TileSet
+
+__all__ = [
+    "Linkage",
+    "TilePairs",
+    "build_linkage",
+    "build_tile_pairs",
+]
+
+
+def _cap_distances(centers1: NDArray, centers2: NDArray) -> NDArray:
+    """Pairwise angular distances between two sets of unit vectors,
+    computed in float64 via the chord."""
+    # (n1, n2) chord matrix; inputs are small metadata arrays
+    dots = np.clip(centers1 @ centers2.T, -1.0, 1.0)
+    return 2.0 * np.arcsin(np.sqrt(np.maximum(0.5 * (1.0 - dots), 0.0)))
+
+
+@dataclass
+class Linkage:
+    """Which patch pairs are close enough to contain pairs below the maximum
+    angular scale.
+
+    Attributes:
+        max_angle: the angular cutoff in radian.
+        linked: boolean matrix ``(P, P)``; entry (i, j) is True if patches i
+            and j are separated by less than ``r_i + r_j + max_angle``.
+    """
+
+    max_angle: float
+    linked: NDArray
+
+    @property
+    def num_patches(self) -> int:
+        return len(self.linked)
+
+    @property
+    def num_links(self) -> int:
+        """Number of linked (ordered) patch pairs."""
+        return int(self.linked.sum())
+
+    @property
+    def density(self) -> float:
+        """Fraction of all ordered patch pairs that are linked."""
+        return self.num_links / self.linked.size
+
+    def patch_pairs(self, *, auto: bool) -> NDArray:
+        """Linked patch-pair ids as an ``(n_pairs, 2)`` array.
+
+        For autocorrelations only pairs with ``id2 >= id1`` are returned
+        (the unordered half of the grid; equal-id pairs are counted twice by
+        the engine and halved downstream, mirroring the reference).
+        """
+        id1, id2 = np.nonzero(self.linked)
+        if auto:
+            keep = id2 >= id1
+            id1, id2 = id1[keep], id2[keep]
+        return np.column_stack([id1, id2])
+
+
+def build_linkage(
+    patch_centers: NDArray,
+    patch_radii: NDArray,
+    max_angle: float,
+) -> Linkage:
+    """Compute the patch linkage from patch cap centers (unit vectors),
+    cap radii (radian) and the maximum angular separation of the
+    measurement."""
+    distances = _cap_distances(patch_centers, patch_centers)
+    cutoff = patch_radii[:, None] + patch_radii[None, :] + max_angle
+    return Linkage(max_angle=float(max_angle), linked=distances < cutoff)
+
+
+@dataclass
+class TilePairs:
+    """A flat, slot-sorted list of tile pairs to feed the pair-count engine.
+
+    Attributes:
+        tile1, tile2: tile indices into the two tile sets.
+        slot: patch-pair slot index of each tile pair.
+        slot_patches: ``(num_slots, 2)`` patch ids per slot.
+    """
+
+    tile1: NDArray
+    tile2: NDArray
+    slot: NDArray
+    slot_patches: NDArray
+
+    @property
+    def num_pairs(self) -> int:
+        return len(self.tile1)
+
+    @property
+    def num_slots(self) -> int:
+        return len(self.slot_patches)
+
+    def shard(self, num_shards: int) -> list[TilePairs]:
+        """Split the pair list into contiguous, equally sized shards (padded
+        with repeats of the last pair and zero-flagged via negative slots is
+        not needed: shards keep their own slot ids and partial results are
+        summed)."""
+        bounds = np.linspace(0, self.num_pairs, num_shards + 1).astype(int)
+        return [
+            TilePairs(
+                tile1=self.tile1[lo:hi],
+                tile2=self.tile2[lo:hi],
+                slot=self.slot[lo:hi],
+                slot_patches=self.slot_patches,
+            )
+            for lo, hi in zip(bounds[:-1], bounds[1:])
+        ]
+
+
+def build_tile_pairs(
+    tiles1: TileSet,
+    tiles2: TileSet,
+    linkage: Linkage,
+    *,
+    auto: bool,
+) -> TilePairs:
+    """Enumerate tile pairs for all linked patch pairs, pruned by tile caps.
+
+    For ``auto`` measurements only patch pairs with ``id2 >= id1`` are
+    generated; tile pairs within those patch pairs cover the full ordered
+    tile grid (the double counting matches the reference's same-patch
+    handling and is corrected downstream).
+    """
+    pairs = linkage.patch_pairs(auto=auto)
+    cutoff_angle = linkage.max_angle
+
+    t1_list, t2_list, slot_list = [], [], []
+    for slot, (p1, p2) in enumerate(pairs):
+        idx1 = tiles1.patch_tiles(p1)
+        idx2 = tiles2.patch_tiles(p2)
+        dist = _cap_distances(tiles1.tile_center[idx1], tiles2.tile_center[idx2])
+        limit = (
+            tiles1.tile_radius[idx1][:, None]
+            + tiles2.tile_radius[idx2][None, :]
+            + cutoff_angle
+        )
+        keep1, keep2 = np.nonzero(dist < limit)
+        t1_list.append(idx1[keep1])
+        t2_list.append(idx2[keep2])
+        slot_list.append(np.full(len(keep1), slot, dtype=np.int32))
+
+    if t1_list:
+        tile1 = np.concatenate(t1_list).astype(np.int32)
+        tile2 = np.concatenate(t2_list).astype(np.int32)
+        slot = np.concatenate(slot_list)
+    else:
+        tile1 = tile2 = slot = np.empty(0, dtype=np.int32)
+
+    return TilePairs(tile1=tile1, tile2=tile2, slot=slot, slot_patches=pairs)

@@ -1,0 +1,229 @@
+"""The tiled brute-force pair-count engine.
+
+Replaces the reference's dual-tree kd-tree kernel
+(/root/reference/src/yaw/catalog/trees.py:303-362) with dense tile-pair
+arithmetic designed for the TPU:
+
+- for a pair of point tiles, squared chord distances are evaluated on the
+  vector unit from (hi, lo)-split float32 coordinates — the compensated
+  difference keeps relative precision ~1e-7 even at arcsecond separations,
+  far below plain float32 resolution (a plain ``1 - dot`` formulation is
+  useless below ~1e-3 rad);
+- pairs are counted cumulatively against per-redshift-bin squared-chord
+  thresholds; the per-row thresholds and the final (bin, edge) reduction
+  are one-hot matmuls, which the MXU executes exactly for 0/1 selectors;
+- per-pair results accumulate into a ``(patch-pair slot, bin, edge)``
+  tensor; host-side float64 post-processing converts cumulative edges into
+  per-scale counts.
+
+Two interchangeable execution paths:
+- ``xla``: pure jax.numpy (vmap + scan); runs on any backend and is the
+  correctness reference for the Pallas kernel;
+- ``pallas``: the TPU kernel in :mod:`pallas_paircount` with scalar-prefetch
+  driven tile gathering and revisit-accumulated output slots.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import TYPE_CHECKING
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+if TYPE_CHECKING:
+    from numpy.typing import NDArray
+
+    from yet_another_wizz_tpu.ops.linkage import TilePairs
+    from yet_another_wizz_tpu.ops.tiles import TileSet
+
+__all__ = [
+    "count_pairs_tiles",
+    "pair_block_counts",
+]
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def pair_block_counts(
+    lane1: jnp.ndarray,
+    lane2: jnp.ndarray,
+    chord2_table: jnp.ndarray,
+    *,
+    cols_binned: bool,
+) -> jnp.ndarray:
+    """Cumulative weighted pair counts between two point tiles.
+
+    Args:
+        lane1: ``(8, T)`` float32 tile (rows: the redshift-binned catalog).
+        lane2: ``(8, T)`` float32 tile (columns).
+        chord2_table: ``(B, E)`` float32 squared-chord thresholds per bin.
+        cols_binned: require equal bin indices on both sides (both catalogs
+            binned, i.e. autocorrelation-style counting).
+
+    Returns:
+        ``(B, E)`` float32 tensor; entry (b, e) is the sum of
+        ``w_i * w_j`` over pairs with row point in bin b and squared chord
+        distance ``<= chord2_table[b, e]``.
+
+    Channel layout matches :mod:`yet_another_wizz_tpu.ops.tiles`.
+    """
+    num_bins, num_edges = chord2_table.shape
+    tile1 = lane1.T  # (T, 8)
+
+    # squared chord distance with (hi, lo) compensation, shape (T, T)
+    chord2 = None
+    for dim in range(3):
+        d_hi = tile1[:, dim : dim + 1] - lane2[dim : dim + 1, :]
+        d_lo = tile1[:, 3 + dim : 4 + dim] - lane2[3 + dim : 4 + dim, :]
+        d = d_hi + d_lo
+        chord2 = d * d if chord2 is None else chord2 + d * d
+
+    w_cols = lane2[6:7, :]  # (1, T)
+    if cols_binned:
+        z_rows = tile1[:, 7:8]  # (T, 1)
+        z_cols = lane2[7:8, :]
+        w_cols_eff = jnp.where(z_rows == z_cols, w_cols, 0.0)  # (T, T)
+    else:
+        w_cols_eff = jnp.broadcast_to(w_cols, chord2.shape)
+
+    # one-hot of the row bin index; threshold rows are selected with exact
+    # elementwise arithmetic — NOT a matmul: the default matmul precision on
+    # TPU (and some CPU paths) rounds operands to bfloat16, which would move
+    # the bin boundaries by up to 0.4%
+    z_rows = tile1[:, 7:8]
+    bin_ids = jnp.arange(num_bins, dtype=jnp.float32)[None, :]
+    onehot = (z_rows == bin_ids).astype(jnp.float32)  # (T, B)
+    thresholds = jnp.sum(
+        onehot[:, :, None] * chord2_table[None, :, :], axis=1
+    )  # (T, E); exact: one non-zero product per output element
+
+    # cumulative counts per row and edge
+    row_sums = []
+    for e in range(num_edges):
+        mask = chord2 <= thresholds[:, e : e + 1]
+        row_sums.append(jnp.sum(jnp.where(mask, w_cols_eff, 0.0), axis=1))
+    row_counts = jnp.stack(row_sums, axis=1)  # (T, E)
+
+    # reduce rows into bins, weighted by the row weights
+    w_rows = tile1[:, 6:7]
+    onehot_w = onehot * w_rows  # (T, B)
+    return jax.lax.dot_general(
+        onehot_w, row_counts,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_HIGHEST,
+    )  # (B, E)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cols_binned", "num_slots", "chunk_size"),
+)
+def _count_pairs_xla(
+    lane1: jnp.ndarray,
+    lane2: jnp.ndarray,
+    tile1: jnp.ndarray,
+    tile2: jnp.ndarray,
+    slots: jnp.ndarray,
+    chord2_table: jnp.ndarray,
+    *,
+    cols_binned: bool,
+    num_slots: int,
+    chunk_size: int,
+) -> jnp.ndarray:
+    """Scan over chunks of tile pairs, vmap within a chunk, scatter-add into
+    patch-pair slots. Expects the pair list padded to a chunk multiple with
+    pad entries pointing at the trailing dump slot ``num_slots``."""
+    num_chunks = len(tile1) // chunk_size
+    shape = (num_chunks, chunk_size)
+
+    pair_fn = jax.vmap(
+        partial(pair_block_counts, cols_binned=cols_binned),
+        in_axes=(0, 0, None),
+    )
+
+    def body(acc, chunk):
+        idx1, idx2, slot = chunk
+        blocks = pair_fn(lane1[idx1], lane2[idx2], chord2_table)
+        return acc.at[slot].add(blocks), None
+
+    init = jnp.zeros(
+        (num_slots + 1, *chord2_table.shape), dtype=jnp.float32
+    )
+    acc, _ = jax.lax.scan(
+        body,
+        init,
+        (tile1.reshape(shape), tile2.reshape(shape), slots.reshape(shape)),
+    )
+    return acc[:-1]
+
+
+def count_pairs_tiles(
+    tiles1: TileSet,
+    tiles2: TileSet,
+    pairs: TilePairs,
+    chord2_table: NDArray,
+    *,
+    backend: str = "auto",
+    chunk_size: int = 16,
+) -> NDArray:
+    """Run the pair-count engine over a tile-pair list.
+
+    Returns a float64 numpy array ``(num_slots, B, E)`` of cumulative
+    weighted pair counts per patch-pair slot.
+    """
+    cols_binned = tiles2.binned
+    if cols_binned and tiles1.num_bins != tiles2.num_bins:
+        raise ValueError("tile sets have inconsistent binning")
+    if not tiles1.binned:
+        raise ValueError("first tile set must be binned")
+
+    num_slots = pairs.num_slots
+    table = jnp.asarray(chord2_table, dtype=jnp.float32)
+
+    if pairs.num_pairs == 0:
+        return np.zeros((num_slots, *table.shape), dtype=np.float64)
+
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+
+    if backend == "pallas":
+        from yet_another_wizz_tpu.ops.pallas_paircount import (
+            count_pairs_pallas,
+        )
+
+        result = count_pairs_pallas(
+            jnp.asarray(tiles1.lane_data),
+            jnp.asarray(tiles2.lane_data),
+            pairs,
+            table,
+            cols_binned=cols_binned,
+        )
+    elif backend == "xla":
+        # pad the pair list to a chunk multiple; padding goes to a dump slot
+        num_pairs = pairs.num_pairs
+        padded = -(-num_pairs // chunk_size) * chunk_size
+        tile1 = np.zeros(padded, dtype=np.int32)
+        tile2 = np.zeros(padded, dtype=np.int32)
+        slots = np.full(padded, num_slots, dtype=np.int32)
+        tile1[:num_pairs] = pairs.tile1
+        tile2[:num_pairs] = pairs.tile2
+        slots[:num_pairs] = pairs.slot
+
+        result = _count_pairs_xla(
+            jnp.asarray(tiles1.lane_data),
+            jnp.asarray(tiles2.lane_data),
+            jnp.asarray(tile1),
+            jnp.asarray(tile2),
+            jnp.asarray(slots),
+            table,
+            cols_binned=cols_binned,
+            num_slots=num_slots,
+            chunk_size=chunk_size,
+        )
+    else:
+        raise ValueError(f"unknown backend '{backend}'")
+
+    return np.asarray(jax.device_get(result), dtype=np.float64)

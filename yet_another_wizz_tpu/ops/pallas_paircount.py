@@ -1,0 +1,194 @@
+"""Pallas TPU kernel for the tiled pair-count engine.
+
+One grid step processes one (tile_i, tile_j) pair from the flat, slot-sorted
+tile-pair list (see :mod:`yet_another_wizz_tpu.ops.linkage`):
+
+- the pair list drives input tile gathering through scalar-prefetch indices
+  (``PrefetchScalarGridSpec``), so arbitrary tile pairs stream through VMEM
+  with the automatic pallas pipeline (double buffering from HBM);
+- squared chord distances are computed on the VPU from (hi, lo)-split
+  float32 coordinates (see :mod:`paircount` for the precision rationale);
+- cumulative threshold counting and the (bin, edge) reduction mirror
+  :func:`yet_another_wizz_tpu.ops.paircount.pair_block_counts` exactly;
+- output blocks are indexed by the patch-pair slot; because the pair list
+  is sorted by slot, consecutive grid steps revisit the same output block
+  and accumulate in VMEM, writing back to HBM only when the slot changes.
+
+Numerical note: threshold selection uses exact elementwise one-hot
+arithmetic, never a plain matmul — default MXU matmul precision rounds
+operands to bfloat16 which would shift angular bin boundaries by ~0.4%.
+The final weighted reduction matmul uses ``Precision.HIGHEST``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import TYPE_CHECKING
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+if TYPE_CHECKING:
+    from yet_another_wizz_tpu.ops.linkage import TilePairs
+
+__all__ = [
+    "count_pairs_pallas",
+]
+
+
+def _paircount_kernel(
+    # scalar prefetch
+    tile1_ref,
+    tile2_ref,
+    slot_ref,
+    # tensor inputs
+    lane1_ref,  # (1, 8, T)
+    lane2_ref,  # (1, 8, T)
+    table_ref,  # (B, E)
+    # output
+    out_ref,  # (1, B, E)
+    *,
+    cols_binned: bool,
+    num_bins: int,
+    num_edges: int,
+):
+    k = pl.program_id(0)
+
+    lane1 = lane1_ref[0]  # (8, T)
+    lane2 = lane2_ref[0]  # (8, T)
+    tile1 = lane1.T  # (T, 8): row-side needs column vectors
+
+    # chord^2 with (hi, lo) compensation — all (T, T) VPU work
+    chord2 = None
+    for dim in range(3):
+        d_hi = tile1[:, dim : dim + 1] - lane2[dim : dim + 1, :]
+        d_lo = tile1[:, 3 + dim : 4 + dim] - lane2[3 + dim : 4 + dim, :]
+        d = d_hi + d_lo
+        chord2 = d * d if chord2 is None else chord2 + d * d
+
+    w_cols = lane2[6:7, :]
+    if cols_binned:
+        z_rows_col = tile1[:, 7:8]
+        z_cols = lane2[7:8, :]
+        w_cols_eff = jnp.where(z_rows_col == z_cols, w_cols, 0.0)
+    else:
+        w_cols_eff = jnp.broadcast_to(w_cols, chord2.shape)
+
+    # per-row thresholds: exact one-hot selection (small B * (T, E) work)
+    z_rows_col = tile1[:, 7:8]  # (T, 1)
+    thresholds = jnp.zeros((tile1.shape[0], num_edges), dtype=jnp.float32)
+    for b in range(num_bins):
+        row_b = table_ref[b : b + 1, :]  # (1, E)
+        match = (z_rows_col == np.float32(b)).astype(jnp.float32)  # (T, 1)
+        thresholds = thresholds + match * row_b
+
+    # cumulative counts per row and edge
+    cols = []
+    for e in range(num_edges):
+        mask = chord2 <= thresholds[:, e : e + 1]
+        cols.append(
+            jnp.sum(jnp.where(mask, w_cols_eff, 0.0), axis=1, keepdims=True)
+        )
+    row_counts = jnp.concatenate(cols, axis=1)  # (T, E)
+
+    # (B, E) block: reduce rows into bins weighted by row weights
+    z_rows = lane1[7:8, :]  # (1, T)
+    w_rows = lane1[6:7, :]
+    bin_ids = jax.lax.broadcasted_iota(
+        jnp.int32, (num_bins, z_rows.shape[1]), 0
+    ).astype(jnp.float32)
+    onehot_w_t = jnp.where(bin_ids == z_rows, w_rows, 0.0)  # (B, T)
+    block = jax.lax.dot_general(
+        onehot_w_t,
+        row_counts,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (B, E)
+
+    # slot-sorted revisit accumulation
+    prev_slot = slot_ref[jnp.maximum(k - 1, 0)]
+    is_first = jnp.logical_or(k == 0, slot_ref[k] != prev_slot)
+
+    @pl.when(is_first)
+    def _():
+        out_ref[0] = block
+
+    @pl.when(jnp.logical_not(is_first))
+    def _():
+        out_ref[0] = out_ref[0] + block
+
+
+def count_pairs_pallas(
+    lane_data1: jnp.ndarray,
+    lane_data2: jnp.ndarray,
+    pairs: TilePairs,
+    chord2_table: jnp.ndarray,
+    *,
+    cols_binned: bool,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Run the Pallas pair-count kernel over a slot-sorted tile-pair list.
+
+    Returns a float32 device array ``(num_slots, B, E)``. On non-TPU
+    backends the kernel runs in interpreter mode (for testing).
+    """
+    num_bins, num_edges = chord2_table.shape
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    tile1 = jnp.asarray(pairs.tile1, dtype=jnp.int32)
+    tile2 = jnp.asarray(pairs.tile2, dtype=jnp.int32)
+    slots = jnp.asarray(pairs.slot, dtype=jnp.int32)
+
+    tile_shape = lane_data1.shape[1:]  # (8, T)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(pairs.num_pairs,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, *tile_shape),
+                lambda k, t1, t2, sl: (t1[k], 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, *tile_shape),
+                lambda k, t1, t2, sl: (t2[k], 0, 0),
+            ),
+            pl.BlockSpec(
+                (num_bins, num_edges),
+                lambda k, t1, t2, sl: (0, 0),
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, num_bins, num_edges),
+            lambda k, t1, t2, sl: (sl[k], 0, 0),
+        ),
+    )
+
+    kernel = partial(
+        _paircount_kernel,
+        cols_binned=cols_binned,
+        num_bins=num_bins,
+        num_edges=num_edges,
+    )
+
+    result = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (pairs.num_slots, num_bins, num_edges), jnp.float32
+        ),
+        interpret=interpret,
+    )(tile1, tile2, slots, lane_data1, lane_data2, chord2_table)
+
+    # slots whose tile pairs were all pruned are never visited by the grid
+    # and their output blocks are uninitialised memory — zero them out
+    visited = np.zeros(pairs.num_slots, dtype=bool)
+    visited[np.unique(pairs.slot)] = True
+    if not visited.all():
+        result = result * jnp.asarray(visited, jnp.float32)[:, None, None]
+    return result

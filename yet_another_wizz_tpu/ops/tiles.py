@@ -1,0 +1,285 @@
+"""Device-friendly catalog layout: spatially sorted, padded point tiles.
+
+The reference implementation builds one scipy kd-tree per (patch, redshift
+bin) (/root/reference/src/yaw/catalog/trees.py:365-429). TPUs want static
+shapes and dense math instead, so a catalog becomes a :class:`TileSet`:
+
+- points are sorted by (patch id, Morton code of the unit-sphere position),
+  so that consecutive points are spatial neighbours;
+- each patch is zero-padded to a multiple of the tile size ``T``;
+- every ``T`` consecutive points form a *tile* with a bounding cap
+  (center + opening angle) used to prune distant tile pairs — the tile-level
+  analogue of the kd-tree's node bounds;
+- per-point data is packed into a single float32 array of shape
+  ``(num_tiles, 8, T)`` (channels x points, points along the TPU lane
+  dimension): unit-sphere xyz split into (hi, lo) float32 pairs for
+  small-angle precision, the pair weight, and the redshift-bin index.
+
+Weights of padding points are zero, so they never contribute to counts.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import TYPE_CHECKING
+
+import numpy as np
+
+from yet_another_wizz_tpu.coordinates import chord_to_angle
+
+if TYPE_CHECKING:
+    from numpy.typing import NDArray
+
+__all__ = [
+    "TileSet",
+    "build_tile_set",
+    "morton_codes",
+]
+
+CHANNEL_XYZ_HI = slice(0, 3)
+CHANNEL_XYZ_LO = slice(3, 6)
+CHANNEL_WEIGHT = 6
+CHANNEL_ZBIN = 7
+NUM_CHANNELS = 8
+
+DEFAULT_TILE_SIZE = 256
+
+
+def morton_codes(xyz: NDArray, bits: int = 10) -> NDArray:
+    """Interleaved-bit (Morton) codes for 3D points in ``[-1, 1]^3``.
+
+    Sorting by these codes groups spatial neighbours, which keeps the
+    bounding caps of consecutive point tiles compact.
+    """
+    quantised = np.clip(
+        ((xyz + 1.0) * (0.5 * (1 << bits))).astype(np.int64), 0, (1 << bits) - 1
+    )
+    codes = np.zeros(len(xyz), dtype=np.int64)
+    for bit in range(bits):
+        for dim in range(3):
+            codes |= ((quantised[:, dim] >> bit) & 1) << (3 * bit + dim)
+    return codes
+
+
+@dataclass
+class TileSet:
+    """A catalog packed into fixed-size point tiles for the pair-count engine.
+
+    Attributes:
+        lane_data:
+            float32 array ``(num_tiles, 8, tile_size)``; channel layout is
+            ``[x_hi, y_hi, z_hi, x_lo, y_lo, z_lo, weight, zbin]``.
+        tile_patch:
+            Patch id of each tile (every tile belongs to exactly one patch).
+        tile_center:
+            Unit-sphere bounding-cap centers, float64 ``(num_tiles, 3)``.
+        tile_radius:
+            Bounding-cap opening angles in radian, float64 ``(num_tiles,)``.
+        patch_tile_start / patch_tile_stop:
+            Per-patch [start, stop) ranges into the tile arrays.
+        sum_weights:
+            Per (bin, patch) sum of pair weights, float64 ``(B, P)`` —
+            the normalisation input. For unbinned tile sets ``B == 1``.
+        sum_kappa:
+            Per (bin, patch) weighted sum of the scalar field (None if the
+            catalog has no kappa values).
+        num_bins:
+            Number of redshift bins (0 for an unbinned tile set).
+        num_points:
+            Number of (non-padding) points retained in the tiles.
+    """
+
+    lane_data: NDArray
+    tile_patch: NDArray
+    tile_center: NDArray
+    tile_radius: NDArray
+    patch_tile_start: NDArray
+    patch_tile_stop: NDArray
+    sum_weights: NDArray
+    sum_kappa: NDArray | None
+    num_bins: int
+    num_points: int
+    tile_size: int = DEFAULT_TILE_SIZE
+    _cache_token: object = field(default=None, repr=False)
+
+    @property
+    def num_tiles(self) -> int:
+        return len(self.tile_patch)
+
+    @property
+    def num_patches(self) -> int:
+        return len(self.patch_tile_start)
+
+    @property
+    def binned(self) -> bool:
+        return self.num_bins > 0
+
+    def patch_tiles(self, patch_id: int) -> NDArray:
+        """Indices of the tiles belonging to one patch."""
+        return np.arange(
+            self.patch_tile_start[patch_id], self.patch_tile_stop[patch_id]
+        )
+
+    def bin_sum_weights(self, num_bins: int) -> NDArray:
+        """Per (bin, patch) sum of weights broadcast to ``num_bins`` bins
+        (unbinned tile sets contribute the same total to every bin)."""
+        if self.binned:
+            if num_bins != self.num_bins:
+                raise ValueError("number of bins does not match tile set")
+            return self.sum_weights
+        return np.broadcast_to(
+            self.sum_weights, (num_bins, self.num_patches)
+        ).copy()
+
+
+def build_tile_set(
+    xyz: NDArray,
+    patch_ids: NDArray,
+    num_patches: int,
+    *,
+    weights: NDArray | None = None,
+    zbins: NDArray | None = None,
+    num_bins: int = 0,
+    kappa: NDArray | None = None,
+    tile_size: int = DEFAULT_TILE_SIZE,
+    mode_weights: NDArray | None = None,
+) -> TileSet:
+    """Build a :class:`TileSet` from per-point arrays.
+
+    Args:
+        xyz: float64 unit-sphere positions, shape ``(N, 3)``.
+        patch_ids: integer patch assignment per point.
+        num_patches: total number of patches (patches may be empty).
+        weights: optional per-point weights (default 1); used for the
+            ``sum_weights`` normalisation.
+        zbins: per-point redshift-bin index in ``[0, num_bins)``; points
+            outside the binning (negative or >= num_bins) are dropped,
+            mirroring the reference where out-of-range points enter no tree.
+        num_bins: number of redshift bins (0 = unbinned).
+        kappa: optional per-point scalar field values.
+        tile_size: points per tile (TPU lane width multiple recommended).
+        mode_weights: pair weights actually written to the weight channel
+            (e.g. ``kappa * weights`` for scalar counting modes); defaults
+            to ``weights``.
+    """
+    xyz = np.asarray(xyz, dtype=np.float64)
+    n = len(xyz)
+    patch_ids = np.asarray(patch_ids)
+    weights = (
+        np.ones(n, dtype=np.float64)
+        if weights is None
+        else np.asarray(weights, dtype=np.float64)
+    )
+    pair_weights = (
+        weights if mode_weights is None else np.asarray(mode_weights, np.float64)
+    )
+
+    if zbins is not None and num_bins > 0:
+        zbins = np.asarray(zbins)
+        keep = (zbins >= 0) & (zbins < num_bins)
+        xyz, patch_ids, weights = xyz[keep], patch_ids[keep], weights[keep]
+        pair_weights = pair_weights[keep]
+        zbins = zbins[keep]
+        kappa = kappa[keep] if kappa is not None else None
+    else:
+        num_bins = 0
+        zbins = np.zeros(len(xyz), dtype=np.int64)
+
+    # spatial sort: group by patch, Morton-order within each patch
+    order = np.lexsort((morton_codes(xyz), patch_ids))
+    xyz = xyz[order]
+    patch_ids = patch_ids[order]
+    weights = weights[order]
+    pair_weights = pair_weights[order]
+    zbins = zbins[order]
+    kappa = kappa[order] if kappa is not None else None
+
+    counts = np.bincount(patch_ids, minlength=num_patches)
+    tiles_per_patch = np.maximum(1, -(-counts // tile_size))  # >=1 tile/patch
+    patch_tile_stop = np.cumsum(tiles_per_patch)
+    patch_tile_start = patch_tile_stop - tiles_per_patch
+    num_tiles = int(patch_tile_stop[-1]) if num_patches else 0
+    padded_n = num_tiles * tile_size
+
+    # scatter points into their padded positions
+    patch_offsets = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    position_in_patch = np.arange(len(xyz)) - patch_offsets[patch_ids]
+    dest = patch_tile_start[patch_ids] * tile_size + position_in_patch
+
+    def scatter(values, fill=0.0, dtype=np.float64):
+        out = np.full(padded_n, fill, dtype=dtype)
+        out[dest] = values
+        return out
+
+    pad_xyz = np.zeros((padded_n, 3))
+    pad_xyz[:, 0] = 1.0  # arbitrary unit vector for padding rows
+    pad_xyz[dest] = xyz
+    pad_w = scatter(pair_weights)
+    pad_z = scatter(zbins, fill=0, dtype=np.int64)
+    valid = scatter(np.ones(len(xyz), dtype=bool), fill=False, dtype=bool)
+
+    # pack the (hi, lo) split float32 channels, lane-major
+    lane_data = np.zeros((num_tiles, NUM_CHANNELS, tile_size), dtype=np.float32)
+    hi = pad_xyz.astype(np.float32)
+    lo = (pad_xyz - hi.astype(np.float64)).astype(np.float32)
+    shape = (num_tiles, tile_size)
+    for dim in range(3):
+        lane_data[:, dim, :] = hi[:, dim].reshape(shape)
+        lane_data[:, 3 + dim, :] = lo[:, dim].reshape(shape)
+    lane_data[:, CHANNEL_WEIGHT, :] = pad_w.astype(np.float32).reshape(shape)
+    lane_data[:, CHANNEL_ZBIN, :] = pad_z.astype(np.float32).reshape(shape)
+
+    # tile bounding caps from the real (non-padding) points
+    tile_center = np.zeros((num_tiles, 3))
+    tile_radius = np.zeros(num_tiles)
+    xyz_tiles = pad_xyz.reshape(num_tiles, tile_size, 3)
+    valid_tiles = valid.reshape(num_tiles, tile_size)
+    n_valid = valid_tiles.sum(axis=1)
+    sums = np.where(valid_tiles[..., None], xyz_tiles, 0.0).sum(axis=1)
+    norms = np.linalg.norm(sums, axis=1)
+    nonempty = (n_valid > 0) & (norms > 0)
+    tile_center[:, 0] = 1.0
+    tile_center[nonempty] = sums[nonempty] / norms[nonempty, None]
+    chord = np.linalg.norm(xyz_tiles - tile_center[:, None, :], axis=2)
+    chord = np.where(valid_tiles, chord, 0.0)
+    tile_radius = chord_to_angle(chord.max(axis=1))
+    # make padding rows harmless for cap pruning: move them onto the center
+    pad_positions = ~valid
+    if np.any(pad_positions):
+        centers_per_point = np.repeat(tile_center, tile_size, axis=0)
+        hi_pad = centers_per_point[pad_positions].astype(np.float32)
+        flat = lane_data.transpose(0, 2, 1).reshape(padded_n, NUM_CHANNELS)
+        flat[pad_positions, 0:3] = hi_pad
+        flat[pad_positions, 3:6] = 0.0
+        lane_data = (
+            flat.reshape(num_tiles, tile_size, NUM_CHANNELS)
+            .transpose(0, 2, 1)
+            .copy()
+        )
+
+    # per (bin, patch) normalisation sums in float64
+    effective_bins = max(num_bins, 1)
+    flat_idx = zbins * num_patches + patch_ids
+    sum_weights = np.bincount(
+        flat_idx, weights=weights, minlength=effective_bins * num_patches
+    ).reshape(effective_bins, num_patches)
+    sum_kappa = None
+    if kappa is not None:
+        sum_kappa = np.bincount(
+            flat_idx, weights=kappa * weights,
+            minlength=effective_bins * num_patches,
+        ).reshape(effective_bins, num_patches)
+
+    return TileSet(
+        lane_data=lane_data,
+        tile_patch=np.repeat(np.arange(num_patches), tiles_per_patch),
+        tile_center=tile_center,
+        tile_radius=tile_radius,
+        patch_tile_start=patch_tile_start,
+        patch_tile_stop=patch_tile_stop,
+        sum_weights=sum_weights,
+        sum_kappa=sum_kappa,
+        num_bins=num_bins,
+        num_points=len(xyz),
+        tile_size=tile_size,
+    )
