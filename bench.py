@@ -1,0 +1,151 @@
+#!/usr/bin/env python3
+"""End-to-end benchmark: mock clustering-redshift measurement on the TPU
+versus the multiprocess CPU reference implementation.
+
+Workload (BASELINE.md): w_sp cross-correlation pair counts (DD + RD) on a
+deterministic mock survey with 64 kmeans patches, plus the jackknife n(z)
+covariance. The CPU baseline runs the identical measurement through float64
+scipy kd-trees in a process pool — the same native kernel and parallelism
+strategy as the reference package (which cannot run here directly: it
+requires astropy, absent from this image).
+
+Prints exactly one JSON line to stdout:
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+Diagnostics go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np  # noqa: E402
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+NUM_REFERENCE = 200_000
+NUM_UNKNOWN = 500_000
+NUM_RANDOMS = 1_000_000
+NUM_PATCHES = 64
+NUM_BINS = 11
+CPU_BASELINE_FRACTION = 1.0  # fraction of slots timed for the CPU baseline
+
+
+def main() -> None:
+    import jax
+
+    from yet_another_wizz_tpu import Catalog, Configuration
+    from yet_another_wizz_tpu.correlation.measurements import (
+        PatchLinkage,
+        crosscorrelate,
+    )
+    from yet_another_wizz_tpu.ops.cpu_oracle import (
+        count_pairs_oracle_multiprocess,
+    )
+    from yet_another_wizz_tpu.ops.linkage import build_tile_pairs
+    from yet_another_wizz_tpu.ops.paircount import _unpack_tileset
+    from yet_another_wizz_tpu.examples import generate_mock_data
+    from yet_another_wizz_tpu.redshifts import RedshiftData
+
+    log(f"jax backend: {jax.default_backend()} devices: {jax.devices()}")
+
+    t0 = time.perf_counter()
+    mock = generate_mock_data(
+        num_reference=NUM_REFERENCE,
+        num_unknown=NUM_UNKNOWN,
+        num_randoms=NUM_RANDOMS,
+        seed=12345,
+    )
+    log(f"mock generation: {time.perf_counter() - t0:.1f}s")
+
+    t0 = time.perf_counter()
+    reference = Catalog.from_arrays(
+        **mock["reference"], degrees=False, patch_num=NUM_PATCHES
+    )
+    centers = reference.get_centers()
+    unknown = Catalog.from_arrays(
+        **mock["unknown"], degrees=False, patch_centers=centers
+    )
+    randoms = Catalog.from_arrays(
+        **mock["randoms"], degrees=False, patch_centers=centers
+    )
+    log(f"catalog construction: {time.perf_counter() - t0:.1f}s")
+
+    config = Configuration.create(
+        rmin=100, rmax=1000, unit="kpc",
+        zmin=0.15, zmax=1.0, num_bins=NUM_BINS,
+    )
+
+    def run_measurement():
+        (w_sp,) = crosscorrelate(
+            config, reference, unknown, ref_rand=randoms, backend="auto"
+        )
+        return RedshiftData.from_corrfuncs(w_sp)
+
+    # warm-up (compiles cached across runs via the persistent cache)
+    t0 = time.perf_counter()
+    run_measurement()
+    log(f"TPU measurement (cold, incl. compile): {time.perf_counter() - t0:.2f}s")
+
+    t0 = time.perf_counter()
+    nz = run_measurement()
+    t_tpu = time.perf_counter() - t0
+    log(f"TPU measurement (warm): {t_tpu:.2f}s")
+    log(f"n(z) head: {np.round(nz.data[:4], 4)}")
+
+    # work statistics: candidate pairs actually evaluated by the engine
+    links = PatchLinkage.from_catalogs(config, reference, unknown, randoms)
+    binning = config.binning.binning
+    stats_pairs = 0
+    for cat1, cat2, binned2 in (
+        (reference, unknown, False),
+        (randoms, unknown, False),
+    ):
+        ts1 = cat1.get_tiles(binning)
+        ts2 = cat2.get_tiles(None)
+        pairs = build_tile_pairs(ts1, ts2, links.linkage, auto=False)
+        stats_pairs += pairs.num_pairs * ts1.tile_size**2
+    pairs_per_sec = stats_pairs / t_tpu
+    log(f"candidate pairs: {stats_pairs:.3e} -> {pairs_per_sec:.3e} pairs/s")
+
+    # CPU baseline: identical DD + RD counts via multiprocess scipy kd-trees
+    log("running multiprocess CPU baseline (scipy kd-trees)...")
+    edges = links.edges.edges
+    t0 = time.perf_counter()
+    for cat1, cat2 in ((reference, unknown), (randoms, unknown)):
+        ts1 = cat1.get_tiles(binning)
+        ts2 = cat2.get_tiles(None)
+        pairs = build_tile_pairs(ts1, ts2, links.linkage, auto=False)
+        xyz1, w1, z1, p1 = _unpack_tileset(ts1)
+        xyz2, w2, _, p2 = _unpack_tileset(ts2)
+        count_pairs_oracle_multiprocess(
+            xyz1, w1, z1, p1, xyz2, w2, None, p2, pairs.slot_patches, edges
+        )
+    t_cpu = time.perf_counter() - t0
+    log(f"CPU baseline (multiprocess kd-trees): {t_cpu:.2f}s")
+
+    result = {
+        "metric": (
+            "weighted pairs/sec/chip; mock w_sp(z) DD+RD + jackknife "
+            "covariance wall-clock"
+        ),
+        "value": round(pairs_per_sec, 1),
+        "unit": "candidate pairs/s",
+        "vs_baseline": round(t_cpu / t_tpu, 2),
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,112 @@
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+from yet_another_wizz_tpu.config import ConfigError, Configuration
+from yet_another_wizz_tpu.cosmology import Planck15
+
+
+class TestConfigurationCreate:
+    def test_minimal(self):
+        config = Configuration.create(
+            rmin=100, rmax=1000, zmin=0.1, zmax=1.0, num_bins=10
+        )
+        assert config.scales.num_scales == 1
+        assert config.binning.num_bins == 10
+        assert config.cosmology is Planck15
+
+    def test_multi_scale(self):
+        config = Configuration.create(
+            rmin=[100, 500], rmax=[500, 1500], zmin=0.1, zmax=1.0
+        )
+        assert config.scales.num_scales == 2
+
+    def test_custom_edges(self):
+        config = Configuration.create(
+            rmin=100, rmax=1000, edges=[0.1, 0.4, 0.9]
+        )
+        assert config.binning.num_bins == 2
+        assert str(config.binning.method) == "custom"
+        assert_allclose(config.binning.binning.edges, [0.1, 0.4, 0.9])
+
+    def test_binning_methods(self):
+        for method in ("linear", "comoving", "logspace"):
+            config = Configuration.create(
+                rmin=100, rmax=1000, zmin=0.1, zmax=1.0, num_bins=5,
+                method=method,
+            )
+            assert len(config.binning.binning) == 5
+
+    def test_missing_scales(self):
+        with pytest.raises(ConfigError):
+            Configuration.create(zmin=0.1, zmax=1.0)
+
+    def test_missing_binning(self):
+        with pytest.raises(ConfigError, match="zmin"):
+            Configuration.create(rmin=100, rmax=1000)
+
+    def test_inverted_scales(self):
+        with pytest.raises(ConfigError):
+            Configuration.create(rmin=1000, rmax=100, zmin=0.1, zmax=1.0)
+
+    def test_inverted_binning(self):
+        with pytest.raises(ConfigError, match="zmin"):
+            Configuration.create(rmin=100, rmax=1000, zmin=1.0, zmax=0.1)
+
+    def test_bad_unit(self):
+        with pytest.raises(ConfigError, match="unit"):
+            Configuration.create(
+                rmin=100, rmax=1000, unit="lightyears", zmin=0.1, zmax=1.0
+            )
+
+    def test_bad_method(self):
+        with pytest.raises(ConfigError, match="method"):
+            Configuration.create(
+                rmin=100, rmax=1000, zmin=0.1, zmax=1.0, method="magic"
+            )
+
+    def test_unknown_cosmology(self):
+        with pytest.raises(ConfigError, match="cosmology"):
+            Configuration.create(
+                rmin=100, rmax=1000, zmin=0.1, zmax=1.0, cosmology="Narnia"
+            )
+
+
+class TestConfigurationDictYaml:
+    def setup_method(self):
+        self.config = Configuration.create(
+            rmin=100, rmax=1000, zmin=0.1, zmax=1.0, num_bins=8,
+            rweight=-1.0, resolution=20, closed="left",
+        )
+
+    def test_dict_roundtrip(self):
+        clone = Configuration.from_dict(self.config.to_dict())
+        assert clone == self.config
+
+    def test_yaml_roundtrip(self, tmp_path):
+        self.config.to_file(tmp_path / "config.yml")
+        clone = Configuration.from_file(tmp_path / "config.yml")
+        assert clone == self.config
+
+    def test_unknown_key_rejected(self):
+        bad = self.config.to_dict()
+        bad["scales"]["spam"] = 1
+        with pytest.raises(ConfigError, match="scales"):
+            Configuration.from_dict(bad)
+
+    def test_attribute_path_in_error(self):
+        bad = self.config.to_dict()
+        bad["binning"]["zmin"] = 2.0
+        bad["binning"]["zmax"] = 1.0
+        with pytest.raises(ConfigError, match="binning"):
+            Configuration.from_dict(bad)
+
+    def test_modify(self):
+        changed = self.config.modify(num_bins=12)
+        assert changed.binning.num_bins == 12
+        assert changed.scales == self.config.scales
+        assert self.config.binning.num_bins == 8  # unchanged
+
+    def test_modify_edges(self):
+        changed = self.config.modify(edges=[0.2, 0.5, 0.9])
+        assert changed.binning.num_bins == 2

@@ -1,0 +1,69 @@
+"""Multi-device sharded pair counting on the virtual 8-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+from test_engine import patch_geometry, random_cap_catalog, simple_patches
+from yet_another_wizz_tpu.ops.linkage import build_linkage, build_tile_pairs
+from yet_another_wizz_tpu.ops.paircount import count_pairs_tiles
+from yet_another_wizz_tpu.ops.tiles import build_tile_set
+from yet_another_wizz_tpu.parallel import count_pairs_sharded, default_mesh
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = np.random.default_rng(12345)
+    num_bins, num_patches = 3, 5
+    xyz1, w1, z1 = random_cap_catalog(rng, 3000, num_bins)
+    xyz2, w2, _ = random_cap_catalog(rng, 4000, num_bins)
+    patch1 = simple_patches(xyz1, num_patches, np.random.default_rng(3))
+    patch2 = simple_patches(xyz2, num_patches, np.random.default_rng(3))
+    ts1 = build_tile_set(
+        xyz1, patch1, num_patches, weights=w1, zbins=z1, num_bins=num_bins,
+        tile_size=64,
+    )
+    ts2 = build_tile_set(xyz2, patch2, num_patches, weights=w2, tile_size=64)
+    edges = np.deg2rad(np.tile((0.2, 1.0), (num_bins, 1)))
+    chord2 = ((2 * np.sin(edges / 2)) ** 2).astype(np.float32)
+    centers, radii = patch_geometry(xyz1, patch1, num_patches)
+    linkage = build_linkage(centers, radii, edges.max() * 1.000001)
+    pairs = build_tile_pairs(ts1, ts2, linkage, auto=False)
+    return ts1, ts2, pairs, chord2
+
+
+def test_virtual_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_matches_single_device(problem):
+    ts1, ts2, pairs, chord2 = problem
+    single = count_pairs_tiles(ts1, ts2, pairs, chord2, backend="xla")
+    for n_dev in (2, 8):
+        mesh = default_mesh(n_dev)
+        sharded = count_pairs_sharded(ts1, ts2, pairs, chord2, mesh=mesh)
+        assert_allclose(sharded, single, rtol=1e-5, atol=1e-2)
+
+
+def test_graft_entry_contract():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent.parent))
+    import __graft_entry__ as graft
+
+    fn, example_args = graft.entry()
+    compiled = jax.jit(fn).lower(*example_args).compile()
+    out = compiled(*example_args)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_graft_dryrun_multichip():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent.parent))
+    import __graft_entry__ as graft
+
+    graft.dryrun_multichip(8)

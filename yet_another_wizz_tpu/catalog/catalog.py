@@ -1,0 +1,623 @@
+"""Patch-resolved catalogs: the main data container for measurements.
+
+Capability parity with the reference ``yaw.catalog.catalog``
+(/root/reference/src/yaw/catalog/catalog.py:95-1461): constructors from
+files, dataframes, random generators and raw arrays; three patch-creation
+modes (apply given centers / use a patch-id column / generate centers with
+kmeans); an optional reference-compatible disk cache
+(``patch_{i}/data.bin`` + ``meta.yml`` + ``patch_ids.bin``); a
+``Mapping[int, Patch]`` interface; and the tree-building entry point of the
+measurement API.
+
+TPU-first design: the catalog keeps its columns as in-memory numpy arrays
+and converts them into padded, Morton-sorted device tiles
+(:class:`~yet_another_wizz_tpu.ops.tiles.TileSet`) on demand — the
+replacement for the reference's per-patch kd-trees. Tile sets are cached
+per (binning, counting-mode) fingerprint, mirroring the reference's
+``BinnedTrees`` pickle cache semantics.
+"""
+
+from __future__ import annotations
+
+import logging
+from collections.abc import Mapping
+from pathlib import Path
+from typing import TYPE_CHECKING
+
+import numpy as np
+
+from yet_another_wizz_tpu.binning import Binning
+from yet_another_wizz_tpu.coordinates import (
+    AngularCoordinates,
+    AngularDistances,
+    radec_to_xyz,
+)
+from yet_another_wizz_tpu.datachunk import DataChunk, check_patch_ids
+from yet_another_wizz_tpu.catalog.patch import (
+    Metadata,
+    Patch,
+    read_patch_data,
+    write_patch_data,
+)
+from yet_another_wizz_tpu.options import Closed
+from yet_another_wizz_tpu.ops.kmeans import assign_patches, kmeans_patch_centers
+from yet_another_wizz_tpu.ops.tiles import DEFAULT_TILE_SIZE, build_tile_set
+
+if TYPE_CHECKING:
+    from collections.abc import Iterator
+    from numpy.typing import ArrayLike, NDArray
+    from typing_extensions import Self
+
+    from yet_another_wizz_tpu.ops.tiles import TileSet
+
+__all__ = [
+    "Catalog",
+    "InconsistentPatchesError",
+    "MemoryPatch",
+]
+
+logger = logging.getLogger(__name__)
+
+PATCH_NAME_TEMPLATE = "patch_{:}"
+DEFAULT_PROBE_SIZE = 500_000
+
+
+class InconsistentPatchesError(Exception):
+    """Patch centers or ids of two catalogs do not match."""
+
+
+class MemoryPatch:
+    """In-memory view of one patch of a catalog (same accessor interface as
+    the disk-backed :class:`~yet_another_wizz_tpu.catalog.patch.Patch`)."""
+
+    __slots__ = ("_chunk", "meta")
+
+    def __init__(self, chunk: NDArray, center: AngularCoordinates | None) -> None:
+        self._chunk = chunk
+        self.meta = Metadata.compute(
+            DataChunk.get_coords(chunk),
+            weights=DataChunk.getattr(chunk, "weights"),
+            center=center,
+        )
+
+    def __repr__(self) -> str:
+        return f"{type(self).__name__}({self.meta})"
+
+    def load_data(self) -> NDArray:
+        return self._chunk
+
+    @property
+    def coords(self) -> AngularCoordinates:
+        return DataChunk.get_coords(self._chunk)
+
+    @property
+    def weights(self) -> NDArray | None:
+        return DataChunk.getattr(self._chunk, "weights")
+
+    @property
+    def redshifts(self) -> NDArray | None:
+        return DataChunk.getattr(self._chunk, "redshifts")
+
+    @property
+    def kappa(self) -> NDArray | None:
+        return DataChunk.getattr(self._chunk, "kappa")
+
+    @property
+    def has_weights(self) -> bool:
+        return "weights" in self._chunk.dtype.fields
+
+    @property
+    def has_redshifts(self) -> bool:
+        return "redshifts" in self._chunk.dtype.fields
+
+    @property
+    def has_kappa(self) -> bool:
+        return "kappa" in self._chunk.dtype.fields
+
+
+def _resolve_patch_assignment(
+    xyz: NDArray,
+    weights: NDArray | None,
+    *,
+    patch_centers,
+    patch_ids,
+    patch_num,
+    probe_size: int,
+) -> tuple[NDArray, NDArray]:
+    """Determine patch ids and centers using the reference's priority:
+    explicit centers > explicit ids > kmeans-generated centers."""
+    if patch_centers is not None:
+        if isinstance(patch_centers, Catalog):
+            centers_xyz = patch_centers.get_centers().to_3d()
+        elif isinstance(patch_centers, AngularCoordinates):
+            centers_xyz = patch_centers.to_3d()
+        else:
+            centers_xyz = np.asarray(patch_centers, dtype=np.float64)
+            if centers_xyz.ndim != 2 or centers_xyz.shape[1] not in (2, 3):
+                raise ValueError(
+                    "'patch_centers' must be AngularCoordinates, a Catalog, "
+                    "or an array of shape (P, 2) radian / (P, 3) unit vectors"
+                )
+            if centers_xyz.shape[1] == 2:
+                centers_xyz = radec_to_xyz(
+                    centers_xyz[:, 0], centers_xyz[:, 1]
+                )
+        ids = assign_patches(xyz, centers_xyz)
+        return ids, centers_xyz
+
+    if patch_ids is not None:
+        ids = np.asarray(patch_ids)
+        if len(ids) != len(xyz):
+            raise ValueError("length of 'patch_ids' does not match catalog")
+        check_patch_ids(ids)
+        num = int(ids.max()) + 1 if len(ids) else 0
+        centers_xyz = np.zeros((num, 3))
+        for pid in range(num):
+            sel = ids == pid
+            if not np.any(sel):
+                continue
+            mean = np.average(xyz[sel], axis=0, weights=(
+                weights[sel] if weights is not None else None
+            ))
+            centers_xyz[pid] = mean / np.linalg.norm(mean)
+        return ids.astype(np.int32), centers_xyz
+
+    if patch_num is not None:
+        logger.info("computing %d patch centers with kmeans", patch_num)
+        centers_xyz = kmeans_patch_centers(
+            xyz, patch_num, weights=weights, probe_size=probe_size
+        )
+        ids = assign_patches(xyz, centers_xyz)
+        return ids, centers_xyz
+
+    raise ValueError(
+        "exactly one of 'patch_centers', 'patch_name'/'patch_ids', or "
+        "'patch_num' is required"
+    )
+
+
+class Catalog(Mapping):
+    """A point catalog split into spatial patches.
+
+    Create instances with :meth:`from_arrays`, :meth:`from_file`,
+    :meth:`from_dataframe` or :meth:`from_random`; reopening an existing
+    cache directory with ``Catalog(cache_directory)`` restores a previously
+    written catalog. Iterating/indexing yields per-patch views.
+    """
+
+    __slots__ = (
+        "cache_directory",
+        "_chunk",
+        "_xyz",
+        "_patch_ids",
+        "patch_centers_xyz",
+        "patch_radii",
+        "num_patches",
+        "_tile_cache",
+    )
+
+    def __init__(self, cache_directory: Path | str) -> None:
+        self.cache_directory = Path(cache_directory)
+        logger.info("restoring from cache directory: %s", cache_directory)
+        if not self.cache_directory.exists():
+            raise FileNotFoundError(f"no cache found: {cache_directory}")
+
+        patch_dirs = sorted(
+            self.cache_directory.glob(PATCH_NAME_TEMPLATE.format("*")),
+            key=lambda p: int(p.name.split("_")[1]),
+        )
+        if not patch_dirs:
+            raise FileNotFoundError(f"cache is empty: {cache_directory}")
+
+        chunks = []
+        patch_ids = []
+        for path in patch_dirs:
+            pid = int(path.name.split("_")[1])
+            _, data = read_patch_data(path / "data.bin")
+            chunks.append(data)
+            patch_ids.append(np.full(len(data), pid, dtype=np.int32))
+
+        self._chunk = np.concatenate(chunks)
+        self._patch_ids = np.concatenate(patch_ids)
+        self.num_patches = len(patch_dirs)
+        self._xyz = radec_to_xyz(self._chunk["ra"], self._chunk["dec"])
+        self._init_patch_geometry(centers_xyz=None)
+        self._tile_cache = {}
+
+    @classmethod
+    def from_arrays(
+        cls: type[Self],
+        ra: ArrayLike,
+        dec: ArrayLike,
+        *,
+        weights: ArrayLike | None = None,
+        redshifts: ArrayLike | None = None,
+        kappa: ArrayLike | None = None,
+        degrees: bool = True,
+        patch_centers=None,
+        patch_ids: ArrayLike | None = None,
+        patch_num: int | None = None,
+        probe_size: int = DEFAULT_PROBE_SIZE,
+        cache_directory: Path | str | None = None,
+        overwrite: bool = False,
+        **_ignored,
+    ) -> Self:
+        """Create a catalog from per-column arrays (the primary in-memory
+        constructor; all other constructors funnel through it)."""
+        chunk = DataChunk.create(
+            ra, dec,
+            weights=weights, redshifts=redshifts, kappa=kappa,
+            degrees=degrees,
+        )
+        new = cls.__new__(cls)
+        new._chunk = chunk
+        new._xyz = radec_to_xyz(chunk["ra"], chunk["dec"])
+        new._tile_cache = {}
+        new.cache_directory = None
+
+        ids, centers_xyz = _resolve_patch_assignment(
+            new._xyz,
+            DataChunk.getattr(chunk, "weights"),
+            patch_centers=patch_centers,
+            patch_ids=patch_ids,
+            patch_num=patch_num,
+            probe_size=probe_size,
+        )
+        new._patch_ids = np.asarray(ids, dtype=np.int32)
+        new.num_patches = len(centers_xyz)
+        if new.num_patches == 0:
+            raise ValueError("catalog has no patches")
+
+        counts = np.bincount(new._patch_ids, minlength=new.num_patches)
+        if np.any(counts == 0):
+            empty = np.nonzero(counts == 0)[0].tolist()
+            raise ValueError(f"patches with no data: {empty}")
+
+        new._init_patch_geometry(centers_xyz=None)
+
+        if cache_directory is not None:
+            new.to_cache(cache_directory, overwrite=overwrite)
+        return new
+
+    def _init_patch_geometry(self, centers_xyz: NDArray | None) -> None:
+        """Compute per-patch cap centers (weighted means) and radii."""
+        weights = DataChunk.getattr(self._chunk, "weights")
+        centers = np.zeros((self.num_patches, 3))
+        radii = np.zeros(self.num_patches)
+        for pid in range(self.num_patches):
+            sel = self._patch_ids == pid
+            pts = self._xyz[sel]
+            if len(pts) == 0:
+                centers[pid, 0] = 1.0
+                continue
+            mean = np.average(
+                pts, axis=0, weights=weights[sel] if weights is not None else None
+            )
+            center = mean / np.linalg.norm(mean)
+            centers[pid] = center
+            chord = np.linalg.norm(pts - center, axis=1).max()
+            radii[pid] = 2.0 * np.arcsin(min(chord / 2.0, 1.0))
+        self.patch_centers_xyz = centers
+        self.patch_radii = radii
+
+    def to_cache(
+        self, cache_directory: Path | str, *, overwrite: bool = False
+    ) -> None:
+        """Write the catalog to a reference-compatible patch cache."""
+        cache = Path(cache_directory)
+        if cache.exists():
+            if not overwrite and any(cache.iterdir()):
+                raise FileExistsError(f"cache directory not empty: {cache}")
+            if overwrite:
+                import shutil
+
+                shutil.rmtree(cache)
+        cache.mkdir(parents=True, exist_ok=True)
+        logger.info(
+            "writing %d patches to cache: %s", self.num_patches, cache
+        )
+
+        for pid in range(self.num_patches):
+            sel = self._patch_ids == pid
+            patch_dir = cache / PATCH_NAME_TEMPLATE.format(pid)
+            patch_dir.mkdir()
+            write_patch_data(patch_dir / "data.bin", self._chunk[sel])
+            meta = Metadata.compute(
+                DataChunk.get_coords(self._chunk[sel]),
+                weights=DataChunk.getattr(self._chunk[sel], "weights"),
+            )
+            meta.to_file(patch_dir / "meta.yml")
+        self.cache_directory = cache
+
+    @classmethod
+    def from_dataframe(
+        cls: type[Self],
+        cache_directory: Path | str | None,
+        dataframe,
+        *,
+        ra_name: str,
+        dec_name: str,
+        weight_name: str | None = None,
+        redshift_name: str | None = None,
+        kappa_name: str | None = None,
+        patch_centers=None,
+        patch_name: str | None = None,
+        patch_num: int | None = None,
+        degrees: bool = True,
+        overwrite: bool = False,
+        probe_size: int = DEFAULT_PROBE_SIZE,
+        **_ignored,
+    ) -> Self:
+        """Create a catalog from a pandas-like dataframe."""
+
+        def column(name):
+            return np.asarray(dataframe[name]) if name is not None else None
+
+        return cls.from_arrays(
+            column(ra_name),
+            column(dec_name),
+            weights=column(weight_name),
+            redshifts=column(redshift_name),
+            kappa=column(kappa_name),
+            degrees=degrees,
+            patch_centers=patch_centers,
+            patch_ids=column(patch_name),
+            patch_num=patch_num,
+            probe_size=probe_size,
+            cache_directory=cache_directory,
+            overwrite=overwrite,
+        )
+
+    @classmethod
+    def from_file(
+        cls: type[Self],
+        cache_directory: Path | str | None,
+        path: Path | str,
+        *,
+        ra_name: str,
+        dec_name: str,
+        weight_name: str | None = None,
+        redshift_name: str | None = None,
+        kappa_name: str | None = None,
+        patch_centers=None,
+        patch_name: str | None = None,
+        patch_num: int | None = None,
+        degrees: bool = True,
+        overwrite: bool = False,
+        probe_size: int = DEFAULT_PROBE_SIZE,
+        chunksize: int | None = None,
+        **_ignored,
+    ) -> Self:
+        """Create a catalog from a FITS / HDF5 / Parquet / CSV file."""
+        from yet_another_wizz_tpu.catalog.readers import new_filereader
+
+        columns = dict(
+            ra_name=ra_name,
+            dec_name=dec_name,
+            weight_name=weight_name,
+            redshift_name=redshift_name,
+            kappa_name=kappa_name,
+            patch_name=patch_name,
+        )
+        logger.info("reading catalog file: %s", path)
+        with new_filereader(
+            path, **columns, degrees=degrees, chunksize=chunksize
+        ) as reader:
+            chunks = [chunk for chunk in reader]
+        data = np.concatenate(chunks)
+
+        patch_ids = DataChunk.getattr(data, "patch_ids")
+        return cls.from_arrays(
+            data["ra"],
+            data["dec"],
+            weights=DataChunk.getattr(data, "weights"),
+            redshifts=DataChunk.getattr(data, "redshifts"),
+            kappa=DataChunk.getattr(data, "kappa"),
+            degrees=False,  # readers convert to radian
+            patch_centers=patch_centers,
+            patch_ids=patch_ids,
+            patch_num=patch_num,
+            probe_size=probe_size,
+            cache_directory=cache_directory,
+            overwrite=overwrite,
+        )
+
+    @classmethod
+    def from_random(
+        cls: type[Self],
+        cache_directory: Path | str | None,
+        generator,
+        num_randoms: int,
+        *,
+        patch_centers=None,
+        patch_num: int | None = None,
+        overwrite: bool = False,
+        probe_size: int = DEFAULT_PROBE_SIZE,
+        **_ignored,
+    ) -> Self:
+        """Create a catalog by sampling a random point generator."""
+        chunk = generator(num_randoms)
+        return cls.from_arrays(
+            chunk["ra"],
+            chunk["dec"],
+            weights=DataChunk.getattr(chunk, "weights"),
+            redshifts=DataChunk.getattr(chunk, "redshifts"),
+            degrees=False,
+            patch_centers=patch_centers,
+            patch_num=patch_num,
+            probe_size=probe_size,
+            cache_directory=cache_directory,
+            overwrite=overwrite,
+        )
+
+    # -- Mapping interface over patches ------------------------------------
+
+    def __len__(self) -> int:
+        return self.num_patches
+
+    def __getitem__(self, patch_id: int) -> MemoryPatch:
+        if patch_id not in range(self.num_patches):
+            raise KeyError(patch_id)
+        sel = self._patch_ids == patch_id
+        center = AngularCoordinates.from_3d(self.patch_centers_xyz[patch_id])
+        return MemoryPatch(self._chunk[sel], center)
+
+    def __iter__(self) -> Iterator[int]:
+        return iter(range(self.num_patches))
+
+    def __repr__(self) -> str:
+        return (
+            f"{type(self).__name__}(num_patches={self.num_patches}, "
+            f"num_records={len(self._chunk)})"
+        )
+
+    # -- column accessors ---------------------------------------------------
+
+    @property
+    def has_weights(self) -> bool:
+        return "weights" in self._chunk.dtype.fields
+
+    @property
+    def has_redshifts(self) -> bool:
+        return "redshifts" in self._chunk.dtype.fields
+
+    @property
+    def has_kappa(self) -> bool:
+        return "kappa" in self._chunk.dtype.fields
+
+    @property
+    def ra(self) -> NDArray:
+        """Right ascension in radian."""
+        return self._chunk["ra"]
+
+    @property
+    def dec(self) -> NDArray:
+        """Declination in radian."""
+        return self._chunk["dec"]
+
+    @property
+    def weights(self) -> NDArray | None:
+        return DataChunk.getattr(self._chunk, "weights")
+
+    @property
+    def redshifts(self) -> NDArray | None:
+        return DataChunk.getattr(self._chunk, "redshifts")
+
+    @property
+    def kappa(self) -> NDArray | None:
+        return DataChunk.getattr(self._chunk, "kappa")
+
+    @property
+    def patch_ids(self) -> NDArray:
+        """Patch id of every point."""
+        return self._patch_ids
+
+    @property
+    def xyz(self) -> NDArray:
+        """Unit-sphere positions, float64 of shape (N, 3)."""
+        return self._xyz
+
+    def get_num_records(self) -> tuple[int, ...]:
+        """Number of points per patch."""
+        counts = np.bincount(self._patch_ids, minlength=self.num_patches)
+        return tuple(int(c) for c in counts)
+
+    def get_sum_weights(self) -> tuple[float, ...]:
+        """Sum of weights per patch."""
+        weights = self.weights
+        if weights is None:
+            return tuple(float(c) for c in self.get_num_records())
+        sums = np.bincount(
+            self._patch_ids, weights=weights, minlength=self.num_patches
+        )
+        return tuple(float(s) for s in sums)
+
+    def get_centers(self) -> AngularCoordinates:
+        """Patch cap centers."""
+        return AngularCoordinates.from_3d(self.patch_centers_xyz)
+
+    def get_radii(self) -> AngularDistances:
+        """Patch cap radii."""
+        return AngularDistances(self.patch_radii)
+
+    # -- device tiles (the kd-tree replacement) -----------------------------
+
+    def build_trees(
+        self,
+        binning: ArrayLike | None,
+        *,
+        closed: Closed | str = Closed.right,
+        leafsize: int = DEFAULT_TILE_SIZE,
+        force: bool = False,
+        progress: bool = False,
+        max_workers: int | None = None,
+    ) -> None:
+        """Pre-build the device tiles for a given redshift binning
+        (API-compatible with the reference's kd-tree building entry point;
+        ``leafsize`` maps onto the device tile size)."""
+        binning = (
+            None if binning is None else Binning(binning, closed=closed)
+        )
+        if force:
+            self._tile_cache.clear()
+        self.get_tiles(binning)
+
+    def get_tiles(
+        self,
+        binning: Binning | None,
+        *,
+        mode: str = "n",
+        tile_size: int = DEFAULT_TILE_SIZE,
+    ) -> TileSet:
+        """Tile set for the given binning and counting mode (cached).
+
+        Args:
+            binning: redshift binning, or None for an unbinned tile set.
+            mode: ``"n"`` for number weights, ``"k"`` for scalar-field
+                weights (``kappa * weights``).
+            tile_size: points per device tile.
+        """
+        if binning is None:
+            key = (None, None, mode, tile_size)
+        else:
+            key = (
+                binning.edges.tobytes(),
+                str(binning.closed),
+                mode,
+                tile_size,
+            )
+        if key in self._tile_cache:
+            return self._tile_cache[key]
+
+        weights = self.weights
+        if mode == "k":
+            if not self.has_kappa:
+                raise ValueError("missing required 'kappa' for scalar mode")
+            kappa = self.kappa
+            mode_weights = kappa if weights is None else kappa * weights
+        elif mode == "n":
+            mode_weights = None
+        else:
+            raise ValueError(f"invalid counting mode '{mode}'")
+
+        if binning is None:
+            zbins, num_bins = None, 0
+        else:
+            if not self.has_redshifts:
+                raise ValueError("catalog has no 'redshifts' attached")
+            zbins = binning.digitize(self.redshifts) - 1
+            num_bins = len(binning)
+
+        tiles = build_tile_set(
+            self._xyz,
+            self._patch_ids,
+            self.num_patches,
+            weights=weights,
+            zbins=zbins,
+            num_bins=num_bins,
+            kappa=self.kappa,
+            tile_size=tile_size,
+            mode_weights=mode_weights,
+        )
+        self._tile_cache[key] = tiles
+        return tiles

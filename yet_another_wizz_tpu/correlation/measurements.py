@@ -1,0 +1,440 @@
+"""Cross- and autocorrelation measurement functions.
+
+Capability parity with the reference ``yaw.correlation.measurements``
+(/root/reference/src/yaw/correlation/measurements.py:65-794):
+:func:`autocorrelate`, :func:`crosscorrelate` and their scalar-field
+variants, patch-consistency checks, the :class:`PatchLinkage` scheduling
+helper, and assembly of per-scale :class:`~yet_another_wizz_tpu.CorrFunc`
+containers including the autocorrelation conventions (same-patch counts
+halved, only ordered patch pairs with ``id2 >= id1``).
+
+Execution model: instead of farming patch pairs to CPU workers over
+kd-trees, the linked patch grid is expanded into a tile-pair list and
+pushed through the device pair-count engine in one shot
+(:mod:`yet_another_wizz_tpu.ops`); results come back as a cumulative
+(slot, bin, edge) tensor that is mapped to per-scale patch-pair count
+tensors on the host in float64.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import TYPE_CHECKING
+
+import numpy as np
+
+from yet_another_wizz_tpu.catalog.catalog import Catalog, InconsistentPatchesError
+from yet_another_wizz_tpu.correlation.corrfunc import CorrFunc, ScalarCorrFunc
+from yet_another_wizz_tpu.correlation.paircounts import (
+    NormalisedCounts,
+    NormalisedScalarCounts,
+    PatchedCounts,
+    PatchedSumWeights,
+)
+from yet_another_wizz_tpu.ops.linkage import Linkage, build_linkage, build_tile_pairs
+from yet_another_wizz_tpu.ops.paircount import count_pairs_tiles
+from yet_another_wizz_tpu.ops.thresholds import AngularEdges, build_angular_edges
+
+if TYPE_CHECKING:
+    from yet_another_wizz_tpu.config import Configuration
+
+__all__ = [
+    "PatchLinkage",
+    "autocorrelate",
+    "autocorrelate_scalar",
+    "crosscorrelate",
+    "crosscorrelate_scalar",
+]
+
+logger = logging.getLogger(__name__)
+
+LINKAGE_SLACK = 1.0 + 1e-9
+"""Relative slack on the linkage cutoff so pairs exactly at the maximum
+angular scale are never pruned."""
+
+
+def check_patch_consistency(catalog: Catalog, *catalogs: Catalog, rtol: float = 0.5):
+    """Verify that all catalogs share (approximately) the same patch
+    centers, within ``rtol`` times the patch radius."""
+    centers = catalog.get_centers()
+    radii = catalog.get_radii()
+    for other in catalogs:
+        if other.num_patches != catalog.num_patches:
+            raise InconsistentPatchesError("patch IDs do not match")
+        distance = centers.distance(other.get_centers())
+        if np.any(distance.data / np.maximum(radii.data, 1e-12) > rtol):
+            raise InconsistentPatchesError("patch centers are not aligned")
+
+
+def ensure_unique_catalogs(*catalogs: Catalog | None) -> None:
+    """Each catalog instance may appear only once per measurement (the
+    reference enforces distinct cache directories; in-memory catalogs are
+    compared by identity)."""
+    seen = [cat for cat in catalogs if cat is not None]
+    if len({id(cat) for cat in seen}) != len(seen):
+        raise ValueError(
+            "each catalog must be a separate instance to avoid interference"
+        )
+
+
+class PatchLinkage:
+    """Patch-pair pruning shared by all pair counts of one measurement.
+
+    Bundles the measurement configuration, the per-bin angular edge tables
+    and the patch-level linkage computed from the largest input catalog.
+    """
+
+    def __init__(
+        self,
+        config: Configuration,
+        edges: AngularEdges,
+        linkage: Linkage,
+    ) -> None:
+        self.config = config
+        self.edges = edges
+        self.linkage = linkage
+        logger.debug(
+            "created patch linkage with %d patch pairs", self.num_links
+        )
+
+    @classmethod
+    def from_catalogs(
+        cls,
+        config: Configuration,
+        catalog: Catalog,
+        *catalogs: Catalog,
+    ) -> PatchLinkage:
+        """Build the linkage: angular edge tables at the bin centers, patch
+        geometry from the best-constrained (largest) catalog, and the cap
+        cutoff at the largest angular scale."""
+        edges = build_angular_edges(
+            config.scales.scales,
+            config.binning.binning.mids,
+            config.cosmology,
+            weight_scale=config.scales.rweight,
+            weight_res=config.scales.resolution,
+        )
+        logger.debug(
+            "computing patch linkage with max. separation of %.2e rad",
+            edges.max_angle,
+        )
+
+        ref_cat, *others = sorted(
+            [catalog, *catalogs],
+            key=lambda cat: sum(cat.get_num_records()),
+            reverse=True,
+        )
+        check_patch_consistency(ref_cat, *others)
+
+        linkage = build_linkage(
+            ref_cat.patch_centers_xyz,
+            ref_cat.patch_radii,
+            edges.max_angle * LINKAGE_SLACK,
+        )
+        return cls(config, edges, linkage)
+
+    @property
+    def num_total(self) -> int:
+        """Number of patch pairs without the angular cutoff."""
+        return self.linkage.num_patches ** 2
+
+    @property
+    def num_links(self) -> int:
+        """Number of linked patch pairs."""
+        return self.linkage.num_links
+
+    @property
+    def density(self) -> float:
+        """Fraction of patch pairs that are linked."""
+        return self.linkage.density
+
+    def __repr__(self) -> str:
+        return (
+            f"{type(self).__name__}(num_links={self.num_links}, "
+            f"density={self.density:.0%})"
+        )
+
+    def count_pairs(
+        self,
+        main_catalog: Catalog,
+        *optional_catalog: Catalog,
+        mode: str = "nn",
+        binned2: bool | None = None,
+        backend: str = "auto",
+        progress: bool = False,
+        max_workers: int | None = None,
+        count_type_info: str | None = None,
+    ) -> list[NormalisedCounts]:
+        """Count pairs between two catalogs (or within one for an
+        autocorrelation), one :class:`NormalisedCounts` per scale.
+
+        ``binned2`` controls whether the second catalog is resolved into
+        redshift bins (requiring equal bins on both sides of a pair); by
+        default only autocorrelations bin both sides, mirroring the
+        reference's binned/unbinned tree building.
+        """
+        if count_type_info is not None:
+            logger.info("counting %s from patch pairs", count_type_info)
+
+        auto = len(optional_catalog) == 0
+        catalog1 = main_catalog
+        catalog2 = main_catalog if auto else optional_catalog[0]
+        if binned2 is None:
+            binned2 = auto
+
+        counts, sum_weights = self._run_engine(
+            catalog1, catalog2, auto=auto, binned2=binned2, mode=mode,
+            backend=backend,
+        )
+        return [
+            NormalisedCounts(per_scale, sum_weights) for per_scale in counts
+        ]
+
+    def count_pairs_optional(
+        self,
+        main_catalog: Catalog | None,
+        *optional_catalog: Catalog | None,
+        **kwargs,
+    ) -> list[NormalisedCounts | None]:
+        """Like :meth:`count_pairs` but propagates missing catalogs."""
+        if any(cat is None for cat in (main_catalog, *optional_catalog)):
+            return [None] * self.config.scales.num_scales
+        return self.count_pairs(main_catalog, *optional_catalog, **kwargs)
+
+    def count_scalar_pairs(
+        self,
+        main_catalog: Catalog,
+        *optional_catalog: Catalog,
+        mode: str = "kn",
+        **kwargs,
+    ) -> list[NormalisedScalarCounts]:
+
+        """Scalar-field pair counts: the requested kappa mode normalised by
+        a plain number-count pass."""
+        kappa_counts = self.count_pairs(
+            main_catalog, *optional_catalog, mode=mode, **kwargs
+        )
+        number_counts = self.count_pairs(
+            main_catalog, *optional_catalog, mode="nn", **kwargs
+        )
+        return [
+            NormalisedScalarCounts(kk.counts, nn.counts)
+            for kk, nn in zip(kappa_counts, number_counts)
+        ]
+
+    def _run_engine(self, catalog1, catalog2, *, auto, binned2, mode, backend="auto"):
+        binning = self.config.binning.binning
+        num_bins = len(binning)
+        num_patches = catalog1.num_patches
+
+        tiles1 = catalog1.get_tiles(binning, mode=mode[0])
+        tiles2 = catalog2.get_tiles(
+            binning if binned2 else None, mode=mode[1]
+        )
+
+        pairs = build_tile_pairs(tiles1, tiles2, self.linkage, auto=auto)
+        logger.debug(
+            "processing %d tile pairs in %d patch pairs",
+            pairs.num_pairs,
+            pairs.num_slots,
+        )
+        cumulative = count_pairs_tiles(
+            tiles1, tiles2, pairs, self.edges.chord2_table,
+            backend=backend, edges_radian=self.edges.edges,
+        )
+        per_scale = self.edges.counts_to_scales(cumulative)  # (S, slots, B)
+
+        slot_ids1 = pairs.slot_patches[:, 0]
+        slot_ids2 = pairs.slot_patches[:, 1]
+        if auto:
+            same = slot_ids1 == slot_ids2
+            per_scale[:, same, :] *= 0.5  # ordered pairs double-count
+
+        counts = []
+        for scale_values in per_scale:
+            patched = PatchedCounts.zeros(binning, num_patches, auto=auto)
+            patched.counts[:, slot_ids1, slot_ids2] = scale_values.T
+            counts.append(patched)
+
+        sum_weights = PatchedSumWeights(
+            binning,
+            tiles1.bin_sum_weights(num_bins),
+            tiles2.bin_sum_weights(num_bins),
+            auto=auto,
+        )
+        return counts, sum_weights
+
+
+def autocorrelate(
+    config: Configuration,
+    data: Catalog,
+    random: Catalog,
+    *,
+    count_rr: bool = True,
+    backend: str = "auto",
+    progress: bool = False,
+    max_workers: int | None = None,
+) -> list[CorrFunc]:
+    """Measure the angular autocorrelation amplitude of a catalog in bins
+    of redshift.
+
+    Returns one :class:`CorrFunc` per configured scale, holding DD, DR and
+    (optionally) RR pair counts; with RR present the Landy-Szalay estimator
+    becomes available.
+    """
+    ensure_unique_catalogs(data, random)
+    kwargs = dict(progress=progress, max_workers=max_workers, backend=backend)
+
+    logger.info(
+        "computing auto-correlation from DD, DR%s", ", RR" if count_rr else ""
+    )
+    links = PatchLinkage.from_catalogs(config, data, random)
+    logger.debug(
+        "using %d scales %s weighting",
+        config.scales.num_scales,
+        "with" if config.scales.rweight else "without",
+    )
+
+    dd = links.count_pairs(data, **kwargs, count_type_info="DD")
+    # data x random pairs are counted between matching redshift bins on
+    # both sides, like the reference's binned random trees
+    dr = links.count_pairs(
+        data, random, binned2=True, **kwargs, count_type_info="DR"
+    )
+    optional_random = random if count_rr else None
+    rr = links.count_pairs_optional(
+        optional_random, **kwargs, count_type_info="RR"
+    )
+    return [CorrFunc(a, b, None, c) for a, b, c in zip(dd, dr, rr)]
+
+
+def crosscorrelate(
+    config: Configuration,
+    reference: Catalog,
+    unknown: Catalog,
+    *,
+    ref_rand: Catalog | None = None,
+    unk_rand: Catalog | None = None,
+    backend: str = "auto",
+    progress: bool = False,
+    max_workers: int | None = None,
+) -> list[CorrFunc]:
+    """Measure the angular cross-correlation amplitude between the unknown
+    sample and redshift slices of the reference sample.
+
+    At least one random catalog is required; with both randoms present RR
+    is counted and the Landy-Szalay estimator becomes available. Returns
+    one :class:`CorrFunc` per configured scale.
+    """
+    ensure_unique_catalogs(reference, unknown, ref_rand, unk_rand)
+    count_dr = unk_rand is not None
+    count_rd = ref_rand is not None
+    if not count_dr and not count_rd:
+        raise ValueError("at least one random dataset must be provided")
+
+    kwargs = dict(progress=progress, max_workers=max_workers, backend=backend)
+    logger.info(
+        "computing cross-correlation from DD%s%s%s",
+        ", DR" if count_dr else "",
+        ", RD" if count_rd else "",
+        ", RR" if (count_dr and count_rd) else "",
+    )
+
+    catalogs = [cat for cat in (ref_rand, unk_rand) if cat is not None]
+    links = PatchLinkage.from_catalogs(config, reference, unknown, *catalogs)
+    logger.debug(
+        "using %d scales %s weighting",
+        config.scales.num_scales,
+        "with" if config.scales.rweight else "without",
+    )
+
+    dd = links.count_pairs(reference, unknown, **kwargs, count_type_info="DD")
+    dr = links.count_pairs_optional(
+        reference, unk_rand, **kwargs, count_type_info="DR"
+    )
+    rd = links.count_pairs_optional(
+        ref_rand, unknown, **kwargs, count_type_info="RD"
+    )
+    rr = links.count_pairs_optional(
+        ref_rand, unk_rand, **kwargs, count_type_info="RR"
+    )
+    return [CorrFunc(a, b, c, d) for a, b, c, d in zip(dd, dr, rd, rr)]
+
+
+def compute_scalar_normalisation(
+    catalog: Catalog, config: Configuration
+) -> NormalisedScalarCounts:
+    """Normalisation for scalar counts from the mean kappa per patch (used
+    when no randoms are provided to :func:`crosscorrelate_scalar`)."""
+    binning = config.binning.binning
+    tiles = catalog.get_tiles(binning, mode="n")
+    if tiles.sum_kappa is None:
+        raise ValueError("missing required 'kappa' values")
+
+    num_bins, num_patches = tiles.sum_kappa.shape
+    sum_kappa = np.zeros((num_bins, num_patches, num_patches))
+    sum_weights = np.zeros_like(sum_kappa)
+    diag = np.arange(num_patches)
+    sum_kappa[:, diag, diag] = tiles.sum_kappa
+    sum_weights[:, diag, diag] = tiles.sum_weights
+
+    return NormalisedScalarCounts(
+        PatchedCounts(binning, sum_kappa, auto=False),
+        PatchedCounts(binning, sum_weights, auto=False),
+    )
+
+
+def autocorrelate_scalar(
+    config: Configuration,
+    data: Catalog,
+    *,
+    progress: bool = False,
+    max_workers: int | None = None,
+) -> list[ScalarCorrFunc]:
+    """Measure the angular autocorrelation amplitude of a scalar (kappa)
+    field in bins of redshift."""
+    logger.info("computing scalar auto-correlation with DD")
+    links = PatchLinkage.from_catalogs(config, data)
+    dd = links.count_scalar_pairs(
+        data, mode="kk", progress=progress, count_type_info="DD"
+    )
+    return [ScalarCorrFunc(counts) for counts in dd]
+
+
+def crosscorrelate_scalar(
+    config: Configuration,
+    reference: Catalog,
+    unknown: Catalog,
+    *,
+    unk_rand: Catalog | None = None,
+    progress: bool = False,
+    max_workers: int | None = None,
+) -> list[ScalarCorrFunc]:
+    """Measure the angular cross-correlation amplitude between redshift
+    slices of the reference sample and a scalar field carried by the
+    unknown sample.
+
+    Without unknown randoms the counts are normalised by the mean kappa
+    over the footprint instead of a DR term.
+    """
+    ensure_unique_catalogs(reference, unknown, unk_rand)
+    count_dr = unk_rand is not None
+    logger.info(
+        "computing scalar cross-correlation with DD%s",
+        ", DR" if count_dr else "",
+    )
+
+    catalogs = [cat for cat in (unk_rand,) if cat is not None]
+    links = PatchLinkage.from_catalogs(config, reference, unknown, *catalogs)
+
+    dd = links.count_scalar_pairs(
+        reference, unknown, mode="kn", progress=progress, count_type_info="DD"
+    )
+    if count_dr:
+        dr = links.count_scalar_pairs(
+            reference, unk_rand, mode="kn", progress=progress,
+            count_type_info="DR",
+        )
+    else:
+        dr = [compute_scalar_normalisation(reference, config)] * len(dd)
+    return [ScalarCorrFunc(a, b) for a, b in zip(dd, dr)]

@@ -160,6 +160,30 @@ def _count_pairs_xla(
     return acc[:-1]
 
 
+def _unpack_tileset(tiles: TileSet):
+    """Recover per-point float64 arrays from a tile set (hi + lo restores
+    the original coordinates to ~1e-15; padding rows carry zero weight)."""
+    data = tiles.lane_data.astype(np.float64)
+    xyz = (data[:, 0:3, :] + data[:, 3:6, :]).transpose(0, 2, 1).reshape(-1, 3)
+    weights = data[:, 6, :].reshape(-1)
+    zbins = data[:, 7, :].reshape(-1).astype(int)
+    patches = np.repeat(tiles.tile_patch, tiles.tile_size)
+    keep = weights != 0.0
+    return xyz[keep], weights[keep], zbins[keep], patches[keep]
+
+
+def _count_pairs_oracle_backend(tiles1, tiles2, pairs, edges_radian):
+    from yet_another_wizz_tpu.ops.cpu_oracle import count_pairs_oracle
+
+    xyz1, w1, z1, p1 = _unpack_tileset(tiles1)
+    xyz2, w2, z2, p2 = _unpack_tileset(tiles2)
+    return count_pairs_oracle(
+        xyz1, w1, z1, p1,
+        xyz2, w2, (z2 if tiles2.binned else None), p2,
+        pairs.slot_patches, np.asarray(edges_radian, dtype=np.float64),
+    )
+
+
 def count_pairs_tiles(
     tiles1: TileSet,
     tiles2: TileSet,
@@ -168,11 +192,16 @@ def count_pairs_tiles(
     *,
     backend: str = "auto",
     chunk_size: int = 16,
+    edges_radian: NDArray | None = None,
 ) -> NDArray:
     """Run the pair-count engine over a tile-pair list.
 
     Returns a float64 numpy array ``(num_slots, B, E)`` of cumulative
     weighted pair counts per patch-pair slot.
+
+    Backends: ``pallas`` (TPU kernel), ``xla`` (portable jax.numpy path),
+    ``oracle`` (float64 scipy kd-trees on the host, requires
+    ``edges_radian``; used for validation), or ``auto``.
     """
     cols_binned = tiles2.binned
     if cols_binned and tiles1.num_bins != tiles2.num_bins:
@@ -188,6 +217,11 @@ def count_pairs_tiles(
 
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+
+    if backend == "oracle":
+        if edges_radian is None:
+            raise ValueError("the 'oracle' backend requires 'edges_radian'")
+        return _count_pairs_oracle_backend(tiles1, tiles2, pairs, edges_radian)
 
     if backend == "pallas":
         from yet_another_wizz_tpu.ops.pallas_paircount import (

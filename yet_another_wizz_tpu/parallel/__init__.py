@@ -1,0 +1,20 @@
+"""Multi-device execution: mesh construction and sharded pair counting.
+
+The reference scales out with an MPI task farm over patch pairs
+(/root/reference/src/yaw/utils/parallel.py:38-484). The TPU-native
+replacement shards the flat tile-pair list over a ``jax.sharding.Mesh``
+(ICI domain): every device runs the same pair-count program on its chunk
+of the list and partial count tensors are combined with ``psum``. Host
+coordination (process-0 I/O, result broadcast) follows jax.distributed
+conventions.
+"""
+
+from yet_another_wizz_tpu.parallel.sharded import (
+    count_pairs_sharded,
+    default_mesh,
+)
+
+__all__ = [
+    "count_pairs_sharded",
+    "default_mesh",
+]
