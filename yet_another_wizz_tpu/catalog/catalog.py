@@ -280,25 +280,31 @@ class Catalog(Mapping):
         return new
 
     def _init_patch_geometry(self, centers_xyz: NDArray | None) -> None:
-        """Compute per-patch cap centers (weighted means) and radii."""
+        """Compute per-patch cap centers (weighted means) and radii
+        (vectorised segment reductions over the patch ids)."""
         weights = DataChunk.getattr(self._chunk, "weights")
-        centers = np.zeros((self.num_patches, 3))
-        radii = np.zeros(self.num_patches)
-        for pid in range(self.num_patches):
-            sel = self._patch_ids == pid
-            pts = self._xyz[sel]
-            if len(pts) == 0:
-                centers[pid, 0] = 1.0
-                continue
-            mean = np.average(
-                pts, axis=0, weights=weights[sel] if weights is not None else None
-            )
-            center = mean / np.linalg.norm(mean)
-            centers[pid] = center
-            chord = np.linalg.norm(pts - center, axis=1).max()
-            radii[pid] = 2.0 * np.arcsin(min(chord / 2.0, 1.0))
+        ids = self._patch_ids
+        num = self.num_patches
+
+        w = np.ones(len(ids)) if weights is None else weights
+        sums = np.stack(
+            [
+                np.bincount(ids, weights=w * self._xyz[:, dim], minlength=num)
+                for dim in range(3)
+            ],
+            axis=1,
+        )
+        norms = np.linalg.norm(sums, axis=1)
+        centers = np.zeros((num, 3))
+        centers[:, 0] = 1.0
+        nonempty = norms > 0
+        centers[nonempty] = sums[nonempty] / norms[nonempty, None]
+
+        chord = np.linalg.norm(self._xyz - centers[ids], axis=1)
+        max_chord = np.zeros(num)
+        np.maximum.at(max_chord, ids, chord)
         self.patch_centers_xyz = centers
-        self.patch_radii = radii
+        self.patch_radii = 2.0 * np.arcsin(np.clip(max_chord / 2.0, 0.0, 1.0))
 
     def to_cache(
         self, cache_directory: Path | str, *, overwrite: bool = False

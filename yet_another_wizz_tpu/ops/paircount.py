@@ -229,8 +229,8 @@ def count_pairs_tiles(
         )
 
         result = count_pairs_pallas(
-            jnp.asarray(tiles1.lane_data),
-            jnp.asarray(tiles2.lane_data),
+            tiles1.device_data(),
+            tiles2.device_data(),
             pairs,
             table,
             cols_binned=cols_binned,
@@ -247,8 +247,8 @@ def count_pairs_tiles(
         slots[:num_pairs] = pairs.slot
 
         result = _count_pairs_xla(
-            jnp.asarray(tiles1.lane_data),
-            jnp.asarray(tiles2.lane_data),
+            tiles1.device_data(),
+            tiles2.device_data(),
             jnp.asarray(tile1),
             jnp.asarray(tile2),
             jnp.asarray(slots),

@@ -22,7 +22,7 @@ The final weighted reduction matmul uses ``Precision.HIGHEST``.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import TYPE_CHECKING
 
 import jax
@@ -122,33 +122,39 @@ def _paircount_kernel(
         out_ref[0] = out_ref[0] + block
 
 
-def count_pairs_pallas(
-    lane_data1: jnp.ndarray,
-    lane_data2: jnp.ndarray,
-    pairs: TilePairs,
-    chord2_table: jnp.ndarray,
-    *,
+MAX_PAIRS_PER_CALL = 65_536
+"""Upper bound on tile pairs per pallas_call: the three scalar-prefetch
+index arrays live in SMEM (~1 MB on v5e), so long pair lists are processed
+in fixed-size segments whose outputs are summed on the host. Segment sizes
+are powers of two so compiled programs are reused across calls."""
+
+
+def _grid_size(num_pairs: int, maximum: int) -> int:
+    size = 512
+    while size < num_pairs and size < maximum:
+        size *= 2
+    return min(size, maximum)
+
+
+@lru_cache(maxsize=64)
+def _build_kernel_call(
+    segment: int,
+    tile_shape: tuple,
+    num_slots: int,
+    num_bins: int,
+    num_edges: int,
     cols_binned: bool,
-    interpret: bool | None = None,
-) -> jnp.ndarray:
-    """Run the Pallas pair-count kernel over a slot-sorted tile-pair list.
+    interpret: bool,
+):
+    """Construct (and cache) the pallas_call for one kernel configuration.
 
-    Returns a float32 device array ``(num_slots, B, E)``. On non-TPU
-    backends the kernel runs in interpreter mode (for testing).
+    The call object (with its index-map lambdas) must be reused across
+    invocations: fresh lambdas defeat jax's trace cache and add ~0.5 s of
+    retracing per call.
     """
-    num_bins, num_edges = chord2_table.shape
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-
-    tile1 = jnp.asarray(pairs.tile1, dtype=jnp.int32)
-    tile2 = jnp.asarray(pairs.tile2, dtype=jnp.int32)
-    slots = jnp.asarray(pairs.slot, dtype=jnp.int32)
-
-    tile_shape = lane_data1.shape[1:]  # (8, T)
-
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(pairs.num_pairs,),
+        grid=(segment,),
         in_specs=[
             pl.BlockSpec(
                 (1, *tile_shape),
@@ -168,27 +174,84 @@ def count_pairs_pallas(
             lambda k, t1, t2, sl: (sl[k], 0, 0),
         ),
     )
-
-    kernel = partial(
-        _paircount_kernel,
-        cols_binned=cols_binned,
-        num_bins=num_bins,
-        num_edges=num_edges,
-    )
-
-    result = pl.pallas_call(
-        kernel,
+    return pl.pallas_call(
+        partial(
+            _paircount_kernel,
+            cols_binned=cols_binned,
+            num_bins=num_bins,
+            num_edges=num_edges,
+        ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (pairs.num_slots, num_bins, num_edges), jnp.float32
+            (num_slots + 1, num_bins, num_edges), jnp.float32
         ),
         interpret=interpret,
-    )(tile1, tile2, slots, lane_data1, lane_data2, chord2_table)
+    )
 
-    # slots whose tile pairs were all pruned are never visited by the grid
-    # and their output blocks are uninitialised memory — zero them out
-    visited = np.zeros(pairs.num_slots, dtype=bool)
-    visited[np.unique(pairs.slot)] = True
-    if not visited.all():
-        result = result * jnp.asarray(visited, jnp.float32)[:, None, None]
+
+def count_pairs_pallas(
+    lane_data1: jnp.ndarray,
+    lane_data2: jnp.ndarray,
+    pairs: TilePairs,
+    chord2_table: jnp.ndarray,
+    *,
+    cols_binned: bool,
+    interpret: bool | None = None,
+    max_pairs_per_call: int = MAX_PAIRS_PER_CALL,
+) -> jnp.ndarray:
+    """Run the Pallas pair-count kernel over a slot-sorted tile-pair list.
+
+    Returns a float32 device array ``(num_slots, B, E)``. On non-TPU
+    backends the kernel runs in interpreter mode (for testing). The output
+    carries one extra trailing "dump" slot while counting (padding entries
+    accumulate there) which is dropped before returning.
+    """
+    num_bins, num_edges = chord2_table.shape
+    num_slots = pairs.num_slots
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    # fixed-size segments: pad with entries pointing at tile 0 and the
+    # trailing dump slot (sorted order is preserved, the dump slot id is
+    # larger than any real slot)
+    segment = _grid_size(pairs.num_pairs, max_pairs_per_call)
+    padded = -(-pairs.num_pairs // segment) * segment
+    tile1 = np.zeros(padded, dtype=np.int32)
+    tile2 = np.zeros(padded, dtype=np.int32)
+    slots = np.full(padded, num_slots, dtype=np.int32)
+    tile1[: pairs.num_pairs] = pairs.tile1
+    tile2[: pairs.num_pairs] = pairs.tile2
+    slots[: pairs.num_pairs] = pairs.slot
+
+    tile_shape = tuple(lane_data1.shape[1:])  # (8, T)
+    kernel = _build_kernel_call(
+        segment,
+        tile_shape,
+        num_slots,
+        num_bins,
+        num_edges,
+        cols_binned,
+        interpret,
+    )
+
+    total = None
+    for lo in range(0, padded, segment):
+        hi = lo + segment
+        part = kernel(
+            jnp.asarray(tile1[lo:hi]),
+            jnp.asarray(tile2[lo:hi]),
+            jnp.asarray(slots[lo:hi]),
+            lane_data1,
+            lane_data2,
+            chord2_table,
+        )
+        total = part if total is None else total + part
+    result = total[:-1]
+
+    # slots never visited by any segment keep uninitialised memory (their
+    # output block is only written when a grid step lands on them)
+    visited = np.zeros(num_slots + 1, dtype=bool)
+    visited[np.unique(slots)] = True
+    if not visited[:-1].all():
+        result = result * jnp.asarray(visited[:-1], jnp.float32)[:, None, None]
     return result

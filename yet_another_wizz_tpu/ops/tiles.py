@@ -102,6 +102,18 @@ class TileSet:
     tile_size: int = DEFAULT_TILE_SIZE
     _cache_token: object = field(default=None, repr=False)
 
+    def device_data(self):
+        """The lane data as a device-resident array (uploaded once and
+        cached; repeated engine calls must not re-transfer the catalog
+        through the host-device link)."""
+        if self._cache_token is None:
+            import jax.numpy as jnp
+
+            object.__setattr__(
+                self, "_cache_token", jnp.asarray(self.lane_data)
+            )
+        return self._cache_token
+
     @property
     def num_tiles(self) -> int:
         return len(self.tile_patch)

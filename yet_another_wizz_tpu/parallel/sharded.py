@@ -112,8 +112,8 @@ def count_pairs_sharded(
     replicated = NamedSharding(mesh, P())
     sharded = NamedSharding(mesh, P(MESH_AXIS))
 
-    lane1 = jax.device_put(jnp.asarray(tiles1.lane_data), replicated)
-    lane2 = jax.device_put(jnp.asarray(tiles2.lane_data), replicated)
+    lane1 = jax.device_put(tiles1.lane_data, replicated)
+    lane2 = jax.device_put(tiles2.lane_data, replicated)
     table = jax.device_put(table, replicated)
     tile1 = jax.device_put(jnp.asarray(tile1), sharded)
     tile2 = jax.device_put(jnp.asarray(tile2), sharded)
