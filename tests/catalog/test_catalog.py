@@ -1,0 +1,176 @@
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+from yet_another_wizz_tpu import Catalog
+from yet_another_wizz_tpu.binning import Binning
+from yet_another_wizz_tpu.catalog.patch import Patch
+from yet_another_wizz_tpu.randoms import BoxRandoms
+
+
+@pytest.fixture
+def arrays(rng):
+    n = 2000
+    return dict(
+        ra=rng.uniform(10, 30, n),
+        dec=rng.uniform(-10, 10, n),
+        weights=rng.uniform(0.5, 2.0, n),
+        redshifts=rng.uniform(0.1, 1.2, n),
+    )
+
+
+class TestPatchModes:
+    def test_patch_num_kmeans(self, arrays):
+        catalog = Catalog.from_arrays(**arrays, patch_num=6)
+        assert catalog.num_patches == 6
+        assert min(catalog.get_num_records()) > 0
+
+    def test_patch_centers_from_catalog(self, arrays, rng):
+        first = Catalog.from_arrays(**arrays, patch_num=5)
+        other = Catalog.from_arrays(
+            ra=rng.uniform(10, 30, 500),
+            dec=rng.uniform(-10, 10, 500),
+            patch_centers=first,
+        )
+        assert other.num_patches == 5
+        dist = first.get_centers().distance(other.get_centers())
+        assert np.all(dist.data < 0.1)
+
+    def test_patch_centers_coordinates(self, arrays):
+        from yet_another_wizz_tpu.coordinates import AngularCoordinates
+
+        centers = AngularCoordinates(
+            np.deg2rad([[15.0, -5.0], [25.0, 5.0]])
+        )
+        catalog = Catalog.from_arrays(**arrays, patch_centers=centers)
+        assert catalog.num_patches == 2
+
+    def test_explicit_patch_ids(self, arrays):
+        ids = (np.arange(len(arrays["ra"])) % 3).astype(np.int16)
+        catalog = Catalog.from_arrays(**arrays, patch_ids=ids)
+        assert catalog.num_patches == 3
+        assert np.array_equal(catalog.patch_ids, ids)
+
+    def test_missing_mode(self, arrays):
+        with pytest.raises(ValueError, match="patch_centers"):
+            Catalog.from_arrays(**arrays)
+
+    def test_kmeans_deterministic(self, arrays):
+        a = Catalog.from_arrays(**arrays, patch_num=4)
+        b = Catalog.from_arrays(**arrays, patch_num=4)
+        assert np.array_equal(a.patch_ids, b.patch_ids)
+
+
+class TestMappingInterface:
+    def test_patch_views(self, arrays):
+        catalog = Catalog.from_arrays(**arrays, patch_num=4)
+        assert len(catalog) == 4
+        patch = catalog[2]
+        assert patch.meta.num_records == catalog.get_num_records()[2]
+        assert patch.has_weights and patch.has_redshifts
+        total = sum(catalog[i].meta.sum_weights for i in catalog)
+        assert_allclose(total, arrays["weights"].sum(), rtol=1e-12)
+        with pytest.raises(KeyError):
+            catalog[99]
+
+    def test_geometry_accessors(self, arrays):
+        catalog = Catalog.from_arrays(**arrays, patch_num=4)
+        centers = catalog.get_centers()
+        radii = catalog.get_radii()
+        assert len(centers) == 4 and len(radii) == 4
+        # all points lie within their patch radius
+        for pid in catalog:
+            patch = catalog[pid]
+            dist = patch.coords.distance(centers[pid])
+            assert np.all(dist.data <= radii.data[pid] + 1e-12)
+
+
+class TestDiskCache:
+    def test_roundtrip(self, arrays, tmp_path):
+        cache = tmp_path / "cache"
+        catalog = Catalog.from_arrays(
+            **arrays, patch_num=4, cache_directory=cache
+        )
+        assert (cache / "patch_0" / "data.bin").exists()
+        assert (cache / "patch_0" / "meta.yml").exists()
+
+        restored = Catalog(cache)
+        assert restored.num_patches == 4
+        assert restored.get_num_records() == catalog.get_num_records()
+        assert_allclose(
+            sorted(restored.redshifts), sorted(catalog.redshifts), rtol=1e-12
+        )
+
+    def test_patch_object_reads_cache(self, arrays, tmp_path):
+        cache = tmp_path / "cache"
+        catalog = Catalog.from_arrays(
+            **arrays, patch_num=3, cache_directory=cache
+        )
+        patch = Patch(cache / "patch_1")
+        assert patch.meta.num_records == catalog.get_num_records()[1]
+        assert patch.weights is not None
+
+    def test_no_overwrite(self, arrays, tmp_path):
+        cache = tmp_path / "cache"
+        Catalog.from_arrays(**arrays, patch_num=2, cache_directory=cache)
+        with pytest.raises(FileExistsError):
+            Catalog.from_arrays(**arrays, patch_num=2, cache_directory=cache)
+        Catalog.from_arrays(
+            **arrays, patch_num=2, cache_directory=cache, overwrite=True
+        )
+
+
+class TestConstructors:
+    def test_from_dataframe(self, arrays):
+        import pandas as pd
+
+        frame = pd.DataFrame(
+            dict(RA=arrays["ra"], DEC=arrays["dec"], Z=arrays["redshifts"])
+        )
+        catalog = Catalog.from_dataframe(
+            None, frame, ra_name="RA", dec_name="DEC", redshift_name="Z",
+            patch_num=3,
+        )
+        assert catalog.num_patches == 3
+        assert catalog.has_redshifts and not catalog.has_weights
+
+    def test_from_file_parquet(self, arrays, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        path = tmp_path / "cat.pqt"
+        pq.write_table(
+            pa.table(dict(ra=arrays["ra"], dec=arrays["dec"])), path
+        )
+        catalog = Catalog.from_file(
+            None, path, ra_name="ra", dec_name="dec", patch_num=3
+        )
+        assert len(catalog.ra) == len(arrays["ra"])
+
+    def test_from_random(self):
+        generator = BoxRandoms(0, 20, -10, 10, seed=3)
+        catalog = Catalog.from_random(None, generator, 5000, patch_num=4)
+        assert catalog.num_patches == 4
+        assert len(catalog.ra) == 5000
+
+
+class TestTiles:
+    def test_tile_cache_reuse(self, arrays):
+        catalog = Catalog.from_arrays(**arrays, patch_num=3)
+        binning = Binning([0.1, 0.5, 1.2])
+        first = catalog.get_tiles(binning)
+        again = catalog.get_tiles(binning)
+        assert first is again
+        unbinned = catalog.get_tiles(None)
+        assert unbinned is not first
+        assert not unbinned.binned
+
+    def test_kappa_mode_requires_kappa(self, arrays):
+        catalog = Catalog.from_arrays(**arrays, patch_num=3)
+        with pytest.raises(ValueError, match="kappa"):
+            catalog.get_tiles(None, mode="k")
+
+    def test_build_trees_api(self, arrays):
+        catalog = Catalog.from_arrays(**arrays, patch_num=3)
+        catalog.build_trees(np.linspace(0.1, 1.2, 5), closed="right")
+        assert len(catalog._tile_cache) == 1

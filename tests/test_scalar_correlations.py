@@ -1,0 +1,131 @@
+"""Scalar-field (kappa) correlation measurements against the float64
+oracle path, covering the kn/kk counting modes."""
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+from yet_another_wizz_tpu import Catalog, Configuration
+from yet_another_wizz_tpu.correlation.corrfunc import ScalarCorrFunc
+from yet_another_wizz_tpu.correlation.measurements import (
+    PatchLinkage,
+    autocorrelate_scalar,
+    crosscorrelate_scalar,
+)
+from yet_another_wizz_tpu.examples import generate_mock_data
+
+
+@pytest.fixture(scope="module")
+def catalogs():
+    mock = generate_mock_data(
+        num_reference=3000, num_unknown=5000, num_randoms=6000, seed=11
+    )
+    rng = np.random.default_rng(5)
+    ref_data = dict(mock["reference"])
+    ref_data["kappa"] = rng.normal(0.1, 0.3, len(ref_data["ra"]))
+    unk_data = dict(mock["unknown"])
+    unk_data["kappa"] = rng.normal(0.05, 0.2, len(unk_data["ra"]))
+
+    reference = Catalog.from_arrays(**ref_data, degrees=False, patch_num=4)
+    centers = reference.get_centers()
+    unknown = Catalog.from_arrays(
+        **unk_data, degrees=False, patch_centers=centers
+    )
+    randoms = Catalog.from_arrays(
+        **mock["randoms"], degrees=False, patch_centers=centers
+    )
+    return reference, unknown, randoms
+
+
+@pytest.fixture(scope="module")
+def config():
+    return Configuration.create(
+        rmin=500, rmax=3000, unit="kpc", zmin=0.15, zmax=1.0, num_bins=4
+    )
+
+
+class TestScalarModes:
+    def test_kn_counts_match_oracle(self, catalogs, config):
+        reference, unknown, _ = catalogs
+        links = PatchLinkage.from_catalogs(config, reference, unknown)
+        engine = links.count_pairs(
+            reference, unknown, mode="kn", backend="xla"
+        )
+        oracle = links.count_pairs(
+            reference, unknown, mode="kn", backend="oracle"
+        )
+        assert_allclose(
+            engine[0].counts.counts, oracle[0].counts.counts,
+            rtol=1e-4, atol=1.0,
+        )
+
+    def test_kk_counts_match_oracle(self, catalogs, config):
+        reference, unknown, _ = catalogs
+        links = PatchLinkage.from_catalogs(config, reference, unknown)
+        engine = links.count_pairs(
+            reference, unknown, mode="kk", backend="xla"
+        )
+        oracle = links.count_pairs(
+            reference, unknown, mode="kk", backend="oracle"
+        )
+        assert_allclose(
+            engine[0].counts.counts, oracle[0].counts.counts,
+            rtol=1e-4, atol=1.0,
+        )
+
+    def test_kn_weights_are_kappa_times_weights(self, catalogs, config):
+        """The kn mode pair weight on the kappa side is kappa * weight."""
+        reference, unknown, _ = catalogs
+        binning = config.binning.binning
+        tiles_k = reference.get_tiles(binning, mode="k")
+        tiles_n = reference.get_tiles(binning, mode="n")
+        total_k = tiles_k.lane_data[:, 6, :].astype(np.float64).sum()
+        expect = np.sum(
+            reference.kappa * reference.weights, where=np.isin(
+                binning.digitize(reference.redshifts) - 1,
+                np.arange(len(binning)),
+            )
+        )
+        assert_allclose(total_k, expect, rtol=1e-4)
+        assert not np.allclose(
+            tiles_k.lane_data[:, 6, :], tiles_n.lane_data[:, 6, :]
+        )
+
+
+class TestScalarCorrelationFunctions:
+    def test_autocorrelate_scalar(self, catalogs, config):
+        reference, _, _ = catalogs
+        (corr,) = autocorrelate_scalar(config, reference)
+        assert isinstance(corr, ScalarCorrFunc)
+        data = corr.sample()
+        assert np.all(np.isfinite(data.data))
+
+    def test_crosscorrelate_scalar_without_randoms(self, catalogs, config):
+        reference, unknown, _ = catalogs
+        (corr,) = crosscorrelate_scalar(config, reference, unknown)
+        assert corr.dr is not None  # mean-kappa normalisation term
+        data = corr.sample()
+        assert np.all(np.isfinite(data.data))
+
+    def test_crosscorrelate_scalar_with_randoms(self, catalogs, config):
+        reference, unknown, randoms = catalogs
+        (corr,) = crosscorrelate_scalar(
+            config, reference, unknown, unk_rand=randoms
+        )
+        data = corr.sample()
+        assert np.all(np.isfinite(data.data))
+
+    def test_scalar_estimator_name(self, catalogs, config):
+        reference, _, _ = catalogs
+        (corr,) = autocorrelate_scalar(config, reference)
+        assert corr.get_estimator().name == "SC"
+
+    def test_hdf_roundtrip(self, catalogs, config, tmp_path):
+        from yet_another_wizz_tpu.correlation.corrfunc import load_corrfunc
+
+        reference, _, _ = catalogs
+        (corr,) = autocorrelate_scalar(config, reference)
+        corr.to_file(tmp_path / "scalar.hdf")
+        clone = load_corrfunc(tmp_path / "scalar.hdf")
+        assert isinstance(clone, ScalarCorrFunc)
+        assert clone == corr

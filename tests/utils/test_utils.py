@@ -1,0 +1,109 @@
+import io
+import logging
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+from yet_another_wizz_tpu.utils.logging import Indicator, get_logger
+from yet_another_wizz_tpu.utils.misc import (
+    common_len_assert,
+    format_float_fixed_width,
+    format_long_num,
+    format_time,
+    groupby,
+)
+
+
+class TestMisc:
+    def test_groupby(self):
+        keys = np.array([1, 0, 1, 2, 0])
+        values = np.array([10.0, 20.0, 30.0, 40.0, 50.0])
+        groups = dict(groupby(keys, values))
+        assert_allclose(groups[0], [20, 50])
+        assert_allclose(groups[1], [10, 30])
+        assert_allclose(groups[2], [40])
+
+    def test_common_len(self):
+        assert common_len_assert([[1, 2], [3, 4]]) == 2
+        with pytest.raises(ValueError):
+            common_len_assert([[1], [2, 3]])
+
+    def test_fixed_width_float(self):
+        assert format_float_fixed_width(1.2345, 10) == " 1.2345000"
+        assert len(format_float_fixed_width(-0.5, 10)) == 10
+        assert "nan" in format_float_fixed_width(float("nan"), 10)
+
+    def test_long_num(self):
+        assert format_long_num(950) == "950"
+        assert format_long_num(1234.0) == "1.23K"
+        assert format_long_num(2.5e6) == "2.5M"
+
+    def test_format_time(self):
+        assert format_time(0.0) == "0m00.00s"
+        assert format_time(83.5) == "1m23.50s"
+
+
+class TestLogging:
+    def test_get_logger_banner(self):
+        stream = io.StringIO()
+        logger = get_logger(
+            "info", stream=stream, pretty=False, capture_exceptions=False
+        )
+        logger.info("hello world")
+        text = stream.getvalue()
+        assert "yet_another_wizz_tpu v" in text
+        assert "hello world" in text
+        assert "INF" in text
+
+    def test_level_filtering(self):
+        stream = io.StringIO()
+        logger = get_logger(
+            "warning", stream=stream, pretty=False, capture_exceptions=False
+        )
+        logger.info("not shown")
+        logger.warning("shown")
+        assert "not shown" not in stream.getvalue()
+        assert "shown" in stream.getvalue()
+
+    def test_indicator(self):
+        stream = io.StringIO()
+        result = list(Indicator(range(5), stream=stream, min_interval=0))
+        assert result == [0, 1, 2, 3, 4]
+        text = stream.getvalue()
+        assert "processed 5/5 (100%)" in text
+
+
+class TestPlotting:
+    def test_plot_helpers_run(self):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        from yet_another_wizz_tpu.utils import plotting
+
+        x = np.linspace(0, 1, 5)
+        y = np.ones(5)
+        err = 0.1 * np.ones(5)
+        ax = plotting.point_uncertainty(x, y, err)
+        plotting.line_uncertainty(x, y, err, ax=ax)
+        plotting.zero_line(ax=ax)
+        edges = np.linspace(0, 1, 6)
+        plotting.step_uncertainty(edges, y, err, ax=ax)
+        corr = np.eye(4)
+        plotting.correlation_matrix(corr)
+
+    def test_corrdata_plot(self, rng):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        from yet_another_wizz_tpu.binning import Binning
+        from yet_another_wizz_tpu.correlation.corrdata import CorrData
+
+        corr = CorrData(
+            Binning([0.1, 0.3, 0.5]),
+            rng.normal(1, 0.1, 2),
+            rng.normal(1, 0.1, (5, 2)),
+        )
+        for style in ("point", "line", "step"):
+            assert corr.plot(style=style) is not None
+        assert corr.plot_corr() is not None

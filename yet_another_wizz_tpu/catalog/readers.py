@@ -1,0 +1,375 @@
+"""Chunked, out-of-memory readers for catalog input files.
+
+Capability parity with the reference ``yaw.catalog.readers``
+(/root/reference/src/yaw/catalog/readers.py:61-759): iterate FITS / HDF5 /
+Parquet files and dataframes in bounded-memory chunks, select and rename
+columns, convert degrees to radian, draw sparse probe subsamples, and
+dispatch on the file extension (:func:`new_filereader`).
+
+The reference reads FITS through astropy (absent from this environment);
+a minimal pure-numpy FITS binary-table reader is implemented here instead
+(2880-byte header blocks, BINTABLE extensions, big-endian numeric TFORM
+columns) — sufficient for the tabular catalogs this framework consumes.
+"""
+
+from __future__ import annotations
+
+import logging
+from abc import ABC, abstractmethod
+from pathlib import Path
+from typing import TYPE_CHECKING
+
+import numpy as np
+
+from yet_another_wizz_tpu.datachunk import DataChunk
+
+if TYPE_CHECKING:
+    from collections.abc import Iterator
+
+    from numpy.typing import NDArray
+
+__all__ = [
+    "CHUNKSIZE",
+    "DataFrameReader",
+    "FitsReader",
+    "HDFReader",
+    "ParquetReader",
+    "RandomReader",
+    "new_filereader",
+]
+
+logger = logging.getLogger(__name__)
+
+CHUNKSIZE = 16_777_216
+"""Default maximum number of rows per chunk."""
+
+
+class BaseReader(ABC):
+    """Iterate a data source in chunks of structured catalog arrays."""
+
+    def __init__(
+        self,
+        *,
+        ra_name: str,
+        dec_name: str,
+        weight_name: str | None = None,
+        redshift_name: str | None = None,
+        kappa_name: str | None = None,
+        patch_name: str | None = None,
+        chunksize: int | None = None,
+        degrees: bool = True,
+        **_ignored,
+    ) -> None:
+        self.columns = {
+            "ra": ra_name,
+            "dec": dec_name,
+            "weights": weight_name,
+            "redshifts": redshift_name,
+            "kappa": kappa_name,
+            "patch_ids": patch_name,
+        }
+        self.chunksize = int(chunksize or CHUNKSIZE)
+        self.degrees = degrees
+        self._num_records = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *args) -> None:
+        self.close()
+
+    def close(self) -> None:
+        """Release any open file handles."""
+
+    @property
+    def num_records(self) -> int:
+        """Total number of rows in the source."""
+        return self._num_records
+
+    @property
+    def num_chunks(self) -> int:
+        """Number of chunks the source splits into."""
+        return -(-self.num_records // self.chunksize)
+
+    def __repr__(self) -> str:
+        return (
+            f"{type(self).__name__}(num_records={self._num_records}, "
+            f"num_chunks={self.num_chunks})"
+        )
+
+    @abstractmethod
+    def _load_range(self, start: int, stop: int) -> dict[str, NDArray]:
+        """Load the raw named columns for a row range."""
+
+    def _to_chunk(self, raw: dict[str, NDArray]) -> NDArray:
+        kwargs = {}
+        for attr, name in self.columns.items():
+            if name is not None:
+                kwargs[attr] = raw[attr]
+        ra = kwargs.pop("ra")
+        dec = kwargs.pop("dec")
+        return DataChunk.create(ra, dec, degrees=self.degrees, **kwargs)
+
+    def __iter__(self) -> Iterator[NDArray]:
+        for start in range(0, self.num_records, self.chunksize):
+            stop = min(start + self.chunksize, self.num_records)
+            yield self._to_chunk(self._load_range(start, stop))
+
+    def get_probe(self, probe_size: int) -> NDArray:
+        """A sparse, approximately uniform subsample of ``probe_size`` rows
+        (used to bound the patch-center generation cost)."""
+        if probe_size >= self.num_records:
+            chunks = list(self)
+            return np.concatenate(chunks)
+        stride = self.num_records / probe_size
+        rows = (np.arange(probe_size) * stride).astype(np.int64)
+        parts = []
+        for start in range(0, self.num_records, self.chunksize):
+            stop = min(start + self.chunksize, self.num_records)
+            local = rows[(rows >= start) & (rows < stop)] - start
+            if len(local) == 0:
+                continue
+            raw = self._load_range(start, stop)
+            parts.append(
+                self._to_chunk(
+                    {k: np.asarray(v)[local] for k, v in raw.items()}
+                )
+            )
+        return np.concatenate(parts)
+
+
+class DataFrameReader(BaseReader):
+    """Chunked reader over an in-memory (pandas-like) dataframe."""
+
+    def __init__(self, dataframe, **kwargs) -> None:
+        super().__init__(**kwargs)
+        self._frame = dataframe
+        self._num_records = len(dataframe)
+
+    def _load_range(self, start, stop):
+        view = self._frame.iloc[start:stop]
+        return {
+            attr: np.asarray(view[name])
+            for attr, name in self.columns.items()
+            if name is not None
+        }
+
+
+class RandomReader(BaseReader):
+    """Chunked sampling of a random point generator (duck-typed: a callable
+    producing structured chunks, see :mod:`yet_another_wizz_tpu.randoms`)."""
+
+    def __init__(self, generator, num_randoms: int, **kwargs) -> None:
+        kwargs.setdefault("ra_name", "ra")
+        kwargs.setdefault("dec_name", "dec")
+        kwargs.setdefault("degrees", False)
+        super().__init__(**kwargs)
+        self._generator = generator
+        self._num_records = int(num_randoms)
+
+    def _load_range(self, start, stop):
+        chunk = self._generator(stop - start)
+        raw = {"ra": chunk["ra"], "dec": chunk["dec"]}
+        for attr in ("weights", "redshifts"):
+            value = DataChunk.getattr(chunk, attr)
+            if value is not None:
+                raw[attr] = value
+        return raw
+
+    def _to_chunk(self, raw):
+        return DataChunk.create(
+            raw.pop("ra"), raw.pop("dec"), degrees=False, **raw
+        )
+
+
+class ParquetReader(BaseReader):
+    """Chunked Parquet reader (row-group aware, via pyarrow)."""
+
+    def __init__(self, path: Path | str, **kwargs) -> None:
+        import pyarrow.parquet as pq
+
+        super().__init__(**kwargs)
+        self.path = Path(path)
+        self._file = pq.ParquetFile(self.path)
+        self._num_records = self._file.metadata.num_rows
+        # prefix sums of row-group sizes for range slicing
+        sizes = [
+            self._file.metadata.row_group(i).num_rows
+            for i in range(self._file.num_row_groups)
+        ]
+        self._rg_offsets = np.concatenate([[0], np.cumsum(sizes)])
+
+    def close(self) -> None:
+        self._file.close()
+
+    def _load_range(self, start, stop):
+        first = int(np.searchsorted(self._rg_offsets, start, "right")) - 1
+        last = int(np.searchsorted(self._rg_offsets, stop, "left"))
+        names = [n for n in self.columns.values() if n is not None]
+        table = self._file.read_row_groups(
+            list(range(first, last)), columns=names
+        )
+        offset = start - self._rg_offsets[first]
+        table = table.slice(offset, stop - start)
+        return {
+            attr: np.asarray(table[name])
+            for attr, name in self.columns.items()
+            if name is not None
+        }
+
+
+class HDFReader(BaseReader):
+    """Chunked HDF5 reader (one dataset per column, via h5py)."""
+
+    def __init__(self, path: Path | str, **kwargs) -> None:
+        import h5py
+
+        super().__init__(**kwargs)
+        self.path = Path(path)
+        self._file = h5py.File(self.path, mode="r")
+        lengths = {
+            len(self._file[name])
+            for name in self.columns.values()
+            if name is not None
+        }
+        if len(lengths) != 1:
+            raise ValueError("columns do not have equal length")
+        (self._num_records,) = lengths
+
+    def close(self) -> None:
+        self._file.close()
+
+    def _load_range(self, start, stop):
+        return {
+            attr: self._file[name][start:stop]
+            for attr, name in self.columns.items()
+            if name is not None
+        }
+
+
+class FitsReader(BaseReader):
+    """Chunked FITS binary-table reader, implemented in pure numpy.
+
+    Parses the primary header and extension headers (2880-byte blocks of
+    80-character cards), locates the first BINTABLE extension, and maps
+    fixed-width big-endian numeric columns (TFORM L/B/I/J/K/E/D including
+    repeat counts) onto a numpy structured dtype read with ``np.memmap``.
+    """
+
+    _TFORM_DTYPES = {
+        "L": "u1", "B": "u1", "I": ">i2", "J": ">i4", "K": ">i8",
+        "E": ">f4", "D": ">f8",
+    }
+
+    def __init__(self, path: Path | str, *, hdu: int = 1, **kwargs) -> None:
+        super().__init__(**kwargs)
+        self.path = Path(path)
+        header, data_offset = self._find_table_hdu(hdu)
+        self._dtype, self._num_records = self._parse_table_header(header)
+        self._offset = data_offset
+
+    def _read_header_blocks(self, f) -> dict:
+        """Read one header (sequence of 2880-byte blocks up to END)."""
+        cards = {}
+        while True:
+            block = f.read(2880)
+            if len(block) < 2880:
+                raise ValueError("truncated FITS header")
+            for i in range(0, 2880, 80):
+                card = block[i : i + 80].decode("ascii", errors="replace")
+                key = card[:8].strip()
+                if key == "END":
+                    return cards
+                if "=" not in card[8:10]:
+                    continue
+                value = card[10:].split("/")[0].strip()
+                if value.startswith("'"):
+                    value = value.strip("'").strip()
+                cards[key] = value
+
+    def _find_table_hdu(self, hdu_index: int):
+        with self.path.open("rb") as f:
+            if f.read(6) != b"SIMPLE":
+                raise ValueError(f"not a FITS file: {self.path}")
+            f.seek(0)
+            index = 0
+            while True:
+                cards = self._read_header_blocks(f)
+                # size of the data unit that follows
+                bitpix = abs(int(cards.get("BITPIX", 8)))
+                naxis = int(cards.get("NAXIS", 0))
+                size = 1 if naxis else 0
+                for ax in range(1, naxis + 1):
+                    size *= int(cards.get(f"NAXIS{ax}", 0))
+                nbytes = bitpix // 8 * size * int(cards.get("GCOUNT", 1))
+                nbytes += int(cards.get("PCOUNT", 0))
+                data_start = f.tell()
+                if index == hdu_index:
+                    if cards.get("XTENSION", "") not in ("BINTABLE", "TABLE"):
+                        raise ValueError(
+                            f"HDU {hdu_index} is not a binary table"
+                        )
+                    return cards, data_start
+                f.seek(data_start + -(-nbytes // 2880) * 2880)
+                index += 1
+
+    def _parse_table_header(self, cards: dict):
+        num_fields = int(cards["TFIELDS"])
+        num_rows = int(cards["NAXIS2"])
+        row_bytes = int(cards["NAXIS1"])
+        fields = []
+        for i in range(1, num_fields + 1):
+            name = cards.get(f"TTYPE{i}", f"col{i}")
+            tform = cards[f"TFORM{i}"].strip()
+            repeat = int(tform[:-1]) if tform[:-1] else 1
+            code = tform[-1]
+            if code == "A":
+                fields.append((name, f"S{repeat}"))
+                continue
+            if code not in self._TFORM_DTYPES:
+                raise ValueError(f"unsupported FITS column format '{tform}'")
+            base = self._TFORM_DTYPES[code]
+            fields.append((name, base, (repeat,)) if repeat > 1 else (name, base))
+        dtype = np.dtype(fields)
+        if dtype.itemsize != row_bytes:
+            raise ValueError(
+                "FITS table row size mismatch "
+                f"({dtype.itemsize} != {row_bytes})"
+            )
+        return dtype, num_rows
+
+    def _load_range(self, start, stop):
+        rows = np.fromfile(
+            self.path,
+            dtype=self._dtype,
+            count=stop - start,
+            offset=self._offset + start * self._dtype.itemsize,
+        )
+        return {
+            attr: rows[name].astype(np.float64)
+            for attr, name in self.columns.items()
+            if name is not None
+        }
+
+
+_READERS = {
+    ".fits": FitsReader,
+    ".fit": FitsReader,
+    ".cat": FitsReader,
+    ".hdf5": HDFReader,
+    ".hdf": HDFReader,
+    ".h5": HDFReader,
+    ".pqt": ParquetReader,
+    ".parquet": ParquetReader,
+}
+
+
+def new_filereader(path: Path | str, **kwargs) -> BaseReader:
+    """Create the appropriate reader for a file, dispatching on the
+    extension (FITS / HDF5 / Parquet)."""
+    ext = Path(path).suffix.lower()
+    try:
+        reader_cls = _READERS[ext]
+    except KeyError:
+        raise ValueError(f"unrecognized file extension '{ext}'") from None
+    return reader_cls(path, **kwargs)
