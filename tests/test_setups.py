@@ -1,0 +1,240 @@
+"""Pipeline/CLI integration tests: a matrix of invalid setups asserting the
+exact configuration errors, plus end-to-end runs of valid setups.
+
+Mirrors the reference test strategy
+(/root/reference/tests/test_setups.py:47-168).
+"""
+
+import numpy as np
+import pytest
+
+from yet_another_wizz_tpu.cli.config import ProjectConfig
+from yet_another_wizz_tpu.cli.pipeline import run_setup
+from yet_another_wizz_tpu.config import ConfigError
+from yet_another_wizz_tpu.examples import generate_mock_data
+
+
+@pytest.fixture(scope="module")
+def data_files(tmp_path_factory):
+    """Mock catalogs written as parquet files."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = tmp_path_factory.mktemp("data")
+    mock = generate_mock_data(
+        num_reference=2500, num_unknown=4000, num_randoms=8000, seed=42
+    )
+
+    paths = {}
+    for name, sample in mock.items():
+        table = pa.table(
+            dict(
+                ra=np.rad2deg(sample["ra"]),
+                dec=np.rad2deg(sample["dec"]),
+                z=sample["redshifts"],
+                wei=sample["weights"],
+            )
+        )
+        paths[name] = str(root / f"{name}.pqt")
+        pq.write_table(table, paths[name])
+    return paths
+
+
+def base_setup(paths, tasks):
+    return dict(
+        correlation=dict(
+            scales=dict(rmin=500, rmax=3000, unit="kpc"),
+            binning=dict(zmin=0.15, zmax=1.0, num_bins=4),
+        ),
+        inputs=dict(
+            reference=dict(
+                path_data=paths["reference"],
+                path_rand=paths["randoms"],
+                ra="ra", dec="dec", redshift="z", weight="wei",
+            ),
+            unknown=dict(
+                path_data={1: paths["unknown"]},
+                path_rand={1: paths["randoms"]},
+                ra="ra", dec="dec", redshift="z", weight="wei",
+            ),
+            num_patches=4,
+        ),
+        tasks=tasks,
+    )
+
+
+def run(tmp_path, setup, **kwargs):
+    import yaml
+
+    setup_path = tmp_path / "setup.yml"
+    with setup_path.open("w") as f:
+        yaml.safe_dump(setup, f)
+    kwargs.setdefault("quiet", True)
+    return run_setup(tmp_path / "project", setup_path, **kwargs)
+
+
+class TestInvalidSetups:
+    def test_missing_scales(self, data_files, tmp_path):
+        setup = base_setup(data_files, ["cross_corr"])
+        del setup["correlation"]["scales"]
+        with pytest.raises(ConfigError, match="scales"):
+            run(tmp_path, setup)
+
+    def test_missing_binning(self, data_files, tmp_path):
+        setup = base_setup(data_files, ["cross_corr"])
+        del setup["correlation"]["binning"]
+        with pytest.raises(ConfigError, match="binning"):
+            run(tmp_path, setup)
+
+    def test_extra_key_rejected(self, data_files, tmp_path):
+        setup = base_setup(data_files, ["cross_corr"])
+        setup["correlation"]["scales"]["spam"] = 1
+        with pytest.raises(ConfigError, match="scales"):
+            run(tmp_path, setup)
+
+    def test_unknown_task(self, data_files, tmp_path):
+        setup = base_setup(data_files, ["correlate_everything"])
+        with pytest.raises(ConfigError, match="unknown task"):
+            run(tmp_path, setup)
+
+    def test_no_tasks(self, data_files, tmp_path):
+        setup = base_setup(data_files, [])
+        with pytest.raises(ConfigError, match="task"):
+            run(tmp_path, setup)
+
+    def test_auto_ref_without_randoms(self, data_files, tmp_path):
+        setup = base_setup(data_files, ["auto_ref"])
+        del setup["inputs"]["reference"]["path_rand"]
+        with pytest.raises(ConfigError, match="path_rand"):
+            run(tmp_path, setup)
+
+    def test_cross_without_any_randoms(self, data_files, tmp_path):
+        setup = base_setup(data_files, ["cross_corr"])
+        del setup["inputs"]["reference"]["path_rand"]
+        del setup["inputs"]["unknown"]["path_rand"]
+        with pytest.raises(ConfigError, match="randoms"):
+            run(tmp_path, setup)
+
+    def test_hist_without_redshifts(self, data_files, tmp_path):
+        setup = base_setup(data_files, ["hist"])
+        del setup["inputs"]["unknown"]["redshift"]
+        with pytest.raises(ConfigError, match="redshift"):
+            run(tmp_path, setup)
+
+    def test_reference_missing_redshift(self, data_files, tmp_path):
+        setup = base_setup(data_files, ["cross_corr"])
+        del setup["inputs"]["reference"]["redshift"]
+        with pytest.raises(ConfigError, match="redshift"):
+            run(tmp_path, setup)
+
+    def test_mismatched_tomographic_rand_bins(self, data_files, tmp_path):
+        setup = base_setup(data_files, ["cross_corr"])
+        setup["inputs"]["unknown"]["path_rand"] = {2: data_files["randoms"]}
+        with pytest.raises(ConfigError, match="bin indices"):
+            run(tmp_path, setup)
+
+    def test_missing_input_file(self, data_files, tmp_path):
+        setup = base_setup(data_files, ["cross_corr"])
+        setup["inputs"]["reference"]["path_data"] = "/does/not/exist.pqt"
+        with pytest.raises(FileNotFoundError):
+            run(tmp_path, setup)
+
+    def test_reference_without_unknown_for_cross(self, data_files, tmp_path):
+        setup = base_setup(data_files, ["cross_corr"])
+        del setup["inputs"]["unknown"]
+        with pytest.raises(ConfigError, match="unknown"):
+            run(tmp_path, setup)
+
+
+@pytest.mark.slow
+class TestValidSetups:
+    def test_only_wsp(self, data_files, tmp_path):
+        pipeline = run(
+            tmp_path, base_setup(data_files, ["cross_corr", "estimate"])
+        )
+        project = pipeline.project
+        assert project.paircounts.cross[1].exists()
+        assert project.estimate.nz_est[1].exists()
+        assert not project.paircounts.auto_ref.exists()
+
+    def test_full_pipeline_with_plots(self, data_files, tmp_path):
+        tasks = ["auto_ref", "auto_unk", "cross_corr", "estimate", "hist", "plot"]
+        pipeline = run(tmp_path, base_setup(data_files, tasks))
+        project = pipeline.project
+        assert project.paircounts.auto_ref.exists()
+        assert project.paircounts.auto_unk[1].exists()
+        assert project.estimate.nz_est[1].exists()
+        assert project.true.nz_true[1].exists()
+        assert (project.plot_path / "nz_estimate.png").exists()
+
+    def test_only_hist(self, data_files, tmp_path):
+        pipeline = run(tmp_path, base_setup(data_files, ["hist"]))
+        assert pipeline.project.true.nz_true[1].exists()
+
+    def test_resume_skips_completed(self, data_files, tmp_path):
+        setup = base_setup(data_files, ["cross_corr", "estimate"])
+        run(tmp_path, setup)
+        resumed = run_setup(
+            tmp_path / "project", resume=True, quiet=True
+        )
+        assert len(resumed.tasks) == 0
+
+    def test_lockfile_released(self, data_files, tmp_path):
+        pipeline = run(tmp_path, base_setup(data_files, ["hist"]))
+        assert not pipeline.project.lock_path.exists()
+
+    def test_drop_cache(self, data_files, tmp_path):
+        pipeline = run(
+            tmp_path, base_setup(data_files, ["hist"]), drop=True
+        )
+        assert not (pipeline.project.path / "cache" / "unknown_1").exists()
+
+
+@pytest.mark.slow
+class TestGoldenRegression:
+    def test_pipeline_matches_direct_api(self, data_files, tmp_path):
+        """The pipeline result must equal a direct API computation on the
+        same inputs (the reference's golden-output gate,
+        /root/reference/tests/test_setups.py:149-168)."""
+        from numpy.testing import assert_array_almost_equal
+
+        from yet_another_wizz_tpu import Catalog, Configuration
+        from yet_another_wizz_tpu.correlation.measurements import (
+            autocorrelate,
+            crosscorrelate,
+        )
+        from yet_another_wizz_tpu.redshifts import RedshiftData
+
+        tasks = ["auto_ref", "cross_corr", "estimate"]
+        setup = base_setup(data_files, tasks)
+        # no unknown randoms: the direct computation below uses RD only
+        del setup["inputs"]["unknown"]["path_rand"]
+        pipeline = run(tmp_path, setup)
+        nz_pipeline = pipeline.project.estimate.nz_est[1].load()
+
+        config = Configuration.create(
+            rmin=500, rmax=3000, unit="kpc", zmin=0.15, zmax=1.0, num_bins=4
+        )
+        kwargs = dict(ra_name="ra", dec_name="dec", redshift_name="z",
+                      weight_name="wei")
+        # pipeline derives shared centers from the first cached catalog
+        # (the reference randoms); reuse them for parity
+        centers = pipeline.project.cache.get_patch_centers()
+        reference = Catalog.from_file(
+            None, data_files["reference"], **kwargs, patch_centers=centers
+        )
+        randoms = Catalog.from_file(
+            None, data_files["randoms"], **kwargs, patch_centers=centers
+        )
+        unknown = Catalog.from_file(
+            None, data_files["unknown"], **kwargs, patch_centers=centers
+        )
+
+        (w_sp,) = crosscorrelate(
+            config, reference, unknown, ref_rand=randoms, unk_rand=None
+        )
+        (w_ss,) = autocorrelate(config, reference, randoms)
+        nz_direct = RedshiftData.from_corrfuncs(w_sp, w_ss)
+
+        assert_array_almost_equal(nz_pipeline.data, nz_direct.data)
+        assert_array_almost_equal(nz_pipeline.samples, nz_direct.samples)

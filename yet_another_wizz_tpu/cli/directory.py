@@ -1,0 +1,305 @@
+"""Project directory layout and typed file handles.
+
+Capability parity with the reference ``yaw.cli.directory`` and
+``yaw.cli.handles`` (/root/reference/src/yaw/cli/directory.py:66-416,
+handles.py:22-241)::
+
+    [project]/
+        pipeline.yml        # the project setup
+        pipeline.log        # file log of all pipeline runs
+        .tasklock           # guards against concurrent runs
+        cache/
+            patch_centers.npy
+            reference/{data,rand}/     # catalog caches
+            unknown_{i}/{data,rand}/
+        paircounts/{auto_ref.hdf, auto_unk_{i}.hdf, cross_{i}.hdf}
+        estimate/{auto_ref, auto_unk_{i}, cross_{i}, nz_est_{i}}.{dat,smp,cov}
+        true/nz_true_{i}.{dat,smp,cov}
+        plots/*.png
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import TYPE_CHECKING, Generic, TypeVar
+
+import numpy as np
+
+from yet_another_wizz_tpu.coordinates import AngularCoordinates
+
+if TYPE_CHECKING:
+    from collections.abc import Iterator
+
+T = TypeVar("T")
+
+__all__ = [
+    "CacheHandle",
+    "CorrDataHandle",
+    "CorrFuncHandle",
+    "HistDataHandle",
+    "ProjectDirectory",
+    "RedshiftDataHandle",
+    "TomographyWrapper",
+]
+
+
+class Handle:
+    """A typed path with existence check and load/save hooks."""
+
+    def __init__(self, path: Path | str) -> None:
+        self.path = Path(path)
+
+    def __repr__(self) -> str:
+        return f"{type(self).__name__}({self.path})"
+
+    def exists(self) -> bool:
+        return self.path.exists()
+
+
+class CacheHandle(Handle):
+    """Cache directories of one data/random catalog pair."""
+
+    @property
+    def data(self) -> Handle:
+        return Handle(self.path / "data")
+
+    @property
+    def rand(self) -> Handle:
+        return Handle(self.path / "rand")
+
+    def exists(self) -> bool:
+        return self.data.path.exists()
+
+    def load_data(self):
+        from yet_another_wizz_tpu.catalog import Catalog
+
+        return Catalog(self.data.path)
+
+    def load_rand(self):
+        from yet_another_wizz_tpu.catalog import Catalog
+
+        if not self.rand.path.exists():
+            return None
+        return Catalog(self.rand.path)
+
+
+class CorrFuncHandle(Handle):
+    """Pair counts stored as HDF5."""
+
+    def load(self):
+        from yet_another_wizz_tpu.correlation import load_corrfunc
+
+        return load_corrfunc(self.path)
+
+    def save(self, corrfunc) -> None:
+        corrfunc.to_file(self.path)
+
+
+class CorrDataHandle(Handle):
+    """Sampled correlation data stored as the ASCII file triple."""
+
+    def exists(self) -> bool:
+        return self.path.with_suffix(".dat").exists()
+
+    def load(self):
+        from yet_another_wizz_tpu.correlation import CorrData
+
+        return CorrData.from_files(self.path)
+
+    def save(self, corrdata) -> None:
+        corrdata.to_files(self.path)
+
+
+class RedshiftDataHandle(CorrDataHandle):
+    def load(self):
+        from yet_another_wizz_tpu.redshifts import RedshiftData
+
+        return RedshiftData.from_files(self.path)
+
+
+class HistDataHandle(CorrDataHandle):
+    def load(self):
+        from yet_another_wizz_tpu.redshifts import HistData
+
+        return HistData.from_files(self.path)
+
+
+class TomographyWrapper(Generic[T]):
+    """Maps tomographic bin indices onto handles; the path template
+    contains a ``?`` placeholder for the bin index."""
+
+    def __init__(
+        self, handle_cls: type[T], template: Path | str, indices
+    ) -> None:
+        self.handle_cls = handle_cls
+        self.template = str(template)
+        self.indices = tuple(indices)
+
+    def __getitem__(self, index: int) -> T:
+        if index not in self.indices:
+            raise KeyError(f"invalid bin index: {index}")
+        return self.handle_cls(self.template.replace("?", str(index)))
+
+    def __iter__(self) -> Iterator[T]:
+        for index in self.indices:
+            yield self[index]
+
+    def items(self):
+        for index in self.indices:
+            yield index, self[index]
+
+    def __len__(self) -> int:
+        return len(self.indices)
+
+    def exists(self) -> bool:
+        return all(handle.exists() for handle in self)
+
+
+class _Subdirectory:
+    def __init__(self, path: Path, indices) -> None:
+        self.path = path
+        self.indices = tuple(indices)
+        self.path.mkdir(parents=True, exist_ok=True)
+
+
+class CacheDirectory(_Subdirectory):
+    """Catalog caches plus the shared patch centers."""
+
+    @property
+    def patch_center_file(self) -> Path:
+        return self.path / "patch_centers.npy"
+
+    @property
+    def reference(self) -> CacheHandle:
+        return CacheHandle(self.path / "reference")
+
+    @property
+    def unknown(self) -> TomographyWrapper[CacheHandle]:
+        return TomographyWrapper(
+            CacheHandle, self.path / "unknown_?", self.indices
+        )
+
+    def get_patch_centers(self) -> AngularCoordinates | None:
+        """Shared patch centers (None until the first catalog is cached)."""
+        if not self.patch_center_file.exists():
+            return None
+        return AngularCoordinates(np.load(self.patch_center_file))
+
+    def set_patch_centers(self, centers: AngularCoordinates) -> None:
+        """Store the shared patch centers; they may only be written once."""
+        if self.patch_center_file.exists():
+            raise RuntimeError(
+                "overwriting existing patch centers not permitted"
+            )
+        np.save(self.patch_center_file, centers.data)
+
+
+class PaircountsDirectory(_Subdirectory):
+    @property
+    def auto_ref(self) -> CorrFuncHandle:
+        return CorrFuncHandle(self.path / "auto_ref.hdf")
+
+    @property
+    def auto_unk(self) -> TomographyWrapper[CorrFuncHandle]:
+        return TomographyWrapper(
+            CorrFuncHandle, self.path / "auto_unk_?.hdf", self.indices
+        )
+
+    @property
+    def cross(self) -> TomographyWrapper[CorrFuncHandle]:
+        return TomographyWrapper(
+            CorrFuncHandle, self.path / "cross_?.hdf", self.indices
+        )
+
+
+class EstimateDirectory(_Subdirectory):
+    @property
+    def auto_ref(self) -> CorrDataHandle:
+        return CorrDataHandle(self.path / "auto_ref")
+
+    @property
+    def auto_unk(self) -> TomographyWrapper[CorrDataHandle]:
+        return TomographyWrapper(
+            CorrDataHandle, self.path / "auto_unk_?", self.indices
+        )
+
+    @property
+    def cross(self) -> TomographyWrapper[CorrDataHandle]:
+        return TomographyWrapper(
+            CorrDataHandle, self.path / "cross_?", self.indices
+        )
+
+    @property
+    def nz_est(self) -> TomographyWrapper[RedshiftDataHandle]:
+        return TomographyWrapper(
+            RedshiftDataHandle, self.path / "nz_est_?", self.indices
+        )
+
+
+class TrueDirectory(_Subdirectory):
+    @property
+    def nz_true(self) -> TomographyWrapper[HistDataHandle]:
+        return TomographyWrapper(
+            HistDataHandle, self.path / "nz_true_?", self.indices
+        )
+
+
+class ProjectDirectory:
+    """The root project directory with its subdirectory accessors."""
+
+    def __init__(self, path: Path | str, bin_indices) -> None:
+        self.path = Path(path)
+        self.indices = tuple(bin_indices)
+        self.path.mkdir(parents=True, exist_ok=True)
+        self.indices_file.write_text(
+            ",".join(str(i) for i in self.indices)
+        )
+
+    @classmethod
+    def open(cls, path: Path | str) -> ProjectDirectory:
+        """Reopen an existing project, restoring the bin indices."""
+        path = Path(path)
+        indices_file = path / ".project_info"
+        if not indices_file.exists():
+            raise FileNotFoundError(f"not a project directory: {path}")
+        text = indices_file.read_text().strip()
+        indices = [int(i) for i in text.split(",")] if text else []
+        return cls(path, indices)
+
+    @property
+    def indices_file(self) -> Path:
+        return self.path / ".project_info"
+
+    @property
+    def config_path(self) -> Path:
+        return self.path / "pipeline.yml"
+
+    @property
+    def log_path(self) -> Path:
+        return self.path / "pipeline.log"
+
+    @property
+    def lock_path(self) -> Path:
+        return self.path / ".tasklock"
+
+    @property
+    def cache(self) -> CacheDirectory:
+        return CacheDirectory(self.path / "cache", self.indices)
+
+    @property
+    def paircounts(self) -> PaircountsDirectory:
+        return PaircountsDirectory(self.path / "paircounts", self.indices)
+
+    @property
+    def estimate(self) -> EstimateDirectory:
+        return EstimateDirectory(self.path / "estimate", self.indices)
+
+    @property
+    def true(self) -> TrueDirectory:
+        return TrueDirectory(self.path / "true", self.indices)
+
+    @property
+    def plot_path(self) -> Path:
+        path = self.path / "plots"
+        path.mkdir(exist_ok=True)
+        return path

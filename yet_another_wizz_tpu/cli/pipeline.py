@@ -1,0 +1,194 @@
+"""Pipeline orchestration: lock file, setup handling and the run loop.
+
+Capability parity with the reference ``yaw.cli.pipeline``
+(/root/reference/src/yaw/cli/pipeline.py:28-422): a lock file detecting
+crashed or concurrent runs, setup reading/writing into the project
+directory, optional external cache location (symlinked), and the
+task-queue run loop with per-task timing.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from pathlib import Path
+from timeit import default_timer
+from typing import TYPE_CHECKING
+
+from yet_another_wizz_tpu.cli.config import ProjectConfig
+from yet_another_wizz_tpu.cli.directory import ProjectDirectory
+from yet_another_wizz_tpu.cli.tasks import TaskList
+from yet_another_wizz_tpu.utils.logging import (
+    get_logger,
+    init_file_logging,
+)
+from yet_another_wizz_tpu.utils.misc import format_time
+
+if TYPE_CHECKING:
+    from typing_extensions import Self
+
+__all__ = [
+    "LockFile",
+    "Pipeline",
+    "run_setup",
+]
+
+logger = logging.getLogger(__name__)
+
+
+class LockFile:
+    """Guards a project against concurrent or resumed-after-crash runs."""
+
+    def __init__(self, path: Path | str) -> None:
+        self.path = Path(path)
+
+    def acquire(self, content: str = "") -> None:
+        if self.path.exists():
+            raise RuntimeError(
+                f"a pipeline run appears to be in progress (or crashed); "
+                f"remove the lock file to continue: {self.path}"
+            )
+        self.path.write_text(f"{os.getpid()}:{content}")
+
+    def update(self, content: str) -> None:
+        self.path.write_text(f"{os.getpid()}:{content}")
+
+    def release(self) -> None:
+        self.path.unlink(missing_ok=True)
+
+
+class Pipeline:
+    """A configured project with its scheduled task queue."""
+
+    def __init__(
+        self,
+        project: ProjectDirectory,
+        config: ProjectConfig,
+        tasks: TaskList,
+        *,
+        progress: bool = False,
+    ) -> None:
+        self.project = project
+        self.config = config
+        self.tasks = tasks
+        self.progress = progress
+
+    @classmethod
+    def create(
+        cls: type[Self],
+        wdir: Path | str,
+        setup_file: Path | str | None = None,
+        *,
+        cache_path: Path | str | None = None,
+        overwrite: bool = False,
+        resume: bool = False,
+        progress: bool = False,
+        max_workers: int | None = None,
+    ) -> Self:
+        """Create or reopen a project from a setup file.
+
+        A new project copies the setup into ``pipeline.yml``; reopening
+        without a setup file reuses the stored one.
+        """
+        wdir = Path(wdir)
+        config_path = wdir / "pipeline.yml"
+
+        if setup_file is None:
+            if not config_path.exists():
+                raise FileNotFoundError(
+                    f"no setup found in project: {config_path}"
+                )
+            setup_file = config_path
+        config = ProjectConfig.from_file(setup_file)
+
+        if wdir.exists() and any(wdir.iterdir()) and not (
+            overwrite or resume or config_path.exists()
+        ):
+            raise FileExistsError(f"project directory not empty: {wdir}")
+        if overwrite and wdir.exists():
+            import shutil
+
+            shutil.rmtree(wdir)
+
+        indices = config.bin_indices
+        project = ProjectDirectory(wdir, indices)
+        config.to_file(project.config_path)
+        init_file_logging(project.log_path)
+
+        if cache_path is not None or config.inputs.cache_path is not None:
+            external = Path(cache_path or config.inputs.cache_path)
+            internal = project.path / "cache"
+            if not internal.exists():
+                external.mkdir(parents=True, exist_ok=True)
+                internal.symlink_to(external.resolve())
+
+        tasks = TaskList(
+            project, config,
+            progress=progress, max_workers=max_workers, resume=resume,
+        )
+        return cls(project, config, tasks, progress=progress)
+
+    def run(self) -> None:
+        """Execute the scheduled tasks in order, guarded by the lock."""
+        lock = LockFile(self.project.lock_path)
+        lock.acquire("starting")
+        try:
+            logger.info("running %d task(s)", len(self.tasks))
+            for task in self.tasks:
+                lock.update(task.name)
+                logger.info("running task '%s'", task.name)
+                start = default_timer()
+                task.run()
+                logger.info(
+                    "task '%s' finished after %s",
+                    task.name,
+                    format_time(default_timer() - start),
+                )
+        finally:
+            lock.release()
+
+    def drop_cache(self) -> None:
+        """Remove the cached catalogs (the reference's ``--drop`` flag)."""
+        import shutil
+
+        cache = self.project.path / "cache"
+        if cache.is_symlink():
+            shutil.rmtree(cache.resolve())
+            cache.unlink()
+        elif cache.exists():
+            shutil.rmtree(cache)
+        logger.info("dropped cached catalogs")
+
+
+def run_setup(
+    wdir: Path | str,
+    setup_file: Path | str | None = None,
+    *,
+    cache_path: Path | str | None = None,
+    workers: int | None = None,
+    drop: bool = False,
+    overwrite: bool = False,
+    resume: bool = False,
+    progress: bool = False,
+    verbose: int = 0,
+    quiet: bool = False,
+) -> Pipeline:
+    """Create and run a full pipeline from a YAML setup (the programmatic
+    equivalent of the command-line tool)."""
+    if not quiet:
+        level = {0: "info", 1: "debug"}.get(min(verbose, 1), "debug")
+        get_logger(level, capture_exceptions=False)
+
+    pipeline = Pipeline.create(
+        wdir,
+        setup_file,
+        cache_path=cache_path,
+        overwrite=overwrite,
+        resume=resume,
+        progress=progress,
+        max_workers=workers,
+    )
+    pipeline.run()
+    if drop:
+        pipeline.drop_cache()
+    return pipeline

@@ -40,7 +40,7 @@ class ConfigError(Exception):
     def __init__(self, msg: str, attr: str = "") -> None:
         self.msg = msg
         self.attr = attr
-        super().__init__(msg)
+        super().__init__(f"{attr}: {msg}" if attr else msg)
 
     def add_level(self, level: str) -> ConfigError:
         """Prefix a section name onto the attribute path."""
