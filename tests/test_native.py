@@ -1,0 +1,80 @@
+"""Native C++ tile-packing kernels against their numpy fallbacks."""
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+from yet_another_wizz_tpu import _native
+from yet_another_wizz_tpu.ops import tiles as tiles_mod
+
+pytestmark = pytest.mark.skipif(
+    not _native.NATIVE_ENABLED, reason="native library unavailable"
+)
+
+
+@pytest.fixture
+def points(rng):
+    n = 5000
+    xyz = rng.normal(size=(n, 3))
+    xyz /= np.linalg.norm(xyz, axis=1, keepdims=True)
+    return xyz
+
+
+class TestNativeKernels:
+    def test_morton_matches_numpy(self, points):
+        native = _native.morton_codes(points, 10)
+        quantised = np.clip(
+            ((points + 1.0) * 512).astype(np.int64), 0, 1023
+        )
+        codes = np.zeros(len(points), dtype=np.int64)
+        for bit in range(10):
+            for dim in range(3):
+                codes |= ((quantised[:, dim] >> bit) & 1) << (3 * bit + dim)
+        assert np.array_equal(native, codes)
+
+    def test_pack_matches_numpy(self, points, rng):
+        n = len(points)
+        weights = rng.uniform(0.5, 2, n)
+        zbins = rng.integers(0, 5, n).astype(np.float64)
+        tile_size = 64
+        num_tiles = -(-n // tile_size) + 2
+        dest = rng.permutation(num_tiles * tile_size)[:n].astype(np.int64)
+
+        native = _native.pack_tiles(
+            points, weights, zbins, dest, num_tiles, tile_size
+        )
+        fallback = tiles_mod._pack_numpy(
+            points, weights, zbins, dest, num_tiles, tile_size
+        )
+        assert np.array_equal(native, fallback)
+
+    def test_caps_match_numpy(self, points, rng):
+        n = len(points)
+        tile_size = 64
+        num_tiles = -(-n // tile_size)
+        dest = np.arange(n, dtype=np.int64)
+
+        nc, nr = _native.tile_caps(points, dest, num_tiles, tile_size)
+        fc, fr = tiles_mod._caps_numpy(points, dest, num_tiles, tile_size)
+        assert_allclose(nc, fc, rtol=1e-12)
+        assert_allclose(nr, fr, rtol=1e-12)
+
+    def test_tileset_native_equals_fallback(self, points, rng, monkeypatch):
+        n = len(points)
+        weights = rng.uniform(0.5, 2, n)
+        zbins = rng.integers(0, 4, n)
+        patches = rng.integers(0, 6, n)
+
+        native_ts = tiles_mod.build_tile_set(
+            points, patches, 6, weights=weights, zbins=zbins, num_bins=4,
+            tile_size=64,
+        )
+        monkeypatch.setattr(_native, "NATIVE_ENABLED", False)
+        fallback_ts = tiles_mod.build_tile_set(
+            points, patches, 6, weights=weights, zbins=zbins, num_bins=4,
+            tile_size=64,
+        )
+        assert np.array_equal(native_ts.lane_data, fallback_ts.lane_data)
+        assert_allclose(native_ts.tile_center, fallback_ts.tile_center)
+        assert_allclose(native_ts.tile_radius, fallback_ts.tile_radius)
+        assert_allclose(native_ts.sum_weights, fallback_ts.sum_weights)

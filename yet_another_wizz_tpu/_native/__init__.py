@@ -1,0 +1,135 @@
+"""ctypes bindings for the native tile-packing kernels.
+
+Compiles ``tilepack.cpp`` on first use (cached as ``libtilepack.so`` next
+to the source; rebuilt when the source is newer) and exposes thin numpy
+wrappers. All consumers must degrade gracefully when no compiler is
+available — ``NATIVE_ENABLED`` is False then and the numpy fallbacks in
+:mod:`yet_another_wizz_tpu.ops.tiles` take over.
+
+Set ``YAWT_DISABLE_NATIVE=1`` to force the numpy implementations.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+__all__ = [
+    "NATIVE_ENABLED",
+    "morton_codes",
+    "pack_tiles",
+    "tile_caps",
+]
+
+logger = logging.getLogger(__name__)
+
+_SOURCE = Path(__file__).parent / "tilepack.cpp"
+_LIBRARY = Path(__file__).parent / "libtilepack.so"
+
+_lib = None
+NATIVE_ENABLED = False
+
+
+def _build_library() -> bool:
+    command = [
+        "g++", "-O3", "-fopenmp", "-shared", "-fPIC",
+        str(_SOURCE), "-o", str(_LIBRARY),
+    ]
+    try:
+        subprocess.run(
+            command, check=True, capture_output=True, timeout=120
+        )
+        return True
+    except (OSError, subprocess.SubprocessError) as err:
+        logger.warning("building native tilepack library failed: %s", err)
+        return False
+
+
+def _load() -> None:
+    global _lib, NATIVE_ENABLED
+    if os.environ.get("YAWT_DISABLE_NATIVE"):
+        return
+    try:
+        if not _LIBRARY.exists() or (
+            _SOURCE.stat().st_mtime > _LIBRARY.stat().st_mtime
+        ):
+            if not _build_library():
+                return
+        _lib = ctypes.CDLL(str(_LIBRARY))
+    except OSError as err:
+        logger.warning("loading native tilepack library failed: %s", err)
+        return
+
+    i64 = ctypes.c_int64
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+
+    _lib.morton_codes.argtypes = [f64p, i64, ctypes.c_int32, i64p]
+    _lib.pack_tiles.argtypes = [f64p, f64p, f64p, i64p, i64, i64, f32p]
+    _lib.tile_center_sums.argtypes = [f64p, i64p, i64, i64, f64p]
+    _lib.tile_max_chord.argtypes = [f64p, i64p, i64, i64, f64p, f64p]
+    NATIVE_ENABLED = True
+
+
+_load()
+
+
+def morton_codes(xyz: np.ndarray, bits: int = 10) -> np.ndarray:
+    """Native Morton codes (see ops.tiles for the numpy fallback)."""
+    xyz = np.ascontiguousarray(xyz, dtype=np.float64)
+    out = np.empty(len(xyz), dtype=np.int64)
+    _lib.morton_codes(xyz, len(xyz), bits, out)
+    return out
+
+
+def pack_tiles(
+    xyz: np.ndarray,
+    weights: np.ndarray,
+    zbins: np.ndarray,
+    dest: np.ndarray,
+    num_tiles: int,
+    tile_size: int,
+) -> np.ndarray:
+    """Scatter points into the packed (num_tiles, 8, T) float32 layout."""
+    lane_data = np.zeros((num_tiles, 8, tile_size), dtype=np.float32)
+    _lib.pack_tiles(
+        np.ascontiguousarray(xyz, np.float64),
+        np.ascontiguousarray(weights, np.float64),
+        np.ascontiguousarray(zbins, np.float64),
+        np.ascontiguousarray(dest, np.int64),
+        len(xyz),
+        tile_size,
+        lane_data,
+    )
+    return lane_data
+
+
+def tile_caps(
+    xyz: np.ndarray,
+    dest: np.ndarray,
+    num_tiles: int,
+    tile_size: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-tile cap centers (unit vectors) and radii (chord distances)."""
+    xyz = np.ascontiguousarray(xyz, np.float64)
+    dest = np.ascontiguousarray(dest, np.int64)
+    sums = np.zeros((num_tiles, 3), dtype=np.float64)
+    _lib.tile_center_sums(xyz, dest, len(xyz), tile_size, sums)
+    norms = np.linalg.norm(sums, axis=1)
+    centers = np.zeros((num_tiles, 3))
+    centers[:, 0] = 1.0
+    nonempty = norms > 0
+    centers[nonempty] = sums[nonempty] / norms[nonempty, None]
+
+    max_chord = np.zeros(num_tiles)
+    _lib.tile_max_chord(
+        xyz, dest, len(xyz), tile_size,
+        np.ascontiguousarray(centers), max_chord,
+    )
+    return centers, max_chord

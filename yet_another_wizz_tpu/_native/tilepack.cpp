@@ -1,0 +1,88 @@
+// Native data-loader kernels for catalog -> device-tile packing.
+//
+// The reference delegates its ingestion hot path to native third-party code
+// (scipy C++, Arrow C++); here the framework's own hot path — Morton codes,
+// the scatter of sorted points into padded (tile, channel, lane) float32
+// layout with (hi, lo) coordinate splitting, and tile bounding-cap
+// computation — is implemented in C++ with OpenMP and exposed through
+// ctypes (see __init__.py). A pure-numpy fallback exists in ops/tiles.py.
+//
+// Build: g++ -O3 -march=native -fopenmp -shared -fPIC tilepack.cpp -o libtilepack.so
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+
+// Interleaved-bit Morton codes of points in [-1, 1]^3, `bits` bits/axis.
+void morton_codes(const double* xyz, int64_t n, int32_t bits, int64_t* out) {
+    const double scale = 0.5 * (double)(1ll << bits);
+    const int64_t maxq = (1ll << bits) - 1;
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t code = 0;
+        for (int dim = 0; dim < 3; ++dim) {
+            double v = (xyz[3 * i + dim] + 1.0) * scale;
+            int64_t q = (int64_t)v;
+            if (q < 0) q = 0;
+            if (q > maxq) q = maxq;
+            for (int bit = 0; bit < bits; ++bit) {
+                code |= ((q >> bit) & 1ll) << (3 * bit + dim);
+            }
+        }
+        out[i] = code;
+    }
+}
+
+// Scatter sorted points into the packed lane layout (num_tiles, 8, T):
+// channels [x_hi, y_hi, z_hi, x_lo, y_lo, z_lo, weight, zbin]. `dest` maps
+// each input row to its padded global position; lane_data must be
+// zero-initialised by the caller (padding rows keep weight zero).
+void pack_tiles(const double* xyz, const double* weights, const double* zbins,
+                const int64_t* dest, int64_t n, int64_t tile_size,
+                float* lane_data) {
+    const int64_t stride = 8 * tile_size;
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; ++i) {
+        const int64_t tile = dest[i] / tile_size;
+        const int64_t lane = dest[i] - tile * tile_size;
+        float* base = lane_data + tile * stride + lane;
+        for (int dim = 0; dim < 3; ++dim) {
+            const double value = xyz[3 * i + dim];
+            const float hi = (float)value;
+            base[dim * tile_size] = hi;
+            base[(3 + dim) * tile_size] = (float)(value - (double)hi);
+        }
+        base[6 * tile_size] = (float)weights[i];
+        base[7 * tile_size] = (float)zbins[i];
+    }
+}
+
+// Per-tile bounding caps: unnormalised center sums and (after the caller
+// normalises the centers) the maximum chord distance of the real points.
+void tile_center_sums(const double* xyz, const int64_t* dest, int64_t n,
+                      int64_t tile_size, double* sums /* (num_tiles, 3) */) {
+    for (int64_t i = 0; i < n; ++i) {
+        const int64_t tile = dest[i] / tile_size;
+        for (int dim = 0; dim < 3; ++dim)
+            sums[3 * tile + dim] += xyz[3 * i + dim];
+    }
+}
+
+void tile_max_chord(const double* xyz, const int64_t* dest, int64_t n,
+                    int64_t tile_size, const double* centers,
+                    double* max_chord /* (num_tiles,) zero-init */) {
+    for (int64_t i = 0; i < n; ++i) {
+        const int64_t tile = dest[i] / tile_size;
+        double d2 = 0.0;
+        for (int dim = 0; dim < 3; ++dim) {
+            const double d = xyz[3 * i + dim] - centers[3 * tile + dim];
+            d2 += d * d;
+        }
+        const double chord = sqrt(d2);
+        if (chord > max_chord[tile]) max_chord[tile] = chord;
+    }
+}
+
+}  // extern "C"

@@ -16,6 +16,9 @@ shapes and dense math instead, so a catalog becomes a :class:`TileSet`:
   small-angle precision, the pair weight, and the redshift-bin index.
 
 Weights of padding points are zero, so they never contribute to counts.
+The packing hot path (Morton codes, the scatter into the packed layout,
+tile caps) uses the native C++ kernels from
+:mod:`yet_another_wizz_tpu._native` when available, with numpy fallbacks.
 """
 
 from __future__ import annotations
@@ -25,6 +28,7 @@ from typing import TYPE_CHECKING
 
 import numpy as np
 
+from yet_another_wizz_tpu import _native
 from yet_another_wizz_tpu.coordinates import chord_to_angle
 
 if TYPE_CHECKING:
@@ -51,6 +55,9 @@ def morton_codes(xyz: NDArray, bits: int = 10) -> NDArray:
     Sorting by these codes groups spatial neighbours, which keeps the
     bounding caps of consecutive point tiles compact.
     """
+    if _native.NATIVE_ENABLED:
+        return _native.morton_codes(np.asarray(xyz, np.float64), bits)
+
     quantised = np.clip(
         ((xyz + 1.0) * (0.5 * (1 << bits))).astype(np.int64), 0, (1 << bits) - 1
     )
@@ -59,6 +66,41 @@ def morton_codes(xyz: NDArray, bits: int = 10) -> NDArray:
         for dim in range(3):
             codes |= ((quantised[:, dim] >> bit) & 1) << (3 * bit + dim)
     return codes
+
+
+def _pack_numpy(xyz, pair_weights, zbins, dest, num_tiles, tile_size):
+    """Numpy fallback for the packed-layout scatter."""
+    lane_data = np.zeros((num_tiles, NUM_CHANNELS, tile_size), np.float32)
+    tiles = dest // tile_size
+    lanes = dest - tiles * tile_size
+    hi = xyz.astype(np.float32)
+    lo = (xyz - hi.astype(np.float64)).astype(np.float32)
+    for dim in range(3):
+        lane_data[tiles, dim, lanes] = hi[:, dim]
+        lane_data[tiles, 3 + dim, lanes] = lo[:, dim]
+    lane_data[tiles, CHANNEL_WEIGHT, lanes] = pair_weights.astype(np.float32)
+    lane_data[tiles, CHANNEL_ZBIN, lanes] = zbins.astype(np.float32)
+    return lane_data
+
+
+def _caps_numpy(xyz, dest, num_tiles, tile_size):
+    """Numpy fallback for the tile bounding caps."""
+    tiles = dest // tile_size
+    sums = np.zeros((num_tiles, 3))
+    for dim in range(3):
+        sums[:, dim] = np.bincount(
+            tiles, weights=xyz[:, dim], minlength=num_tiles
+        )
+    norms = np.linalg.norm(sums, axis=1)
+    centers = np.zeros((num_tiles, 3))
+    centers[:, 0] = 1.0
+    nonempty = norms > 0
+    centers[nonempty] = sums[nonempty] / norms[nonempty, None]
+
+    chord = np.linalg.norm(xyz - centers[tiles], axis=1)
+    max_chord = np.zeros(num_tiles)
+    np.maximum.at(max_chord, tiles, chord)
+    return centers, max_chord
 
 
 @dataclass
@@ -191,15 +233,15 @@ def build_tile_set(
         keep = (zbins >= 0) & (zbins < num_bins)
         xyz, patch_ids, weights = xyz[keep], patch_ids[keep], weights[keep]
         pair_weights = pair_weights[keep]
-        zbins = zbins[keep]
+        zbins = zbins[keep].astype(np.float64)
         kappa = kappa[keep] if kappa is not None else None
     else:
         num_bins = 0
-        zbins = np.zeros(len(xyz), dtype=np.int64)
+        zbins = np.zeros(len(xyz), dtype=np.float64)
 
     # spatial sort: group by patch, Morton-order within each patch
     order = np.lexsort((morton_codes(xyz), patch_ids))
-    xyz = xyz[order]
+    xyz = np.ascontiguousarray(xyz[order])
     patch_ids = patch_ids[order]
     weights = weights[order]
     pair_weights = pair_weights[order]
@@ -211,67 +253,43 @@ def build_tile_set(
     patch_tile_stop = np.cumsum(tiles_per_patch)
     patch_tile_start = patch_tile_stop - tiles_per_patch
     num_tiles = int(patch_tile_stop[-1]) if num_patches else 0
-    padded_n = num_tiles * tile_size
 
-    # scatter points into their padded positions
+    # destination of each (sorted) point in the padded global layout
     patch_offsets = np.concatenate([[0], np.cumsum(counts)])[:-1]
     position_in_patch = np.arange(len(xyz)) - patch_offsets[patch_ids]
-    dest = patch_tile_start[patch_ids] * tile_size + position_in_patch
+    dest = (
+        patch_tile_start[patch_ids].astype(np.int64) * tile_size
+        + position_in_patch
+    )
 
-    def scatter(values, fill=0.0, dtype=np.float64):
-        out = np.full(padded_n, fill, dtype=dtype)
-        out[dest] = values
-        return out
-
-    pad_xyz = np.zeros((padded_n, 3))
-    pad_xyz[:, 0] = 1.0  # arbitrary unit vector for padding rows
-    pad_xyz[dest] = xyz
-    pad_w = scatter(pair_weights)
-    pad_z = scatter(zbins, fill=0, dtype=np.int64)
-    valid = scatter(np.ones(len(xyz), dtype=bool), fill=False, dtype=bool)
-
-    # pack the (hi, lo) split float32 channels, lane-major
-    lane_data = np.zeros((num_tiles, NUM_CHANNELS, tile_size), dtype=np.float32)
-    hi = pad_xyz.astype(np.float32)
-    lo = (pad_xyz - hi.astype(np.float64)).astype(np.float32)
-    shape = (num_tiles, tile_size)
-    for dim in range(3):
-        lane_data[:, dim, :] = hi[:, dim].reshape(shape)
-        lane_data[:, 3 + dim, :] = lo[:, dim].reshape(shape)
-    lane_data[:, CHANNEL_WEIGHT, :] = pad_w.astype(np.float32).reshape(shape)
-    lane_data[:, CHANNEL_ZBIN, :] = pad_z.astype(np.float32).reshape(shape)
-
-    # tile bounding caps from the real (non-padding) points
-    tile_center = np.zeros((num_tiles, 3))
-    tile_radius = np.zeros(num_tiles)
-    xyz_tiles = pad_xyz.reshape(num_tiles, tile_size, 3)
-    valid_tiles = valid.reshape(num_tiles, tile_size)
-    n_valid = valid_tiles.sum(axis=1)
-    sums = np.where(valid_tiles[..., None], xyz_tiles, 0.0).sum(axis=1)
-    norms = np.linalg.norm(sums, axis=1)
-    nonempty = (n_valid > 0) & (norms > 0)
-    tile_center[:, 0] = 1.0
-    tile_center[nonempty] = sums[nonempty] / norms[nonempty, None]
-    chord = np.linalg.norm(xyz_tiles - tile_center[:, None, :], axis=2)
-    chord = np.where(valid_tiles, chord, 0.0)
-    tile_radius = chord_to_angle(chord.max(axis=1))
-    # make padding rows harmless for cap pruning: move them onto the center
-    pad_positions = ~valid
-    if np.any(pad_positions):
-        centers_per_point = np.repeat(tile_center, tile_size, axis=0)
-        hi_pad = centers_per_point[pad_positions].astype(np.float32)
-        flat = lane_data.transpose(0, 2, 1).reshape(padded_n, NUM_CHANNELS)
-        flat[pad_positions, 0:3] = hi_pad
-        flat[pad_positions, 3:6] = 0.0
-        lane_data = (
-            flat.reshape(num_tiles, tile_size, NUM_CHANNELS)
-            .transpose(0, 2, 1)
-            .copy()
+    if _native.NATIVE_ENABLED:
+        lane_data = _native.pack_tiles(
+            xyz, pair_weights, zbins, dest, num_tiles, tile_size
         )
+        tile_center, max_chord = _native.tile_caps(
+            xyz, dest, num_tiles, tile_size
+        )
+    else:
+        lane_data = _pack_numpy(
+            xyz, pair_weights, zbins, dest, num_tiles, tile_size
+        )
+        tile_center, max_chord = _caps_numpy(xyz, dest, num_tiles, tile_size)
+    tile_radius = chord_to_angle(max_chord)
+
+    # padding rows exist only in the last tile of each patch; park them on
+    # the tile center so cap pruning stays tight (weights are already zero)
+    for pid in np.nonzero(counts % tile_size)[0]:
+        last_tile = patch_tile_stop[pid] - 1
+        fill = counts[pid] - (tiles_per_patch[pid] - 1) * tile_size
+        lane_data[last_tile, 0:3, fill:] = (
+            tile_center[last_tile].astype(np.float32)[:, None]
+        )
+    for pid in np.nonzero(counts == 0)[0]:
+        lane_data[patch_tile_start[pid], 0, :] = 1.0
 
     # per (bin, patch) normalisation sums in float64
     effective_bins = max(num_bins, 1)
-    flat_idx = zbins * num_patches + patch_ids
+    flat_idx = zbins.astype(np.int64) * num_patches + patch_ids
     sum_weights = np.bincount(
         flat_idx, weights=weights, minlength=effective_bins * num_patches
     ).reshape(effective_bins, num_patches)
