@@ -119,21 +119,36 @@ def main() -> None:
     pairs_per_sec = stats_pairs / t_tpu
     log(f"candidate pairs: {stats_pairs:.3e} -> {pairs_per_sec:.3e} pairs/s")
 
-    # CPU baseline: identical DD + RD counts via multiprocess scipy kd-trees
+    # CPU baseline: identical DD + RD counts via multiprocess scipy
+    # kd-trees; doubles as a float64 validation of the device counts
     log("running multiprocess CPU baseline (scipy kd-trees)...")
+    from yet_another_wizz_tpu.ops.paircount import count_pairs_tiles
+
     edges = links.edges.edges
-    t0 = time.perf_counter()
+    t_cpu = 0.0
+    max_rel_err = 0.0
     for cat1, cat2 in ((reference, unknown), (randoms, unknown)):
         ts1 = cat1.get_tiles(binning)
         ts2 = cat2.get_tiles(None)
         pairs = build_tile_pairs(ts1, ts2, links.linkage, auto=False)
         xyz1, w1, z1, p1 = _unpack_tileset(ts1)
         xyz2, w2, _, p2 = _unpack_tileset(ts2)
-        count_pairs_oracle_multiprocess(
+        t0 = time.perf_counter()
+        oracle = count_pairs_oracle_multiprocess(
             xyz1, w1, z1, p1, xyz2, w2, None, p2, pairs.slot_patches, edges
         )
-    t_cpu = time.perf_counter() - t0
+        t_cpu += time.perf_counter() - t0
+        engine = count_pairs_tiles(
+            ts1, ts2, pairs, links.edges.chord2_table
+        )
+        # compare the per-scale counts (cumulative differences), the
+        # quantity that enters the estimators
+        scale_e = links.edges.counts_to_scales(engine).sum(axis=1)
+        scale_o = links.edges.counts_to_scales(oracle).sum(axis=1)
+        rel = np.abs(scale_e - scale_o) / np.maximum(np.abs(scale_o), 1e-30)
+        max_rel_err = max(max_rel_err, float(rel[scale_o > 0].max()))
     log(f"CPU baseline (multiprocess kd-trees): {t_cpu:.2f}s")
+    log(f"device counts vs float64 oracle: max rel err {max_rel_err:.2e}")
 
     result = {
         "metric": (

@@ -1,0 +1,90 @@
+"""Streaming (bounded-memory) catalog ingestion."""
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+from yet_another_wizz_tpu import Catalog
+
+
+@pytest.fixture
+def parquet_file(rng, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 5000
+    table = pa.table(
+        dict(
+            ra=rng.uniform(10, 30, n),
+            dec=rng.uniform(-10, 10, n),
+            z=rng.uniform(0.1, 1.0, n),
+            w=rng.uniform(0.5, 2.0, n),
+        )
+    )
+    path = tmp_path / "cat.pqt"
+    pq.write_table(table, path, row_group_size=512)
+    return path, table
+
+
+NAMES = dict(ra_name="ra", dec_name="dec", redshift_name="z", weight_name="w")
+
+
+class TestStreamingIngestion:
+    def test_matches_in_memory_path(self, parquet_file, tmp_path):
+        path, table = parquet_file
+        in_memory = Catalog.from_file(
+            None, path, **NAMES, patch_num=4, streaming=False
+        )
+        streamed = Catalog.from_file(
+            tmp_path / "cache", path, **NAMES,
+            patch_centers=in_memory.get_centers(),
+            streaming=True, chunksize=700,
+        )
+        assert streamed.num_patches == in_memory.num_patches
+        # same total records and weights per patch (modulo patch mode)
+        assert sum(streamed.get_num_records()) == len(table)
+        assert_allclose(
+            sorted(streamed.redshifts), sorted(in_memory.redshifts),
+            rtol=1e-12,
+        )
+
+    def test_same_patch_assignment(self, parquet_file, tmp_path):
+        path, _ = parquet_file
+        reference = Catalog.from_file(
+            None, path, **NAMES, patch_num=5, streaming=False
+        )
+        streamed = Catalog.from_file(
+            tmp_path / "cache", path, **NAMES,
+            patch_centers=reference.get_centers(),
+            streaming=True, chunksize=999,
+        )
+        assert streamed.get_num_records() == reference.get_num_records()
+        assert_allclose(
+            streamed.get_sum_weights(), reference.get_sum_weights(),
+            rtol=1e-12,
+        )
+
+    def test_streaming_requires_cache(self, parquet_file):
+        path, _ = parquet_file
+        with pytest.raises(ValueError, match="cache_directory"):
+            Catalog.from_file(
+                None, path, **NAMES, patch_num=4, streaming=True
+            )
+
+    def test_kmeans_probe_centers(self, parquet_file, tmp_path):
+        path, _ = parquet_file
+        streamed = Catalog.from_file(
+            tmp_path / "cache", path, **NAMES, patch_num=4,
+            streaming=True, chunksize=1000, probe_size=2000,
+        )
+        assert streamed.num_patches == 4
+        assert min(streamed.get_num_records()) > 0
+
+    def test_auto_streaming_threshold(self, parquet_file, tmp_path):
+        path, _ = parquet_file
+        # chunksize smaller than the input triggers streaming automatically
+        catalog = Catalog.from_file(
+            tmp_path / "cache", path, **NAMES, patch_num=4, chunksize=800
+        )
+        assert (tmp_path / "cache" / "patch_0" / "data.bin").exists()
+        assert sum(catalog.get_num_records()) == 5000

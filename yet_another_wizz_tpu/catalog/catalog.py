@@ -392,9 +392,16 @@ class Catalog(Mapping):
         overwrite: bool = False,
         probe_size: int = DEFAULT_PROBE_SIZE,
         chunksize: int | None = None,
+        streaming: bool | None = None,
+        progress: bool = False,
         **_ignored,
     ) -> Self:
-        """Create a catalog from a FITS / HDF5 / Parquet / CSV file."""
+        """Create a catalog from a FITS / HDF5 / Parquet / CSV file.
+
+        Inputs larger than one chunk are streamed through patch assignment
+        into the disk cache with bounded memory (``streaming`` forces or
+        disables this; it requires a ``cache_directory``).
+        """
         from yet_another_wizz_tpu.catalog.readers import new_filereader
 
         columns = dict(
@@ -409,6 +416,43 @@ class Catalog(Mapping):
         with new_filereader(
             path, **columns, degrees=degrees, chunksize=chunksize
         ) as reader:
+            if streaming is None:
+                streaming = (
+                    cache_directory is not None
+                    and reader.num_chunks > 1
+                )
+            if streaming:
+                from yet_another_wizz_tpu.catalog.ingest import (
+                    resolve_patch_centers,
+                    write_patches_streaming,
+                )
+
+                if cache_directory is None:
+                    raise ValueError(
+                        "streaming ingestion requires a 'cache_directory'"
+                    )
+                centers = None
+                if patch_name is None:
+                    centers = resolve_patch_centers(
+                        reader,
+                        patch_centers=patch_centers,
+                        patch_num=patch_num,
+                        probe_size=probe_size,
+                    )
+                    if centers is None:
+                        raise ValueError(
+                            "exactly one of 'patch_centers', 'patch_name', "
+                            "or 'patch_num' is required"
+                        )
+                write_patches_streaming(
+                    reader,
+                    cache_directory,
+                    centers,
+                    overwrite=overwrite,
+                    progress=progress,
+                )
+                return cls(cache_directory)
+
             chunks = [chunk for chunk in reader]
         data = np.concatenate(chunks)
 

@@ -1,0 +1,167 @@
+"""Bounded-memory streaming ingestion of large catalogs.
+
+Capability parity with the reference's parallel ingestion pipeline
+(/root/reference/src/yaw/catalog/catalog.py:587-908): file chunks are
+streamed through patch assignment into per-patch cache writers, so the
+peak memory footprint is one chunk (default 16.7M rows) regardless of
+catalog size. The reference farms this over MPI ranks with a dedicated
+writer process; here the chunk pipeline is sequential on the host while
+the patch assignment of each chunk runs on the device (a matmul argmax),
+which dominates the arithmetic.
+
+Used by :meth:`Catalog.from_file` when ``streaming=True`` (automatic for
+inputs larger than one chunk).
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import TYPE_CHECKING
+
+import numpy as np
+
+from yet_another_wizz_tpu.catalog.patch import (
+    Metadata,
+    PatchWriter,
+)
+from yet_another_wizz_tpu.coordinates import AngularCoordinates, radec_to_xyz
+from yet_another_wizz_tpu.datachunk import DataChunk
+from yet_another_wizz_tpu.ops.kmeans import assign_patches, kmeans_patch_centers
+
+if TYPE_CHECKING:
+    from numpy.typing import NDArray
+
+    from yet_another_wizz_tpu.catalog.readers import BaseReader
+
+__all__ = [
+    "resolve_patch_centers",
+    "write_patches_streaming",
+]
+
+logger = logging.getLogger(__name__)
+
+PATCH_NAME_TEMPLATE = "patch_{:}"
+
+
+def resolve_patch_centers(
+    reader: BaseReader,
+    *,
+    patch_centers=None,
+    patch_num: int | None = None,
+    probe_size: int = 500_000,
+) -> NDArray | None:
+    """Patch centers as unit vectors: use the given ones, or generate them
+    with kmeans on a sparse probe of the input (None when the input
+    provides its own patch-id column)."""
+    if patch_centers is not None:
+        if isinstance(patch_centers, AngularCoordinates):
+            return patch_centers.to_3d()
+        centers = np.asarray(patch_centers, dtype=np.float64)
+        if centers.ndim == 2 and centers.shape[1] == 2:
+            return radec_to_xyz(centers[:, 0], centers[:, 1])
+        return centers
+
+    if patch_num is None:
+        return None
+
+    logger.info(
+        "computing %d patch centers from a %d-row probe",
+        patch_num,
+        min(probe_size, reader.num_records),
+    )
+    probe = reader.get_probe(probe_size)
+    xyz = radec_to_xyz(probe["ra"], probe["dec"])
+    weights = DataChunk.getattr(probe, "weights")
+    return kmeans_patch_centers(xyz, patch_num, weights=weights)
+
+
+def write_patches_streaming(
+    reader: BaseReader,
+    cache_directory: Path | str,
+    centers_xyz: NDArray | None,
+    *,
+    overwrite: bool = False,
+    buffersize: int | None = None,
+    progress: bool = False,
+) -> int:
+    """Stream a chunked reader into a per-patch disk cache.
+
+    Per chunk: assign patch ids (device matmul against the centers, unless
+    the chunk carries a patch-id column), split the chunk by patch, and
+    append to buffered per-patch writers. Returns the number of patches.
+    """
+    cache = Path(cache_directory)
+    if cache.exists() and any(cache.iterdir()):
+        if not overwrite:
+            raise FileExistsError(f"cache directory not empty: {cache}")
+        import shutil
+
+        shutil.rmtree(cache)
+    cache.mkdir(parents=True, exist_ok=True)
+
+    writers: dict[int, PatchWriter] = {}
+    chunk_iter = reader
+    if progress:
+        from yet_another_wizz_tpu.utils.logging import Indicator
+
+        chunk_iter = Indicator(reader, reader.num_chunks)
+
+    kwargs = {} if buffersize is None else dict(buffersize=buffersize)
+    num_expected = 0 if centers_xyz is None else len(centers_xyz)
+
+    for chunk in chunk_iter:
+        patch_ids = DataChunk.getattr(chunk, "patch_ids")
+        if patch_ids is None:
+            if centers_xyz is None:
+                raise ValueError(
+                    "chunk provides no patch ids and no centers are set"
+                )
+            xyz = radec_to_xyz(chunk["ra"], chunk["dec"])
+            patch_ids = assign_patches(xyz, centers_xyz)
+        else:
+            chunk, _ = DataChunk.pop(chunk, "patch_ids")
+
+        order = np.argsort(patch_ids, kind="stable")
+        sorted_ids = patch_ids[order]
+        sorted_chunk = chunk[order]
+        unique, first = np.unique(sorted_ids, return_index=True)
+        for pid, part in zip(
+            unique, np.split(sorted_chunk, first[1:])
+        ):
+            pid = int(pid)
+            if pid not in writers:
+                writers[pid] = PatchWriter(
+                    cache / PATCH_NAME_TEMPLATE.format(pid),
+                    DataChunk.get_info(chunk),
+                    **kwargs,
+                )
+            writers[pid].process_chunk(part)
+        num_expected = max(num_expected, int(sorted_ids[-1]) + 1) if len(
+            sorted_ids
+        ) else num_expected
+
+    missing = [
+        pid for pid in range(num_expected) if pid not in writers
+    ]
+    if missing:
+        raise ValueError(f"patches with no data: {missing}")
+
+    for pid, writer in writers.items():
+        writer.finalize()
+        # compute and store metadata now so reopening the cache is cheap
+        from yet_another_wizz_tpu.catalog.patch import read_patch_data
+
+        _, data = read_patch_data(writer.data_path)
+        meta = Metadata.compute(
+            DataChunk.get_coords(data),
+            weights=DataChunk.getattr(data, "weights"),
+        )
+        meta.to_file(writer.cache_path / "meta.yml")
+
+    logger.info(
+        "wrote %d patches (%s records) to cache",
+        len(writers),
+        reader.num_records,
+    )
+    return len(writers)

@@ -15,6 +15,7 @@ purposes:
 
 from __future__ import annotations
 
+import multiprocessing
 from concurrent.futures import ProcessPoolExecutor
 from typing import TYPE_CHECKING
 
@@ -126,6 +127,11 @@ def count_pairs_oracle_multiprocess(
             edges,
         )
     )
-    with ProcessPoolExecutor(max_workers=max_workers) as pool:
+    # spawn context: forking after jax initialises its thread pools is
+    # prone to deadlocks
+    context = multiprocessing.get_context("spawn")
+    with ProcessPoolExecutor(
+        max_workers=max_workers, mp_context=context
+    ) as pool:
         results = list(pool.map(_slot_counts, tasks, chunksize=4))
     return np.stack(results)

@@ -245,13 +245,12 @@ def count_pairs_pallas(
             lane_data2,
             chord2_table,
         )
+        # output blocks of slots not visited by THIS segment's grid keep
+        # whatever memory XLA handed out (which may alias a previous
+        # segment's output!) — mask them to zero before accumulating
+        visited = np.zeros(num_slots + 1, dtype=bool)
+        visited[np.unique(slots[lo:hi])] = True
+        if not visited.all():
+            part = part * jnp.asarray(visited, jnp.float32)[:, None, None]
         total = part if total is None else total + part
-    result = total[:-1]
-
-    # slots never visited by any segment keep uninitialised memory (their
-    # output block is only written when a grid step lands on them)
-    visited = np.zeros(num_slots + 1, dtype=bool)
-    visited[np.unique(slots)] = True
-    if not visited[:-1].all():
-        result = result * jnp.asarray(visited[:-1], jnp.float32)[:, None, None]
-    return result
+    return total[:-1]

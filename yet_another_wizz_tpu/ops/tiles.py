@@ -46,7 +46,7 @@ CHANNEL_WEIGHT = 6
 CHANNEL_ZBIN = 7
 NUM_CHANNELS = 8
 
-DEFAULT_TILE_SIZE = 256
+DEFAULT_TILE_SIZE = 512
 
 
 def morton_codes(xyz: NDArray, bits: int = 10) -> NDArray:
