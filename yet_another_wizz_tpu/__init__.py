@@ -31,6 +31,8 @@ __all__ = [
     "AngularCoordinates",
     "AngularDistances",
     "Binning",
+    "BoxRandoms",
+    "HealPixRandoms",
     "Catalog",
     "Configuration",
     "CorrData",
@@ -82,4 +84,8 @@ def __getattr__(name):
         from yet_another_wizz_tpu import redshifts
 
         return getattr(redshifts, name)
+    if name in ("BoxRandoms", "HealPixRandoms"):
+        from yet_another_wizz_tpu import randoms
+
+        return getattr(randoms, name)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -22,6 +22,9 @@ if TYPE_CHECKING:
     from numpy.typing import NDArray
 
 __all__ = [
+    "ExampleData",
+    "PATH",
+    "config",
     "generate_mock_data",
 ]
 
@@ -127,3 +130,166 @@ def generate_mock_data(
         randoms["weights"] = np.ones(num_randoms)
 
     return dict(reference=reference, unknown=unknown, randoms=randoms)
+
+
+# -- reference-style example accessors ---------------------------------------
+
+import os as _os
+from pathlib import Path as _Path
+
+
+class PATH:
+    """Paths of the generated example data products (materialised on demand
+    by :class:`ExampleData`; the reference downloads prepared 2dFLenS files
+    here instead, which is impossible without network access)."""
+
+    root = _Path(
+        _os.environ.get("YAWT_EXAMPLE_CACHE", "/tmp/yawt_examples")
+    )
+    data = root / "mock_data.pqt"
+    rand = root / "mock_rand.pqt"
+    unknown = root / "mock_unknown.pqt"
+    cross = root / "cross.hdf"
+    auto = root / "auto.hdf"
+    estimate = root / "estimate"
+
+
+def _example_configuration():
+    from yet_another_wizz_tpu.config import Configuration
+
+    return Configuration.create(
+        rmin=100, rmax=1000, unit="kpc",
+        zmin=0.15, zmax=0.7, num_bins=11,
+    )
+
+
+# note: `config`, `cross`, `auto` and `estimate` are module attributes
+# resolved lazily in __getattr__ below
+
+
+class ExampleData:
+    """Create the example catalogs and precomputed correlation products.
+
+    Mirrors the reference's ``yaw.examples.ExampleData``
+    (/root/reference/src/yaw/examples/__init__.py:94-301) with generated
+    mock data instead of the downloaded 2dFLenS sample.
+    """
+
+    NUM_PATCHES = 11
+
+    @classmethod
+    def ensure_files(cls) -> None:
+        """Materialise the example parquet files (idempotent)."""
+        if PATH.data.exists() and PATH.rand.exists():
+            return
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        PATH.root.mkdir(parents=True, exist_ok=True)
+        mock = generate_mock_data(
+            num_reference=15_000, num_unknown=25_000, num_randoms=60_000,
+            seed=12345,
+        )
+        for name, target in (
+            ("reference", PATH.data),
+            ("randoms", PATH.rand),
+            ("unknown", PATH.unknown),
+        ):
+            sample = mock[name]
+            pq.write_table(
+                pa.table(
+                    dict(
+                        RA=np.rad2deg(sample["ra"]),
+                        Dec=np.rad2deg(sample["dec"]),
+                        redshift=sample["redshifts"],
+                        wei=sample["weights"],
+                    )
+                ),
+                target,
+            )
+
+    @classmethod
+    def _catalog(cls, cache_directory, path, **kwargs):
+        from yet_another_wizz_tpu.catalog import Catalog
+
+        cls.ensure_files()
+        return Catalog.from_file(
+            cache_directory, path,
+            ra_name="RA", dec_name="Dec", redshift_name="redshift",
+            weight_name="wei", overwrite=True, **kwargs,
+        )
+
+    @classmethod
+    def create_data_cat(cls, cache_directory=None, **kwargs):
+        """The example reference data catalog."""
+        return cls._catalog(
+            cache_directory, PATH.data, patch_num=cls.NUM_PATCHES, **kwargs
+        )
+
+    @classmethod
+    def create_rand_cat(cls, cache_directory=None, patch_centers=None, **kwargs):
+        """The example random catalog."""
+        patch_args = (
+            dict(patch_centers=patch_centers)
+            if patch_centers is not None
+            else dict(patch_num=cls.NUM_PATCHES)
+        )
+        return cls._catalog(
+            cache_directory, PATH.rand, **patch_args, **kwargs
+        )
+
+    @classmethod
+    def create_unknown_cat(cls, cache_directory=None, patch_centers=None, **kwargs):
+        """The example unknown-sample catalog."""
+        patch_args = (
+            dict(patch_centers=patch_centers)
+            if patch_centers is not None
+            else dict(patch_num=cls.NUM_PATCHES)
+        )
+        return cls._catalog(
+            cache_directory, PATH.unknown, **patch_args, **kwargs
+        )
+
+    @classmethod
+    def build_products(cls, force: bool = False) -> None:
+        """Compute and store the example correlation products
+        (``cross.hdf``, ``auto.hdf``, ``estimate.{dat,smp,cov}``)."""
+        if not force and PATH.cross.exists() and PATH.auto.exists():
+            return
+        from yet_another_wizz_tpu.correlation.measurements import (
+            autocorrelate,
+            crosscorrelate,
+        )
+        from yet_another_wizz_tpu.redshifts import RedshiftData
+
+        cfg = _example_configuration()
+        data = cls.create_data_cat()
+        rand = cls.create_rand_cat(patch_centers=data.get_centers())
+        unknown = cls.create_unknown_cat(patch_centers=data.get_centers())
+
+        (cross_corr,) = crosscorrelate(cfg, data, unknown, ref_rand=rand)
+        cross_corr.to_file(PATH.cross)
+        (auto_corr,) = autocorrelate(cfg, data, rand)
+        auto_corr.to_file(PATH.auto)
+        RedshiftData.from_corrfuncs(cross_corr, auto_corr).to_files(
+            PATH.estimate
+        )
+
+
+def __getattr__(name):
+    # lazily computed example products, mirroring the reference's
+    # module-level `cross`, `auto` and `estimate` attributes
+    if name == "config":
+        return _example_configuration()
+    if name in ("cross", "auto"):
+        from yet_another_wizz_tpu.correlation import load_corrfunc
+
+        ExampleData.build_products()
+        return load_corrfunc(getattr(PATH, name))
+    if name == "estimate":
+        from yet_another_wizz_tpu.redshifts import RedshiftData
+
+        ExampleData.build_products()
+        return RedshiftData.from_files(PATH.estimate)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

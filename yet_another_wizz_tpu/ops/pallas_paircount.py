@@ -234,13 +234,19 @@ def count_pairs_pallas(
         interpret,
     )
 
+    # upload the padded index arrays once; per-segment slicing happens on
+    # the device (repeated host->device transfers dominate otherwise)
+    tile1_dev = jnp.asarray(tile1)
+    tile2_dev = jnp.asarray(tile2)
+    slots_dev = jnp.asarray(slots)
+
     total = None
     for lo in range(0, padded, segment):
         hi = lo + segment
         part = kernel(
-            jnp.asarray(tile1[lo:hi]),
-            jnp.asarray(tile2[lo:hi]),
-            jnp.asarray(slots[lo:hi]),
+            jax.lax.slice(tile1_dev, (lo,), (hi,)),
+            jax.lax.slice(tile2_dev, (lo,), (hi,)),
+            jax.lax.slice(slots_dev, (lo,), (hi,)),
             lane_data1,
             lane_data2,
             chord2_table,
