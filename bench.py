@@ -150,6 +150,23 @@ def main() -> None:
     log(f"CPU baseline (multiprocess kd-trees): {t_cpu:.2f}s")
     log(f"device counts vs float64 oracle: max rel err {max_rel_err:.2e}")
 
+    # secondary configuration (BASELINE config #2): reference-sample
+    # autocorrelation with RR counts and the Landy-Szalay estimator
+    from yet_another_wizz_tpu.correlation.measurements import autocorrelate
+
+    def run_autocorr():
+        (w_ss,) = autocorrelate(config, reference, randoms)
+        return w_ss.sample()
+
+    run_autocorr()
+    t0 = time.perf_counter()
+    w_ss_data = run_autocorr()
+    log(
+        f"secondary config w_ss (DD+DR+RR, Landy-Szalay): "
+        f"{time.perf_counter() - t0:.2f}s warm, "
+        f"mean amplitude {np.nanmean(w_ss_data.data):.4f}"
+    )
+
     result = {
         "metric": (
             "weighted pairs/sec/chip; mock w_sp(z) DD+RD + jackknife "

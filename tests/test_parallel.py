@@ -67,3 +67,18 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as graft
 
     graft.dryrun_multichip(8)
+
+
+class TestDistributedHelpers:
+    """Single-process degradation of the multi-host helpers."""
+
+    def test_single_process_semantics(self):
+        from yet_another_wizz_tpu import parallel
+
+        parallel.initialize()
+        assert parallel.process_index() == 0
+        assert parallel.num_processes() == 1
+        assert parallel.on_root()
+        parallel.barrier()  # no-op
+        payload = {"config": [1, 2, 3]}
+        assert parallel.broadcast(payload) == payload

@@ -267,6 +267,7 @@ class Catalog(Mapping):
         new.num_patches = len(centers_xyz)
         if new.num_patches == 0:
             raise ValueError("catalog has no patches")
+        check_patch_ids(new.num_patches - 1)  # int16 bound (<= 32767)
 
         counts = np.bincount(new._patch_ids, minlength=new.num_patches)
         if np.any(counts == 0):

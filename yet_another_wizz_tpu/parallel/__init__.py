@@ -9,12 +9,26 @@ coordination (process-0 I/O, result broadcast) follows jax.distributed
 conventions.
 """
 
+from yet_another_wizz_tpu.parallel.distributed import (
+    barrier,
+    broadcast,
+    initialize,
+    num_processes,
+    on_root,
+    process_index,
+)
 from yet_another_wizz_tpu.parallel.sharded import (
     count_pairs_sharded,
     default_mesh,
 )
 
 __all__ = [
+    "barrier",
+    "broadcast",
     "count_pairs_sharded",
     "default_mesh",
+    "initialize",
+    "num_processes",
+    "on_root",
+    "process_index",
 ]
