@@ -238,3 +238,37 @@ class TestGoldenRegression:
 
         assert_array_almost_equal(nz_pipeline.data, nz_direct.data)
         assert_array_almost_equal(nz_pipeline.samples, nz_direct.samples)
+
+
+class TestCommandline:
+    def test_dump_template_is_valid_yaml(self, capsys):
+        import yaml
+
+        from yet_another_wizz_tpu.cli.commandline import main
+
+        with pytest.raises(SystemExit):
+            main(["--dump"])
+        template = capsys.readouterr().out
+        parsed = yaml.safe_load(template)
+        assert set(parsed) == {"correlation", "inputs", "tasks"}
+
+    def test_cli_end_to_end(self, data_files, tmp_path, capsys):
+        import yaml
+
+        from yet_another_wizz_tpu.cli.commandline import main
+
+        setup_path = tmp_path / "setup.yml"
+        with setup_path.open("w") as f:
+            yaml.safe_dump(base_setup(data_files, ["hist"]), f)
+        code = main(
+            [str(tmp_path / "project"), str(setup_path), "--quiet"]
+        )
+        assert code == 0
+        assert (tmp_path / "project" / "true" / "nz_true_1.dat").exists()
+
+    def test_cli_error_reporting(self, tmp_path, capsys):
+        from yet_another_wizz_tpu.cli.commandline import main
+
+        code = main([str(tmp_path / "project"), "--quiet"])
+        assert code == 1
+        assert "ERROR" in capsys.readouterr().err

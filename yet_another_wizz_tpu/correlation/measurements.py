@@ -388,6 +388,7 @@ def autocorrelate_scalar(
     config: Configuration,
     data: Catalog,
     *,
+    backend: str = "auto",
     progress: bool = False,
     max_workers: int | None = None,
 ) -> list[ScalarCorrFunc]:
@@ -396,7 +397,8 @@ def autocorrelate_scalar(
     logger.info("computing scalar auto-correlation with DD")
     links = PatchLinkage.from_catalogs(config, data)
     dd = links.count_scalar_pairs(
-        data, mode="kk", progress=progress, count_type_info="DD"
+        data, mode="kk", backend=backend, progress=progress,
+        count_type_info="DD",
     )
     return [ScalarCorrFunc(counts) for counts in dd]
 
@@ -407,6 +409,7 @@ def crosscorrelate_scalar(
     unknown: Catalog,
     *,
     unk_rand: Catalog | None = None,
+    backend: str = "auto",
     progress: bool = False,
     max_workers: int | None = None,
 ) -> list[ScalarCorrFunc]:
@@ -428,12 +431,13 @@ def crosscorrelate_scalar(
     links = PatchLinkage.from_catalogs(config, reference, unknown, *catalogs)
 
     dd = links.count_scalar_pairs(
-        reference, unknown, mode="kn", progress=progress, count_type_info="DD"
+        reference, unknown, mode="kn", backend=backend, progress=progress,
+        count_type_info="DD",
     )
     if count_dr:
         dr = links.count_scalar_pairs(
-            reference, unk_rand, mode="kn", progress=progress,
-            count_type_info="DR",
+            reference, unk_rand, mode="kn", backend=backend,
+            progress=progress, count_type_info="DR",
         )
     else:
         dr = [compute_scalar_normalisation(reference, config)] * len(dd)
