@@ -1,0 +1,171 @@
+"""Cross-package parity against the REAL products bundled with the
+reference implementation (mounted read-only at /root/reference).
+
+The reference ships the 2dFLenS example data together with the pair counts
+and the n(z) estimate its own pipeline produced
+(/root/reference/src/yaw/examples/: cross.hdf, auto.hdf,
+estimate.{dat,smp,cov}). These tests prove interoperability and numerical
+parity:
+
+1. this framework's containers read the reference's HDF5 and ASCII files;
+2. re-deriving the n(z) estimate from the reference's pair counts with
+   this framework's estimator/jackknife algebra reproduces the
+   reference's committed estimate to file precision;
+3. running this framework's own pair counting on the reference's raw
+   2dFLenS catalogs reproduces the reference's measurement (up to the
+   small astropy-vs-builtin cosmology difference in the scale-to-angle
+   conversion).
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose, assert_array_almost_equal
+
+REFERENCE_EXAMPLES = Path("/root/reference/src/yaw/examples")
+
+pytestmark = pytest.mark.skipif(
+    not REFERENCE_EXAMPLES.exists(),
+    reason="reference package data not mounted",
+)
+
+
+@pytest.fixture(scope="module")
+def reference_products():
+    from yet_another_wizz_tpu.correlation import load_corrfunc
+    from yet_another_wizz_tpu.redshifts import RedshiftData
+
+    return dict(
+        cross=load_corrfunc(REFERENCE_EXAMPLES / "cross.hdf"),
+        auto=load_corrfunc(REFERENCE_EXAMPLES / "auto.hdf"),
+        estimate=RedshiftData.from_files(REFERENCE_EXAMPLES / "estimate"),
+    )
+
+
+class TestReadReferenceFiles:
+    def test_cross_pair_counts(self, reference_products):
+        cross = reference_products["cross"]
+        assert cross.num_patches == 11
+        assert cross.binning.num_bins if hasattr(cross.binning, "num_bins") else True
+        assert len(cross.binning) == 11
+        assert cross.dd is not None and cross.rd is not None
+
+    def test_auto_pair_counts(self, reference_products):
+        auto = reference_products["auto"]
+        assert auto.auto
+        assert auto.rr is not None
+        assert auto.get_estimator().name == "LS"
+
+    def test_estimate_files(self, reference_products):
+        estimate = reference_products["estimate"]
+        assert estimate.num_bins == 11
+        assert estimate.num_samples == 11
+        assert np.all(np.isfinite(estimate.data))
+
+
+class TestEstimatorParity:
+    def test_nz_from_reference_counts_matches_committed_estimate(
+        self, reference_products
+    ):
+        """Estimator + jackknife algebra on the reference's own pair counts
+        must reproduce the reference's committed n(z) estimate."""
+        from yet_another_wizz_tpu.redshifts import RedshiftData
+
+        rederived = RedshiftData.from_corrfuncs(
+            reference_products["cross"], reference_products["auto"]
+        )
+        committed = reference_products["estimate"]
+
+        assert_array_almost_equal(
+            rederived.data, committed.data, decimal=6
+        )
+        assert_array_almost_equal(
+            rederived.samples, committed.samples, decimal=6
+        )
+        assert_allclose(rederived.error, committed.error, rtol=1e-4)
+
+    def test_hdf_roundtrip_of_reference_file(
+        self, reference_products, tmp_path
+    ):
+        """Reference files survive a write/read cycle through this
+        framework's serialisation."""
+        from yet_another_wizz_tpu.correlation import load_corrfunc
+
+        cross = reference_products["cross"]
+        cross.to_file(tmp_path / "rewritten.hdf")
+        clone = load_corrfunc(tmp_path / "rewritten.hdf")
+        assert clone == cross
+
+
+@pytest.mark.slow
+class TestMeasurementParity:
+    """Run this framework's pair counting on the reference's raw 2dFLenS
+    catalogs with the reference's exact configuration and patches."""
+
+    @pytest.fixture(scope="class")
+    def measured(self):
+        import pyarrow.parquet as pq
+
+        from yet_another_wizz_tpu import Catalog, Configuration
+        from yet_another_wizz_tpu.correlation.measurements import (
+            autocorrelate,
+            crosscorrelate,
+        )
+
+        config = Configuration.create(
+            rmin=100, rmax=1000, zmin=0.15, zmax=0.7, num_bins=11
+        )
+        kwargs = dict(
+            ra_name="RA", dec_name="Dec", redshift_name="redshift",
+            weight_name="wei", patch_name="patch",
+        )
+
+        def load(path):
+            frame = pq.read_table(path).to_pandas()
+            return lambda: Catalog.from_dataframe(None, frame, **kwargs)
+
+        make_data = load(REFERENCE_EXAMPLES / "2dflens_kidss_data.pqt")
+        make_rand = load(REFERENCE_EXAMPLES / "2dflens_kidss_rand_5x.pqt")
+
+        reference, unknown, ref_rand = make_data(), make_data(), make_rand()
+        (cross,) = crosscorrelate(
+            config, reference, unknown, ref_rand=ref_rand, backend="xla"
+        )
+        (auto,) = autocorrelate(
+            config, make_data(), make_rand(), backend="xla"
+        )
+        return cross, auto
+
+    def test_cross_counts_close_to_reference(
+        self, measured, reference_products
+    ):
+        """DD counts agree with the reference's committed measurement; the
+        residual difference is the astropy-vs-builtin cosmology in the
+        per-bin scale-to-angle conversion (<0.1% in the angles)."""
+        cross, _ = measured
+        ours = cross.dd.counts.counts.sum(axis=(1, 2))
+        theirs = reference_products["cross"].dd.counts.counts.sum(axis=(1, 2))
+        # measured: most bins agree exactly, the rest within 0.22% from the
+        # cosmology difference moving the angular bin boundaries
+        assert_allclose(ours, theirs, rtol=5e-3)
+        assert np.median(np.abs(ours / theirs - 1)) < 1e-4
+        # normalisation is cosmology-independent and must match tightly
+        assert_allclose(
+            cross.dd.sum_weights.sum_weights1,
+            reference_products["cross"].dd.sum_weights.sum_weights1,
+            rtol=1e-9,
+        )
+
+    def test_recovered_nz_close_to_reference(
+        self, measured, reference_products
+    ):
+        from yet_another_wizz_tpu.redshifts import RedshiftData
+
+        cross, auto = measured
+        nz = RedshiftData.from_corrfuncs(cross, auto)
+        committed = reference_products["estimate"]
+        # amplitudes agree within a fraction of the jackknife uncertainty
+        pull = np.abs(nz.data - committed.data) / committed.error
+        # measured: max pull 0.04 sigma (sub-percent amplitudes)
+        assert np.nanmax(pull) < 0.1
