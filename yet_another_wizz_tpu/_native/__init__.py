@@ -21,6 +21,7 @@ import numpy as np
 
 __all__ = [
     "NATIVE_ENABLED",
+    "assign_patches",
     "morton_codes",
     "pack_tiles",
     "tile_caps",
@@ -70,7 +71,9 @@ def _load() -> None:
     f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
 
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
     _lib.morton_codes.argtypes = [f64p, i64, ctypes.c_int32, i64p]
+    _lib.assign_patches.argtypes = [f64p, i64, f64p, i64, i32p]
     _lib.pack_tiles.argtypes = [f64p, f64p, f64p, i64p, i64, i64, f32p]
     _lib.tile_center_sums.argtypes = [f64p, i64p, i64, i64, f64p]
     _lib.tile_max_chord.argtypes = [f64p, i64p, i64, i64, f64p, f64p]
@@ -133,3 +136,12 @@ def tile_caps(
         np.ascontiguousarray(centers), max_chord,
     )
     return centers, max_chord
+
+
+def assign_patches(xyz: np.ndarray, centers: np.ndarray) -> np.ndarray:
+    """Nearest-center argmax assignment without score-matrix temporaries."""
+    xyz = np.ascontiguousarray(xyz, np.float64)
+    centers = np.ascontiguousarray(centers, np.float64)
+    out = np.empty(len(xyz), dtype=np.int32)
+    _lib.assign_patches(xyz, len(xyz), centers, len(centers), out)
+    return out

@@ -86,3 +86,28 @@ void tile_max_chord(const double* xyz, const int64_t* dest, int64_t n,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Nearest-center assignment: argmax of xyz . center over centers, with no
+// score-matrix temporaries (OpenMP over points).
+void assign_patches(const double* xyz, int64_t n, const double* centers,
+                    int64_t num_centers, int32_t* out) {
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; ++i) {
+        const double x = xyz[3 * i], y = xyz[3 * i + 1], z = xyz[3 * i + 2];
+        double best = -2.0;
+        int32_t best_id = 0;
+        for (int64_t c = 0; c < num_centers; ++c) {
+            const double score = x * centers[3 * c] + y * centers[3 * c + 1]
+                               + z * centers[3 * c + 2];
+            if (score > best) {
+                best = score;
+                best_id = (int32_t)c;
+            }
+        }
+        out[i] = best_id;
+    }
+}
+
+}  // extern "C"

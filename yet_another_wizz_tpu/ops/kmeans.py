@@ -86,17 +86,23 @@ def kmeans_patch_centers(
         xyz, weights = xyz[idx], weights[idx]
 
     centers = _seed_centers_plusplus(xyz, weights, num_patches, rng)
-    weighted_xyz = xyz * weights[:, None]
+    weighted_xyz = np.ascontiguousarray(xyz * weights[:, None])
     for _ in range(iterations):
-        labels = np.argmax(xyz @ centers.T, axis=1)
-        for pid in range(num_patches):
-            sel = labels == pid
-            if not np.any(sel):
-                continue  # keep the previous center for empty clusters
-            mean = weighted_xyz[sel].sum(axis=0)
-            norm = np.linalg.norm(mean)
-            if norm > 0:
-                centers[pid] = mean / norm
+        labels = assign_patches(xyz, centers)
+        sums = np.stack(
+            [
+                np.bincount(
+                    labels, weights=weighted_xyz[:, dim],
+                    minlength=num_patches,
+                )
+                for dim in range(3)
+            ],
+            axis=1,
+        )
+        norms = np.linalg.norm(sums, axis=1)
+        # empty clusters keep their previous center
+        update = norms > 0
+        centers[update] = sums[update] / norms[update, None]
 
     return centers / np.linalg.norm(centers, axis=1, keepdims=True)
 
@@ -114,13 +120,39 @@ def _assign_device(xyz: jnp.ndarray, centers: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+DEVICE_ASSIGN_THRESHOLD = 2e9
+"""Below this ``num_points * num_centers`` product the host matmul wins
+over the device round trip."""
+
+
 def assign_patches(
     xyz: NDArray, centers: NDArray, chunk: int = 4_000_000
 ) -> NDArray:
     """Assign each point to its nearest patch center (greatest dot
-    product), the device analogue of ``scipy.cluster.vq.vq`` on unit
-    vectors. Streams the catalog through the device in chunks."""
+    product), the analogue of ``scipy.cluster.vq.vq`` on unit vectors.
+
+    Small problems run as a host matmul; large catalogs stream through
+    the device in chunks (MXU argmax)."""
     xyz = np.asarray(xyz)
+    if len(xyz) * len(centers) < DEVICE_ASSIGN_THRESHOLD:
+        from yet_another_wizz_tpu import _native
+
+        if _native.NATIVE_ENABLED:
+            return _native.assign_patches(xyz, centers)
+        # bounded temporaries: the (chunk, centers) score matrix stays
+        # within ~100 MB; scores via broadcast ufuncs — BLAS gemm with an
+        # inner dimension of 3 is pathologically slow on some builds
+        host_chunk = max(1, int(100_000_000 / max(len(centers), 1)))
+        centers_t = np.asarray(centers, np.float64).T
+        out = np.empty(len(xyz), dtype=np.int32)
+        for start in range(0, len(xyz), host_chunk):
+            block = xyz[start : start + host_chunk]
+            scores = block[:, 0, None] * centers_t[0]
+            scores += block[:, 1, None] * centers_t[1]
+            scores += block[:, 2, None] * centers_t[2]
+            out[start : start + host_chunk] = np.argmax(scores, axis=1)
+        return out
+
     centers_dev = jnp.asarray(centers, jnp.float32)
     out = np.empty(len(xyz), dtype=np.int32)
     for start in range(0, len(xyz), chunk):
