@@ -210,6 +210,24 @@ class BaseCorrFunc(
 
     __hash__ = None
 
+    def __add__(self, other: Any) -> Self:
+        if type(self) is not type(other):
+            return NotImplemented
+        self.is_compatible(other, require=True)
+        if set(self._counts) != set(other._counts):
+            raise ValueError("pair counts of operands do not match")
+        kwargs = {
+            key: counts + other._counts[key]
+            for key, counts in self._counts.items()
+        }
+        return type(self).from_dict(kwargs)
+
+    def __mul__(self, factor: float) -> Self:
+        kwargs = {
+            key: counts * factor for key, counts in self._counts.items()
+        }
+        return type(self).from_dict(kwargs)
+
     def _make_bin_slice(self, item: TypeSliceIndex) -> Self:
         kwargs = {key: counts.bins[item] for key, counts in self._counts.items()}
         return type(self).from_dict(kwargs)

@@ -436,7 +436,12 @@ class BaseNormalisedCounts(BinwisePatchwiseArray):
     def __add__(self, other: Any) -> Self:
         if type(self) is not type(other):
             return NotImplemented
+        if self._norm != other._norm:
+            raise ValueError("normalisation of operands does not match")
         return type(self)(self._counts + other._counts, self._norm)
+
+    def __mul__(self, factor: float) -> Self:
+        return type(self)(self._counts * factor, self._norm)
 
     def _make_bin_slice(self, item: TypeSliceIndex) -> Self:
         return type(self)(self._counts.bins[item], self._norm.bins[item])
