@@ -39,7 +39,6 @@ NUM_UNKNOWN = 500_000
 NUM_RANDOMS = 1_000_000
 NUM_PATCHES = 64
 NUM_BINS = 11
-CPU_BASELINE_FRACTION = 1.0  # fraction of slots timed for the CPU baseline
 
 
 def main() -> None:

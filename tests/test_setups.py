@@ -8,7 +8,6 @@ Mirrors the reference test strategy
 import numpy as np
 import pytest
 
-from yet_another_wizz_tpu.cli.config import ProjectConfig
 from yet_another_wizz_tpu.cli.pipeline import run_setup
 from yet_another_wizz_tpu.config import ConfigError
 from yet_another_wizz_tpu.examples import generate_mock_data

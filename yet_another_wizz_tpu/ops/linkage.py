@@ -121,22 +121,6 @@ class TilePairs:
     def num_slots(self) -> int:
         return len(self.slot_patches)
 
-    def shard(self, num_shards: int) -> list[TilePairs]:
-        """Split the pair list into contiguous, equally sized shards (padded
-        with repeats of the last pair and zero-flagged via negative slots is
-        not needed: shards keep their own slot ids and partial results are
-        summed)."""
-        bounds = np.linspace(0, self.num_pairs, num_shards + 1).astype(int)
-        return [
-            TilePairs(
-                tile1=self.tile1[lo:hi],
-                tile2=self.tile2[lo:hi],
-                slot=self.slot[lo:hi],
-                slot_patches=self.slot_patches,
-            )
-            for lo, hi in zip(bounds[:-1], bounds[1:])
-        ]
-
 
 def build_tile_pairs(
     tiles1: TileSet,
