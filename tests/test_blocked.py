@@ -1,0 +1,80 @@
+"""Blocked (device-memory-bounded) measurement path equals the in-memory
+engine path."""
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+from yet_another_wizz_tpu import Catalog, Configuration
+from yet_another_wizz_tpu.correlation.measurements import (
+    autocorrelate,
+    crosscorrelate,
+)
+from yet_another_wizz_tpu.examples import generate_mock_data
+
+
+@pytest.fixture(scope="module")
+def catalogs():
+    mock = generate_mock_data(
+        num_reference=4000, num_unknown=6000, num_randoms=9000, seed=21
+    )
+    reference = Catalog.from_arrays(
+        **mock["reference"], degrees=False, patch_num=12
+    )
+    centers = reference.get_centers()
+    unknown = Catalog.from_arrays(
+        **mock["unknown"], degrees=False, patch_centers=centers
+    )
+    randoms = Catalog.from_arrays(
+        **mock["randoms"], degrees=False, patch_centers=centers
+    )
+    return reference, unknown, randoms
+
+
+@pytest.fixture(scope="module")
+def config():
+    return Configuration.create(
+        rmin=500, rmax=3000, unit="kpc", zmin=0.15, zmax=1.0, num_bins=4
+    )
+
+
+@pytest.mark.parametrize("max_resident", [4, 6, 24])
+def test_cross_blocked_equals_in_memory(catalogs, config, max_resident):
+    reference, unknown, randoms = catalogs
+    (full,) = crosscorrelate(
+        config, reference, unknown, ref_rand=randoms, backend="xla"
+    )
+    (blocked,) = crosscorrelate(
+        config, reference, unknown, ref_rand=randoms, backend="xla",
+        max_resident_patches=max_resident,
+    )
+    assert_allclose(
+        blocked.dd.counts.counts, full.dd.counts.counts, rtol=1e-6, atol=1e-3
+    )
+    assert_allclose(
+        blocked.rd.counts.counts, full.rd.counts.counts, rtol=1e-6, atol=1e-3
+    )
+    assert_allclose(
+        blocked.dd.sum_weights.sum_weights1,
+        full.dd.sum_weights.sum_weights1,
+        rtol=1e-12,
+    )
+    sample_full = full.sample()
+    sample_blocked = blocked.sample()
+    assert_allclose(sample_blocked.data, sample_full.data, rtol=1e-6)
+    assert_allclose(sample_blocked.samples, sample_full.samples, rtol=1e-5)
+
+
+def test_auto_blocked_equals_in_memory(catalogs, config):
+    reference, _, randoms = catalogs
+    (full,) = autocorrelate(config, reference, randoms, backend="xla")
+    (blocked,) = autocorrelate(
+        config, reference, randoms, backend="xla", max_resident_patches=5
+    )
+    assert_allclose(
+        blocked.dd.counts.counts, full.dd.counts.counts, rtol=1e-6, atol=1e-3
+    )
+    assert_allclose(
+        blocked.rr.counts.counts, full.rr.counts.counts, rtol=1e-6, atol=1e-3
+    )
+    assert_allclose(blocked.sample().data, full.sample().data, rtol=1e-6)

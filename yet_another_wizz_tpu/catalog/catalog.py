@@ -583,6 +583,26 @@ class Catalog(Mapping):
         )
         return tuple(float(s) for s in sums)
 
+    def bin_sum_weights(self, binning, num_bins: int) -> NDArray:
+        """Per (bin, patch) sum of weights, float64 ``(num_bins, P)``;
+        with ``binning=None`` every bin receives the per-patch totals
+        (the normalisation semantics of unbinned pair counting)."""
+        weights = self.weights
+        w = np.ones(len(self._patch_ids)) if weights is None else weights
+        if binning is None:
+            totals = np.bincount(
+                self._patch_ids, weights=w, minlength=self.num_patches
+            )
+            return np.broadcast_to(
+                totals, (num_bins, self.num_patches)
+            ).copy()
+        zbins = binning.digitize(self.redshifts) - 1
+        keep = (zbins >= 0) & (zbins < len(binning))
+        flat = zbins[keep] * self.num_patches + self._patch_ids[keep]
+        return np.bincount(
+            flat, weights=w[keep], minlength=len(binning) * self.num_patches
+        ).reshape(len(binning), self.num_patches)
+
     def get_centers(self) -> AngularCoordinates:
         """Patch cap centers."""
         return AngularCoordinates.from_3d(self.patch_centers_xyz)

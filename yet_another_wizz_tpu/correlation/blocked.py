@@ -1,0 +1,176 @@
+"""Device-memory-bounded pair counting over patch blocks.
+
+At survey scale the packed tile arrays of a catalog exceed device memory
+(32 bytes/point; ~32 GB per 10^9 points against ~16 GB HBM per chip). The
+blocked path streams the measurement through the device in patch blocks:
+
+- patches are processed in contiguous blocks of ``max_resident_patches``;
+- for every linked pair of blocks, tile sets are built for just those
+  patches (native packing) and pushed through the regular engine;
+- per-block count tensors scatter into the global
+  ``(scale, bin, patch, patch)`` result on the host.
+
+This mirrors the reference's bounded working set ("2 patches + tree
+overhead per worker", reference docs ``concepts.rst:11-16``) at block
+granularity, and composes with the mesh sharding for pods.
+
+Enabled through ``max_resident_patches`` on the measurement functions.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import TYPE_CHECKING
+
+import numpy as np
+
+from yet_another_wizz_tpu.ops.linkage import TilePairs, build_tile_pairs
+from yet_another_wizz_tpu.ops.paircount import count_pairs_tiles
+from yet_another_wizz_tpu.ops.tiles import build_tile_set
+
+if TYPE_CHECKING:
+    from yet_another_wizz_tpu.binning import Binning
+    from yet_another_wizz_tpu.catalog.catalog import Catalog
+    from yet_another_wizz_tpu.ops.linkage import Linkage
+    from yet_another_wizz_tpu.ops.thresholds import AngularEdges
+
+__all__ = [
+    "count_pairs_blocked",
+]
+
+logger = logging.getLogger(__name__)
+
+
+def _build_block_tiles(
+    catalog: Catalog,
+    binning: Binning | None,
+    mode: str,
+    patch_lo: int,
+    patch_hi: int,
+    tile_size: int,
+):
+    """Tile set for the patches in ``[patch_lo, patch_hi)`` with local
+    patch indices."""
+    select = (catalog.patch_ids >= patch_lo) & (catalog.patch_ids < patch_hi)
+    weights = catalog.weights
+    kappa = catalog.kappa
+
+    if mode == "k":
+        if kappa is None:
+            raise ValueError("missing required 'kappa' for scalar mode")
+        local_kappa = kappa[select]
+        local_weights = None if weights is None else weights[select]
+        mode_weights = (
+            local_kappa if local_weights is None
+            else local_kappa * local_weights
+        )
+    else:
+        local_weights = None if weights is None else weights[select]
+        local_kappa = None if kappa is None else kappa[select]
+        mode_weights = None
+
+    if binning is None:
+        zbins, num_bins = None, 0
+    else:
+        zbins = binning.digitize(catalog.redshifts[select]) - 1
+        num_bins = len(binning)
+
+    return build_tile_set(
+        catalog.xyz[select],
+        catalog.patch_ids[select] - patch_lo,
+        patch_hi - patch_lo,
+        weights=local_weights,
+        zbins=zbins,
+        num_bins=num_bins,
+        kappa=local_kappa,
+        tile_size=tile_size,
+        mode_weights=mode_weights,
+    )
+
+
+def count_pairs_blocked(
+    edges: AngularEdges,
+    linkage: Linkage,
+    catalog1: Catalog,
+    catalog2: Catalog,
+    binning: Binning,
+    *,
+    auto: bool,
+    binned2: bool,
+    mode: str = "nn",
+    max_resident_patches: int = 16,
+    tile_size: int | None = None,
+    backend: str = "auto",
+) -> np.ndarray:
+    """Count pairs block by block; returns per-scale counts with shape
+    ``(num_scales, num_bins, num_patches, num_patches)`` (same contract as
+    the in-memory engine path after scatter)."""
+    from yet_another_wizz_tpu.ops.tiles import DEFAULT_TILE_SIZE
+
+    tile_size = tile_size or DEFAULT_TILE_SIZE
+    num_patches = catalog1.num_patches
+    num_bins = len(binning)
+    block = max(1, int(max_resident_patches) // 2)  # two resident sides
+    starts = list(range(0, num_patches, block))
+
+    result = np.zeros(
+        (edges.num_scales, num_bins, num_patches, num_patches)
+    )
+
+    num_block_pairs = 0
+    for lo1 in starts:
+        hi1 = min(lo1 + block, num_patches)
+        tiles1 = None  # built lazily: the block pair may be fully pruned
+        for lo2 in starts:
+            hi2 = min(lo2 + block, num_patches)
+            if auto and hi2 <= lo1:
+                continue  # only patch pairs with id2 >= id1 contribute
+            linked = linkage.linked[lo1:hi1, lo2:hi2]
+            if auto:
+                # mask patch pairs below the diagonal
+                ids1 = np.arange(lo1, hi1)[:, None]
+                ids2 = np.arange(lo2, hi2)[None, :]
+                linked = linked & (ids2 >= ids1)
+            if not linked.any():
+                continue
+
+            if tiles1 is None:
+                tiles1 = _build_block_tiles(
+                    catalog1, binning, mode[0], lo1, hi1, tile_size
+                )
+            tiles2 = _build_block_tiles(
+                catalog2, binning if binned2 else None, mode[1],
+                lo2, hi2, tile_size,
+            )
+
+            local_linkage = type(linkage)(
+                max_angle=linkage.max_angle, linked=linked
+            )
+            # enumerate tile pairs with LOCAL patch ids; auto-diagonal
+            # handling was already applied to the linked matrix above
+            pairs = build_tile_pairs(
+                tiles1, tiles2, local_linkage, auto=False
+            )
+            if pairs.num_pairs == 0:
+                continue
+            num_block_pairs += 1
+
+            cumulative = count_pairs_tiles(
+                tiles1, tiles2, pairs, edges.chord2_table,
+                backend=backend, edges_radian=edges.edges,
+            )
+            per_scale = edges.counts_to_scales(cumulative)  # (S, slots, B)
+
+            global1 = pairs.slot_patches[:, 0] + lo1
+            global2 = pairs.slot_patches[:, 1] + lo2
+            if auto:
+                same = global1 == global2
+                per_scale[:, same, :] *= 0.5
+            result[:, :, global1, global2] += np.moveaxis(per_scale, 1, -1)
+
+    logger.debug(
+        "processed %d resident block pairs of <=%d patches",
+        num_block_pairs,
+        block,
+    )
+    return result

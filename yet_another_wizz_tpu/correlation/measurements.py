@@ -161,6 +161,7 @@ class PatchLinkage:
         mode: str = "nn",
         binned2: bool | None = None,
         backend: str = "auto",
+        max_resident_patches: int | None = None,
         progress: bool = False,
         max_workers: int | None = None,
         count_type_info: str | None = None,
@@ -182,10 +183,16 @@ class PatchLinkage:
         if binned2 is None:
             binned2 = auto
 
-        counts, sum_weights = self._run_engine(
-            catalog1, catalog2, auto=auto, binned2=binned2, mode=mode,
-            backend=backend,
-        )
+        if max_resident_patches is not None:
+            counts, sum_weights = self._run_blocked(
+                catalog1, catalog2, auto=auto, binned2=binned2, mode=mode,
+                backend=backend, max_resident_patches=max_resident_patches,
+            )
+        else:
+            counts, sum_weights = self._run_engine(
+                catalog1, catalog2, auto=auto, binned2=binned2, mode=mode,
+                backend=backend,
+            )
         return [
             NormalisedCounts(per_scale, sum_weights) for per_scale in counts
         ]
@@ -221,6 +228,42 @@ class PatchLinkage:
             NormalisedScalarCounts(kk.counts, nn.counts)
             for kk, nn in zip(kappa_counts, number_counts)
         ]
+
+    def _run_blocked(
+        self, catalog1, catalog2, *, auto, binned2, mode, backend,
+        max_resident_patches,
+    ):
+        """Device-memory-bounded path: stream patch blocks through the
+        engine (see :mod:`yet_another_wizz_tpu.correlation.blocked`)."""
+        from yet_another_wizz_tpu.correlation.blocked import (
+            count_pairs_blocked,
+        )
+
+        binning = self.config.binning.binning
+        num_bins = len(binning)
+        per_scale = count_pairs_blocked(
+            self.edges,
+            self.linkage,
+            catalog1,
+            catalog2,
+            binning,
+            auto=auto,
+            binned2=binned2,
+            mode=mode,
+            max_resident_patches=max_resident_patches,
+            backend=backend,
+        )
+        counts = [
+            PatchedCounts(binning, scale_counts, auto=auto)
+            for scale_counts in per_scale
+        ]
+        sum_weights = PatchedSumWeights(
+            binning,
+            catalog1.bin_sum_weights(binning, num_bins),
+            catalog2.bin_sum_weights(binning if binned2 else None, num_bins),
+            auto=auto,
+        )
+        return counts, sum_weights
 
     def _run_engine(self, catalog1, catalog2, *, auto, binned2, mode, backend="auto"):
         binning = self.config.binning.binning
@@ -272,6 +315,7 @@ def autocorrelate(
     *,
     count_rr: bool = True,
     backend: str = "auto",
+    max_resident_patches: int | None = None,
     progress: bool = False,
     max_workers: int | None = None,
 ) -> list[CorrFunc]:
@@ -316,6 +360,7 @@ def crosscorrelate(
     ref_rand: Catalog | None = None,
     unk_rand: Catalog | None = None,
     backend: str = "auto",
+    max_resident_patches: int | None = None,
     progress: bool = False,
     max_workers: int | None = None,
 ) -> list[CorrFunc]:
@@ -332,7 +377,10 @@ def crosscorrelate(
     if not count_dr and not count_rd:
         raise ValueError("at least one random dataset must be provided")
 
-    kwargs = dict(progress=progress, max_workers=max_workers, backend=backend)
+    kwargs = dict(
+        progress=progress, max_workers=max_workers, backend=backend,
+        max_resident_patches=max_resident_patches,
+    )
     logger.info(
         "computing cross-correlation from DD%s%s%s",
         ", DR" if count_dr else "",
