@@ -35,7 +35,6 @@ from yet_another_wizz_tpu.coordinates import (
 from yet_another_wizz_tpu.datachunk import DataChunk, check_patch_ids
 from yet_another_wizz_tpu.catalog.patch import (
     Metadata,
-    Patch,
     read_patch_data,
     write_patch_data,
 )

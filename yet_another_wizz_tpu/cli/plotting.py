@@ -11,8 +11,6 @@ from __future__ import annotations
 import logging
 from typing import TYPE_CHECKING
 
-import numpy as np
-
 from yet_another_wizz_tpu.utils.plotting import PLOTTING_ENABLED
 
 if TYPE_CHECKING:

@@ -10,8 +10,8 @@ self-documenting commented-YAML generation for the CLI ``--dump`` feature.
 
 from __future__ import annotations
 
-from abc import ABC, abstractmethod
-from dataclasses import dataclass, field
+from abc import ABC
+from dataclasses import dataclass
 from typing import TYPE_CHECKING
 
 import numpy as np

@@ -24,7 +24,7 @@ from typing import TYPE_CHECKING
 
 import numpy as np
 
-from yet_another_wizz_tpu.ops.linkage import TilePairs, build_tile_pairs
+from yet_another_wizz_tpu.ops.linkage import build_tile_pairs
 from yet_another_wizz_tpu.ops.paircount import count_pairs_tiles
 from yet_another_wizz_tpu.ops.tiles import build_tile_set
 

@@ -18,7 +18,6 @@ cannot separate nearby sky positions and collapses clusters.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import TYPE_CHECKING
 
 import jax

@@ -20,8 +20,6 @@ from typing import TYPE_CHECKING
 
 import numpy as np
 
-from yet_another_wizz_tpu.coordinates import angle_to_chord
-
 if TYPE_CHECKING:
     from numpy.typing import NDArray
 
