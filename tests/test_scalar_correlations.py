@@ -129,3 +129,28 @@ class TestScalarCorrelationFunctions:
         clone = load_corrfunc(tmp_path / "scalar.hdf")
         assert isinstance(clone, ScalarCorrFunc)
         assert clone == corr
+
+
+class TestNkMode:
+    def test_nk_counts_match_oracle(self, catalogs, config):
+        """nk: number weights on the binned side, kappa weights on the
+        unknown side."""
+        reference, unknown, _ = catalogs
+        from yet_another_wizz_tpu.correlation.measurements import PatchLinkage
+
+        links = PatchLinkage.from_catalogs(config, reference, unknown)
+        engine = links.count_pairs(
+            reference, unknown, mode="nk", backend="xla"
+        )
+        oracle = links.count_pairs(
+            reference, unknown, mode="nk", backend="oracle"
+        )
+        assert_allclose(
+            engine[0].counts.counts, oracle[0].counts.counts,
+            rtol=1e-4, atol=1.0,
+        )
+        # nk must differ from nn (kappa weighting applied)
+        plain = links.count_pairs(reference, unknown, mode="nn", backend="xla")
+        assert not np.allclose(
+            engine[0].counts.counts, plain[0].counts.counts
+        )

@@ -632,6 +632,11 @@ class Catalog(Mapping):
             self._tile_cache.clear()
         self.get_tiles(binning)
 
+    def drop_tile_cache(self) -> None:
+        """Release all cached tile sets (and their device-resident
+        copies); they are rebuilt on demand."""
+        self._tile_cache.clear()
+
     def get_tiles(
         self,
         binning: Binning | None,
