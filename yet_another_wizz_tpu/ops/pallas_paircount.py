@@ -50,16 +50,41 @@ def _paircount_kernel(
     table_ref,  # (B, E)
     # output
     out_ref,  # (1, B, E)
+    # scratch: row-side quantities cached across equal-tile1 runs
+    row_scratch_ref,  # (T, 8): transposed tile1
+    thr_scratch_ref,  # (T, num_edges): per-row thresholds
     *,
     cols_binned: bool,
     num_bins: int,
     num_edges: int,
 ):
     k = pl.program_id(0)
-
     lane1 = lane1_ref[0]  # (8, T)
     lane2 = lane2_ref[0]  # (8, T)
-    tile1 = lane1.T  # (T, 8): row-side needs column vectors
+
+    # the slot-sorted pair list has long runs with the same row tile; the
+    # transpose and the per-row threshold selection are only recomputed
+    # when the row tile changes
+    prev_tile1 = tile1_ref[jnp.maximum(k - 1, 0)]
+    tile1_is_new = jnp.logical_or(k == 0, tile1_ref[k] != prev_tile1)
+
+    @pl.when(tile1_is_new)
+    def _():
+        tile1 = lane1.T  # (T, 8)
+        row_scratch_ref[:] = tile1
+        z_rows_col = tile1[:, 7:8]  # (T, 1)
+        thresholds = jnp.zeros(
+            (tile1.shape[0], num_edges), dtype=jnp.float32
+        )
+        # exact one-hot selection (see module docstring on precision)
+        for b in range(num_bins):
+            row_b = table_ref[b : b + 1, :]  # (1, E)
+            match = (z_rows_col == np.float32(b)).astype(jnp.float32)
+            thresholds = thresholds + match * row_b
+        thr_scratch_ref[:] = thresholds
+
+    tile1 = row_scratch_ref[:]  # (T, 8)
+    thresholds = thr_scratch_ref[:]  # (T, E)
 
     # chord^2 with (hi, lo) compensation — all (T, T) VPU work
     chord2 = None
@@ -76,14 +101,6 @@ def _paircount_kernel(
         w_cols_eff = jnp.where(z_rows_col == z_cols, w_cols, 0.0)
     else:
         w_cols_eff = jnp.broadcast_to(w_cols, chord2.shape)
-
-    # per-row thresholds: exact one-hot selection (small B * (T, E) work)
-    z_rows_col = tile1[:, 7:8]  # (T, 1)
-    thresholds = jnp.zeros((tile1.shape[0], num_edges), dtype=jnp.float32)
-    for b in range(num_bins):
-        row_b = table_ref[b : b + 1, :]  # (1, E)
-        match = (z_rows_col == np.float32(b)).astype(jnp.float32)  # (T, 1)
-        thresholds = thresholds + match * row_b
 
     # cumulative counts per row and edge
     cols = []
@@ -173,6 +190,10 @@ def _build_kernel_call(
             (1, num_bins, num_edges),
             lambda k, t1, t2, sl: (sl[k], 0, 0),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((tile_shape[1], tile_shape[0]), jnp.float32),
+            pltpu.VMEM((tile_shape[1], num_edges), jnp.float32),
+        ],
     )
     return pl.pallas_call(
         partial(
