@@ -62,44 +62,14 @@ __all__ = [
 logger = logging.getLogger(__name__)
 
 
-class EstimatorError(Exception):
-    pass
-
-
-def _named(key: str):
-    def decorator(func):
-        func.name = key
-        return func
-
-    return decorator
-
-
-@_named("DP")
-def davis_peebles(
-    *, dd: NDArray, dr: NDArray | None = None, rd: NDArray | None = None
-) -> NDArray:
-    """Davis-Peebles estimator ``(DD - DR) / DR`` (or with RD)."""
-    if dr is None and rd is None:
-        raise EstimatorError("either 'dr' or 'rd' are required")
-    mixed = dr if rd is None else rd
-    return (dd - mixed) / mixed
-
-
-@_named("LS")
-def landy_szalay(
-    *, dd: NDArray, dr: NDArray, rd: NDArray | None = None, rr: NDArray
-) -> NDArray:
-    """Landy-Szalay estimator ``(DD - DR - RD + RR) / RR``."""
-    if rd is None:
-        rd = dr
-    return ((dd - dr) + (rr - rd)) / rr
-
-
-@_named("SC")
-def scalar_correlation(*, dd: NDArray, dr: NDArray | None = None) -> NDArray:
-    """Scalar-field estimator: normalised kappa counts, optionally with the
-    random term subtracted."""
-    return dd if dr is None else dd - dr
+# estimator models live in the models subpackage; re-exported here for
+# API parity with the reference module layout
+from yet_another_wizz_tpu.models.estimators import (  # noqa: E402
+    EstimatorError,
+    davis_peebles,
+    landy_szalay,
+    scalar_correlation,
+)
 
 
 class BaseCorrFunc(
