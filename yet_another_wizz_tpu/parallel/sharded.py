@@ -69,7 +69,10 @@ def _partial_counts(
     init = jnp.zeros((num_slots + 1, *table.shape), dtype=jnp.float32)
     # the carry must carry the same device-varying type as the sharded
     # chunk data it accumulates (jax >= 0.8 shard_map axis tracking)
-    init = jax.lax.pvary(init, MESH_AXIS)
+    if hasattr(jax.lax, "pcast"):
+        init = jax.lax.pcast(init, to="varying", axis_name=MESH_AXIS)
+    else:  # pragma: no cover - older jax
+        init = jax.lax.pvary(init, MESH_AXIS)
     acc, _ = jax.lax.scan(
         body,
         init,
