@@ -107,3 +107,14 @@ class TestPlotting:
         for style in ("point", "line", "step"):
             assert corr.plot(style=style) is not None
         assert corr.plot_corr() is not None
+
+
+class TestProfiling:
+    def test_profile_trace_context(self, tmp_path):
+        import jax.numpy as jnp
+
+        from yet_another_wizz_tpu.utils.logging import profile_trace
+
+        with profile_trace(tmp_path / "trace"):
+            jnp.ones(8).sum().block_until_ready()
+        assert any((tmp_path / "trace").rglob("*"))
