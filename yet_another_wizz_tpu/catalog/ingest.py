@@ -16,6 +16,8 @@ inputs larger than one chunk).
 from __future__ import annotations
 
 import logging
+import queue
+import threading
 from pathlib import Path
 from typing import TYPE_CHECKING
 
@@ -110,36 +112,70 @@ def write_patches_streaming(
     kwargs = {} if buffersize is None else dict(buffersize=buffersize)
     num_expected = 0 if centers_xyz is None else len(centers_xyz)
 
-    for chunk in chunk_iter:
-        patch_ids = DataChunk.getattr(chunk, "patch_ids")
-        if patch_ids is None:
-            if centers_xyz is None:
-                raise ValueError(
-                    "chunk provides no patch ids and no centers are set"
-                )
-            xyz = radec_to_xyz(chunk["ra"], chunk["dec"])
-            patch_ids = assign_patches(xyz, centers_xyz)
-        else:
-            chunk, _ = DataChunk.pop(chunk, "patch_ids")
+    # producer/writer overlap: reading + patch assignment of the next
+    # chunk proceeds while the previous chunk's patch splits are written
+    # (the single-writer-role discipline of the reference's pipeline,
+    # /root/reference/src/yaw/catalog/catalog.py:655-673)
+    work: queue.Queue = queue.Queue(maxsize=2)
+    writer_error: list[BaseException] = []
 
-        order = np.argsort(patch_ids, kind="stable")
-        sorted_ids = patch_ids[order]
-        sorted_chunk = chunk[order]
-        unique, first = np.unique(sorted_ids, return_index=True)
-        for pid, part in zip(
-            unique, np.split(sorted_chunk, first[1:])
-        ):
-            pid = int(pid)
-            if pid not in writers:
-                writers[pid] = PatchWriter(
-                    cache / PATCH_NAME_TEMPLATE.format(pid),
-                    DataChunk.get_info(chunk),
-                    **kwargs,
+    def writer_task() -> None:
+        while True:
+            item = work.get()
+            if item is None:
+                return
+            try:
+                info, splits = item
+                for pid, part in splits:
+                    if pid not in writers:
+                        writers[pid] = PatchWriter(
+                            cache / PATCH_NAME_TEMPLATE.format(pid),
+                            info,
+                            **kwargs,
+                        )
+                    writers[pid].process_chunk(part)
+            except BaseException as err:  # propagated to the producer
+                writer_error.append(err)
+                return
+            finally:
+                work.task_done()
+
+    writer = threading.Thread(target=writer_task, daemon=True)
+    writer.start()
+
+    try:
+        for chunk in chunk_iter:
+            patch_ids = DataChunk.getattr(chunk, "patch_ids")
+            if patch_ids is None:
+                if centers_xyz is None:
+                    raise ValueError(
+                        "chunk provides no patch ids and no centers are set"
+                    )
+                xyz = radec_to_xyz(chunk["ra"], chunk["dec"])
+                patch_ids = assign_patches(xyz, centers_xyz)
+            else:
+                chunk, _ = DataChunk.pop(chunk, "patch_ids")
+
+            order = np.argsort(patch_ids, kind="stable")
+            sorted_ids = patch_ids[order]
+            sorted_chunk = chunk[order]
+            unique, first = np.unique(sorted_ids, return_index=True)
+            splits = [
+                (int(pid), part)
+                for pid, part in zip(
+                    unique, np.split(sorted_chunk, first[1:])
                 )
-            writers[pid].process_chunk(part)
-        num_expected = max(num_expected, int(sorted_ids[-1]) + 1) if len(
-            sorted_ids
-        ) else num_expected
+            ]
+            if writer_error:
+                raise writer_error[0]
+            work.put((DataChunk.get_info(chunk), splits))
+            if len(sorted_ids):
+                num_expected = max(num_expected, int(sorted_ids[-1]) + 1)
+    finally:
+        work.put(None)
+        writer.join()
+    if writer_error:
+        raise writer_error[0]
 
     missing = [
         pid for pid in range(num_expected) if pid not in writers
@@ -147,17 +183,17 @@ def write_patches_streaming(
     if missing:
         raise ValueError(f"patches with no data: {missing}")
 
-    for pid, writer in writers.items():
-        writer.finalize()
-        # compute and store metadata now so reopening the cache is cheap
-        from yet_another_wizz_tpu.catalog.patch import read_patch_data
+    from yet_another_wizz_tpu.catalog.patch import read_patch_data
 
-        _, data = read_patch_data(writer.data_path)
+    for patch_writer in writers.values():
+        patch_writer.finalize()
+        # compute and store metadata now so reopening the cache is cheap
+        _, data = read_patch_data(patch_writer.data_path)
         meta = Metadata.compute(
             DataChunk.get_coords(data),
             weights=DataChunk.getattr(data, "weights"),
         )
-        meta.to_file(writer.cache_path / "meta.yml")
+        meta.to_file(patch_writer.cache_path / "meta.yml")
 
     logger.info(
         "wrote %d patches (%s records) to cache",
