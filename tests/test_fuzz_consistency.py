@@ -1,0 +1,95 @@
+"""Randomised consistency sweep: engine vs float64 oracle across varied
+geometries, binnings, scale configurations and weighting setups."""
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+from test_engine import patch_geometry, simple_patches
+from yet_another_wizz_tpu.coordinates import radec_to_xyz
+from yet_another_wizz_tpu.ops.cpu_oracle import count_pairs_oracle
+from yet_another_wizz_tpu.ops.linkage import build_linkage, build_tile_pairs
+from yet_another_wizz_tpu.ops.paircount import count_pairs_tiles, _unpack_tileset
+from yet_another_wizz_tpu.ops.tiles import build_tile_set
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("trial", range(6))
+def test_random_configuration_matches_oracle(trial):
+    rng = np.random.default_rng(1000 + trial)
+    num_bins = int(rng.integers(1, 7))
+    num_patches = int(rng.integers(1, 8))
+    tile_size = int(rng.choice([32, 64, 128]))
+    n1 = int(rng.integers(500, 4000))
+    n2 = int(rng.integers(500, 4000))
+    weighted = bool(rng.integers(0, 2))
+    cols_binned = bool(rng.integers(0, 2))
+    auto = bool(rng.integers(0, 2))
+
+    # random sky footprint: box of random size and position
+    ra0 = rng.uniform(0, 2 * np.pi)
+    dec0 = rng.uniform(-1.0, 1.0)
+    width = rng.uniform(0.05, 0.6)
+
+    def sample(n):
+        ra = ra0 + rng.uniform(0, width, n)
+        dec = np.clip(dec0 + rng.uniform(0, width, n), -1.4, 1.4)
+        xyz = radec_to_xyz(ra, dec)
+        w = rng.uniform(0.25, 4.0, n) if weighted else np.ones(n)
+        z = rng.integers(0, num_bins, n)
+        return xyz, w, z
+
+    xyz1, w1, z1 = sample(n1)
+    if auto:
+        xyz2, w2, z2 = xyz1, w1, z1
+        cols_binned = True
+    else:
+        xyz2, w2, z2 = sample(n2)
+
+    patch_rng = np.random.default_rng(trial)
+    patch1 = simple_patches(xyz1, num_patches, patch_rng)
+    patch2 = (
+        patch1 if auto
+        else np.argmax(
+            xyz2 @ xyz1[np.random.default_rng(trial).choice(
+                n1, num_patches, replace=False
+            )].T,
+            axis=1,
+        )
+    )
+
+    ts1 = build_tile_set(
+        xyz1, patch1, num_patches, weights=w1, zbins=z1, num_bins=num_bins,
+        tile_size=tile_size,
+    )
+    ts2 = (
+        ts1 if auto else build_tile_set(
+            xyz2, patch2, num_patches, weights=w2,
+            zbins=z2 if cols_binned else None,
+            num_bins=num_bins if cols_binned else 0,
+            tile_size=tile_size,
+        )
+    )
+
+    # random per-bin angular edges (possibly distinct per bin)
+    base = np.sort(rng.uniform(2e-4, 0.05, 3))
+    factors = rng.uniform(0.8, 1.2, (num_bins, 1))
+    edges = base[None, :] * factors
+    chord2 = ((2 * np.sin(edges / 2)) ** 2).astype(np.float32)
+
+    centers, radii = patch_geometry(xyz1, patch1, num_patches)
+    linkage = build_linkage(centers, radii, float(edges.max()) * 1.000001)
+    pairs = build_tile_pairs(ts1, ts2, linkage, auto=auto)
+
+    result = count_pairs_tiles(ts1, ts2, pairs, chord2, backend="xla")
+    X1, W1, Z1, P1 = _unpack_tileset(ts1)
+    X2, W2, Z2, P2 = _unpack_tileset(ts2)
+    expect = count_pairs_oracle(
+        X1, W1, Z1, P1, X2, W2, (Z2 if (cols_binned or auto) else None), P2,
+        pairs.slot_patches, edges,
+    )
+    # aggregate parity (boundary flips allowed per slot)
+    assert_allclose(
+        result.sum(axis=0), expect.sum(axis=0), rtol=5e-6, atol=20.0
+    )
+    assert_allclose(result, expect, rtol=1e-4, atol=30.0)
