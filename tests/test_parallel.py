@@ -37,13 +37,32 @@ def test_virtual_devices_available():
     assert len(jax.devices()) == 8
 
 
-def test_sharded_matches_single_device(problem):
+@pytest.mark.parametrize("data_sharding", ["replicated", "columns"])
+def test_sharded_matches_single_device(problem, data_sharding):
     ts1, ts2, pairs, chord2 = problem
     single = count_pairs_tiles(ts1, ts2, pairs, chord2, backend="xla")
     for n_dev in (2, 8):
         mesh = default_mesh(n_dev)
-        sharded = count_pairs_sharded(ts1, ts2, pairs, chord2, mesh=mesh)
+        sharded = count_pairs_sharded(
+            ts1, ts2, pairs, chord2, mesh=mesh, data_sharding=data_sharding
+        )
         assert_allclose(sharded, single, rtol=1e-5, atol=1e-2)
+
+
+def test_column_sharding_distributes_tiles(problem):
+    """With column sharding every device holds only its shard of the
+    column catalog (the memory-scaling property)."""
+    ts1, ts2, pairs, chord2 = problem
+    mesh = default_mesh(8)
+    sharded = count_pairs_sharded(
+        ts1, ts2, pairs, chord2, mesh=mesh, data_sharding="columns"
+    )
+    single = count_pairs_tiles(ts1, ts2, pairs, chord2, backend="xla")
+    assert_allclose(sharded, single, rtol=1e-5, atol=1e-2)
+    with pytest.raises(ValueError, match="data_sharding"):
+        count_pairs_sharded(
+            ts1, ts2, pairs, chord2, mesh=mesh, data_sharding="rows"
+        )
 
 
 def test_graft_entry_contract():

@@ -89,9 +89,23 @@ def count_pairs_sharded(
     *,
     mesh: Mesh | None = None,
     chunk_size: int = 8,
+    data_sharding: str = "replicated",
 ) -> NDArray:
     """Multi-device pair counting over a mesh; same result contract as
-    :func:`yet_another_wizz_tpu.ops.paircount.count_pairs_tiles`."""
+    :func:`yet_another_wizz_tpu.ops.paircount.count_pairs_tiles`.
+
+    ``data_sharding`` selects the distribution of the catalog tiles:
+
+    - ``"replicated"``: both tile sets on every device; the pair list is
+      split into equal contiguous chunks. Simplest; memory per device is
+      the full catalog pair.
+    - ``"columns"``: the column catalog's tiles are sharded over the mesh
+      (device d owns a contiguous tile range) and each device processes
+      exactly the pairs whose column tile it owns — no tile communication
+      at all, only the final ``psum``. Per-device memory for the (usually
+      much larger) column side scales as 1/num_devices; the natural
+      layout for randoms catalogs on pods.
+    """
     mesh = mesh or default_mesh()
     num_devices = mesh.devices.size
     num_slots = pairs.num_slots
@@ -101,22 +115,63 @@ def count_pairs_sharded(
     if pairs.num_pairs == 0:
         return np.zeros((num_slots, *table.shape), dtype=np.float64)
 
-    # pad the pair list so every device gets whole chunks; padding entries
-    # point at tile 0 and the trailing dump slot
-    quantum = num_devices * chunk_size
-    padded = -(-pairs.num_pairs // quantum) * quantum
-    tile1 = np.zeros(padded, dtype=np.int32)
-    tile2 = np.zeros(padded, dtype=np.int32)
-    slots = np.full(padded, num_slots, dtype=np.int32)
-    tile1[: pairs.num_pairs] = pairs.tile1
-    tile2[: pairs.num_pairs] = pairs.tile2
-    slots[: pairs.num_pairs] = pairs.slot
-
     replicated = NamedSharding(mesh, P())
     sharded = NamedSharding(mesh, P(MESH_AXIS))
 
-    lane1 = jax.device_put(tiles1.lane_data, replicated)
-    lane2 = jax.device_put(tiles2.lane_data, replicated)
+    if data_sharding == "columns":
+        # device d owns column tiles [d * shard, (d + 1) * shard)
+        num_tiles2 = len(tiles2.lane_data)
+        shard = -(-num_tiles2 // num_devices)
+        owner = pairs.tile2 // shard
+
+        # partition the pair list by owner, keep slot-sorted order within
+        # each partition, pad every partition to the common chunked length
+        order = np.argsort(owner, kind="stable")
+        counts = np.bincount(owner, minlength=num_devices)
+        longest = -(-int(counts.max()) // chunk_size) * chunk_size
+        longest = max(longest, chunk_size)
+
+        tile1 = np.zeros(num_devices * longest, dtype=np.int32)
+        tile2 = np.zeros(num_devices * longest, dtype=np.int32)
+        slots = np.full(num_devices * longest, num_slots, dtype=np.int32)
+        bounds = np.concatenate([[0], np.cumsum(counts)])
+        for device in range(num_devices):
+            sel = order[bounds[device] : bounds[device + 1]]
+            base = device * longest
+            tile1[base : base + len(sel)] = pairs.tile1[sel]
+            # local column-tile indices within the device's shard
+            tile2[base : base + len(sel)] = pairs.tile2[sel] - device * shard
+            slots[base : base + len(sel)] = pairs.slot[sel]
+        # padding entries index tile 0 of the local shard
+
+        lane2_padded = tiles2.lane_data
+        if num_devices * shard != num_tiles2:
+            pad = np.zeros(
+                (num_devices * shard - num_tiles2,
+                 *tiles2.lane_data.shape[1:]),
+                dtype=tiles2.lane_data.dtype,
+            )
+            lane2_padded = np.concatenate([tiles2.lane_data, pad])
+
+        lane1 = jax.device_put(tiles1.lane_data, replicated)
+        lane2 = jax.device_put(lane2_padded, sharded)
+    elif data_sharding == "replicated":
+        # equal contiguous chunks of the slot-sorted pair list
+        quantum = num_devices * chunk_size
+        padded = -(-pairs.num_pairs // quantum) * quantum
+        tile1 = np.zeros(padded, dtype=np.int32)
+        tile2 = np.zeros(padded, dtype=np.int32)
+        slots = np.full(padded, num_slots, dtype=np.int32)
+        tile1[: pairs.num_pairs] = pairs.tile1
+        tile2[: pairs.num_pairs] = pairs.tile2
+        slots[: pairs.num_pairs] = pairs.slot
+
+        lane1 = jax.device_put(tiles1.lane_data, replicated)
+        lane2 = jax.device_put(tiles2.lane_data, replicated)
+    else:
+        raise ValueError(f"unknown data_sharding '{data_sharding}'")
+
+    lane2_spec = P(MESH_AXIS) if data_sharding == "columns" else P()
     table = jax.device_put(table, replicated)
     tile1 = jax.device_put(jnp.asarray(tile1), sharded)
     tile2 = jax.device_put(jnp.asarray(tile2), sharded)
@@ -126,7 +181,9 @@ def count_pairs_sharded(
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(), P(MESH_AXIS), P(MESH_AXIS), P(MESH_AXIS), P()),
+        in_specs=(
+            P(), lane2_spec, P(MESH_AXIS), P(MESH_AXIS), P(MESH_AXIS), P()
+        ),
         out_specs=P(),
     )
     def sharded_counts(lane1, lane2, tile1, tile2, slots, table):
