@@ -271,3 +271,32 @@ class TestCommandline:
         code = main([str(tmp_path / "project"), "--quiet"])
         assert code == 1
         assert "ERROR" in capsys.readouterr().err
+
+
+class TestLockFile:
+    def test_concurrent_run_blocked(self, data_files, tmp_path):
+        import yaml
+
+        from yet_another_wizz_tpu.cli.pipeline import Pipeline
+
+        setup_path = tmp_path / "setup.yml"
+        with setup_path.open("w") as f:
+            yaml.safe_dump(base_setup(data_files, ["hist"]), f)
+        pipeline = Pipeline.create(tmp_path / "project", setup_path)
+        # simulate a crashed or concurrent run holding the lock
+        pipeline.project.lock_path.write_text("12345:hist")
+        with pytest.raises(RuntimeError, match="lock"):
+            pipeline.run()
+        pipeline.project.lock_path.unlink()
+        pipeline.run()  # released lock allows the run
+
+    def test_partial_resume_runs_missing_tasks(self, data_files, tmp_path):
+        run(tmp_path, base_setup(data_files, ["hist"]))
+        resumed = run_setup(
+            tmp_path / "project",
+            setup_file=None,
+            resume=True,
+            quiet=True,
+        )
+        # hist already complete; nothing rescheduled
+        assert all(task.name != "hist" for task in resumed.tasks)
