@@ -103,6 +103,22 @@ def main() -> None:
     log(f"TPU measurement (warm): {t_tpu:.2f}s")
     log(f"n(z) head: {np.round(nz.data[:4], 4)}")
 
+    # covariance configurations (BASELINE config #3): jackknife is part of
+    # the primary metric; bootstrap resampling timed separately
+    (w_sp_counts,) = crosscorrelate(
+        config, reference, unknown, ref_rand=randoms, backend="auto"
+    )
+    t0 = time.perf_counter()
+    nz_boot = RedshiftData.from_corrfuncs(
+        w_sp_counts, method="bootstrap", num_samples=500
+    )
+    log(
+        f"bootstrap covariance (500 samples over {NUM_PATCHES} patches): "
+        f"{time.perf_counter() - t0:.2f}s, "
+        f"median err ratio boot/jack "
+        f"{np.nanmedian(nz_boot.error / nz.error):.2f}"
+    )
+
     # work statistics: candidate pairs actually evaluated by the engine
     links = PatchLinkage.from_catalogs(config, reference, unknown, randoms)
     binning = config.binning.binning

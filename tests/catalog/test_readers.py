@@ -149,6 +149,17 @@ class TestFitsReader:
         with pytest.raises(ValueError, match="not a FITS"):
             FitsReader(path, ra_name="RA", dec_name="DEC")
 
+    def test_truncated_data_section(self, columns, tmp_path):
+        path = tmp_path / "trunc.fits"
+        write_fits_table(path, columns)
+        size = path.stat().st_size
+        with open(path, "r+b") as f:
+            f.truncate(size - 8192)
+        with FitsReader(path, **NAMES) as reader:
+            with pytest.raises(ValueError, match="truncated"):
+                list(reader)
+
+
 
 class TestRandomReader:
     def test_generator_chunks(self):
@@ -174,3 +185,31 @@ class TestDispatch:
         pq.write_table(pa.table(dict(columns)), path)
         with new_filereader(path, **NAMES) as reader:
             assert isinstance(reader, ParquetReader)
+
+
+class TestPrefetch:
+    def test_prefetch_preserves_order_and_content(self, columns):
+        import pandas as pd
+
+        from yet_another_wizz_tpu.catalog.readers import prefetch_chunks
+
+        frame = pd.DataFrame(columns)
+        with DataFrameReader(frame, **NAMES, chunksize=128) as reader:
+            direct = list(reader)
+            prefetched = list(prefetch_chunks(reader, depth=2))
+        assert len(direct) == len(prefetched)
+        for a, b in zip(direct, prefetched):
+            assert np.array_equal(a, b)
+
+    def test_prefetch_propagates_errors(self):
+        class Broken:
+            num_chunks = 3
+
+            def __iter__(self):
+                yield np.zeros(2)
+                raise RuntimeError("boom")
+
+        from yet_another_wizz_tpu.catalog.readers import prefetch_chunks
+
+        with pytest.raises(RuntimeError, match="boom"):
+            list(prefetch_chunks(Broken()))

@@ -102,12 +102,14 @@ def write_patches_streaming(
         shutil.rmtree(cache)
     cache.mkdir(parents=True, exist_ok=True)
 
+    from yet_another_wizz_tpu.catalog.readers import prefetch_chunks
+
     writers: dict[int, PatchWriter] = {}
-    chunk_iter = reader
+    chunk_iter = prefetch_chunks(reader)
     if progress:
         from yet_another_wizz_tpu.utils.logging import Indicator
 
-        chunk_iter = Indicator(reader, reader.num_chunks)
+        chunk_iter = Indicator(chunk_iter, reader.num_chunks)
 
     kwargs = {} if buffersize is None else dict(buffersize=buffersize)
     num_expected = 0 if centers_xyz is None else len(centers_xyz)

@@ -36,6 +36,7 @@ __all__ = [
     "ParquetReader",
     "RandomReader",
     "new_filereader",
+    "prefetch_chunks",
 ]
 
 logger = logging.getLogger(__name__)
@@ -345,6 +346,13 @@ class FitsReader(BaseReader):
             count=stop - start,
             offset=self._offset + start * self._dtype.itemsize,
         )
+        if len(rows) != stop - start:
+            # np.fromfile silently returns fewer rows past EOF
+            raise ValueError(
+                f"truncated FITS table: {self.path} header claims "
+                f"{self.num_records} rows but the data section ends at row "
+                f"{start + len(rows)}"
+            )
         return {
             attr: rows[name].astype(np.float64)
             for attr, name in self.columns.items()
@@ -373,3 +381,35 @@ def new_filereader(path: Path | str, **kwargs) -> BaseReader:
     except KeyError:
         raise ValueError(f"unrecognized file extension '{ext}'") from None
     return reader_cls(path, **kwargs)
+
+
+def prefetch_chunks(reader, depth: int = 1):
+    """Iterate a chunked reader with background read-ahead: up to ``depth``
+    chunks are loaded in a worker thread while the consumer processes the
+    current one (overlaps file I/O with downstream work)."""
+    import queue
+    import threading
+
+    work: queue.Queue = queue.Queue(maxsize=depth)
+    sentinel = object()
+    errors: list[BaseException] = []
+
+    def producer() -> None:
+        try:
+            for chunk in reader:
+                work.put(chunk)
+        except BaseException as err:
+            errors.append(err)
+        finally:
+            work.put(sentinel)
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+    while True:
+        item = work.get()
+        if item is sentinel:
+            break
+        yield item
+    thread.join()
+    if errors:
+        raise errors[0]
