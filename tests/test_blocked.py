@@ -78,3 +78,28 @@ def test_auto_blocked_equals_in_memory(catalogs, config):
         blocked.rr.counts.counts, full.rr.counts.counts, rtol=1e-6, atol=1e-3
     )
     assert_allclose(blocked.sample().data, full.sample().data, rtol=1e-6)
+
+
+def test_audit_through_public_api(catalogs, config):
+    reference, unknown, randoms = catalogs
+    (plain,) = crosscorrelate(
+        config, reference, unknown, ref_rand=randoms, backend="xla"
+    )
+    (audited,) = crosscorrelate(
+        config, reference, unknown, ref_rand=randoms, backend="xla",
+        audit=True,
+    )
+    # random mock data: at most accumulation-level differences
+    assert_allclose(
+        audited.dd.counts.counts, plain.dd.counts.counts,
+        rtol=1e-5, atol=1e-2,
+    )
+    assert_allclose(audited.sample().data, plain.sample().data, rtol=1e-4)
+
+
+def test_audit_rejects_blocked_mode(catalogs, config):
+    reference, _, randoms = catalogs
+    with pytest.raises(NotImplementedError, match="audit"):
+        autocorrelate(
+            config, reference, randoms, audit=True, max_resident_patches=5
+        )

@@ -355,3 +355,97 @@ class TestThresholds:
         cum_w = np.arange(9.0)[None, None, :] * 5.0
         total_w = weighted.counts_to_scales(cum_w).sum()
         assert_allclose(total_w, 5.0, rtol=1e-12)
+
+
+class TestBoundaryAudit:
+    """Exact-boundary audit: engineered on-edge pairs are repaired to the
+    float64 oracle classification."""
+
+    def _measure(self, rng, nudge, audit):
+        from yet_another_wizz_tpu.ops.paircount import audit_boundary_counts
+
+        num_bins, num_patches, tile_size = 2, 4, 64
+        edges_deg = np.array([0.2, 1.0])
+        xyz1, w1, z1 = random_cap_catalog(rng, 400, num_bins)
+        xyz2, w2, z2 = random_cap_catalog(rng, 600, num_bins)
+
+        # an engineered heavy pair at angle nudge * upper edge: lands within
+        # float32 resolution of the bin boundary for nudge ~ 1
+        theta = np.deg2rad(edges_deg[1]) * nudge
+        a = radec_to_xyz([1.0], [0.3])[0]
+        t = np.cross(a, [0.0, 0.0, 1.0])
+        t /= np.linalg.norm(t)
+        b = np.cos(theta) * a + np.sin(theta) * t
+        xyz1 = np.vstack([xyz1, a])
+        xyz2 = np.vstack([xyz2, b])
+        w1 = np.append(w1, 100.0)
+        w2 = np.append(w2, 100.0)
+        z1 = np.append(z1, 0)
+        z2 = np.append(z2, 0)
+
+        patch_rng = np.random.default_rng(3)
+        patch1 = simple_patches(xyz1, num_patches, patch_rng)
+        centers = xyz1[np.random.default_rng(3).choice(
+            len(xyz1), num_patches, replace=False)]
+        patch2 = np.argmax(xyz2 @ centers.T, axis=1)
+
+        ts1 = build_tile_set(
+            xyz1, patch1, num_patches, weights=w1, zbins=z1,
+            num_bins=num_bins, tile_size=tile_size,
+        )
+        ts2 = build_tile_set(
+            xyz2, patch2, num_patches, weights=w2, tile_size=tile_size,
+        )
+        edges = np.deg2rad(np.tile(edges_deg, (num_bins, 1)))
+        chord2 = ((2 * np.sin(edges / 2)) ** 2).astype(np.float32)
+        pcenters, pradii = patch_geometry(xyz1, patch1, num_patches)
+        linkage = build_linkage(pcenters, pradii, edges.max() * 1.000001)
+        pairs = build_tile_pairs(ts1, ts2, linkage, auto=False)
+
+        result = count_pairs_tiles(
+            ts1, ts2, pairs, chord2, backend="xla",
+            edges_radian=edges, audit=audit,
+        )
+        expect = count_pairs_oracle(
+            xyz1, w1, z1, patch1, xyz2, w2, None, patch2,
+            pairs.slot_patches, edges,
+        )
+        _, num_flagged = audit_boundary_counts(
+            ts1, ts2, pairs, result, chord2, edges
+        )
+        return result, expect, num_flagged
+
+    @pytest.mark.parametrize(
+        "nudge", [1.0, 1.0 + 1e-8, 1.0 + 5e-8, 1.0 - 5e-8]
+    )
+    def test_on_edge_pair_matches_oracle(self, rng, nudge):
+        result, expect, num_flagged = self._measure(rng, nudge, audit=True)
+        assert num_flagged >= 1
+        # without audit the engineered pair (weight 1e4) may sit in the
+        # wrong bin; audited counts must match float64 classification
+        assert_allclose(result, expect, rtol=1e-5, atol=1e-2)
+
+    def test_genuine_flip_repaired(self, rng):
+        # nudge inside the (t32, t64) threshold gap: the float32 engine
+        # provably classifies the heavy pair into the wrong side of the bin
+        # edge (error = the full 1e4 pair weight) and the audit repairs it
+        nudge = 1.0 + 1e-8
+        raw, expect, _ = self._measure(
+            np.random.default_rng(12345), nudge, audit=False
+        )
+        fixed, expect, num_flagged = self._measure(
+            np.random.default_rng(12345), nudge, audit=True
+        )
+        assert np.abs(raw - expect).max() > 100.0  # whole pair misplaced
+        assert num_flagged >= 1
+        assert np.abs(fixed - expect).max() < 1e-3
+
+    def test_far_from_edges_passes_through(self, rng):
+        result, expect, num_flagged = self._measure(rng, 0.5, audit=True)
+        assert_allclose(result, expect, rtol=1e-4, atol=0.5)
+
+    def test_audit_requires_edges(self, rng):
+        with pytest.raises(ValueError, match="edges_radian"):
+            count_pairs_tiles(
+                None, None, None, np.zeros((1, 2), np.float32), audit=True
+            )

@@ -165,6 +165,7 @@ class PatchLinkage:
         progress: bool = False,
         max_workers: int | None = None,
         count_type_info: str | None = None,
+        audit: bool = False,
     ) -> list[NormalisedCounts]:
         """Count pairs between two catalogs (or within one for an
         autocorrelation), one :class:`NormalisedCounts` per scale.
@@ -184,6 +185,10 @@ class PatchLinkage:
             binned2 = auto
 
         if max_resident_patches is not None:
+            if audit:
+                raise NotImplementedError(
+                    "audit=True is not supported with max_resident_patches"
+                )
             counts, sum_weights = self._run_blocked(
                 catalog1, catalog2, auto=auto, binned2=binned2, mode=mode,
                 backend=backend, max_resident_patches=max_resident_patches,
@@ -191,7 +196,7 @@ class PatchLinkage:
         else:
             counts, sum_weights = self._run_engine(
                 catalog1, catalog2, auto=auto, binned2=binned2, mode=mode,
-                backend=backend,
+                backend=backend, audit=audit,
             )
         return [
             NormalisedCounts(per_scale, sum_weights) for per_scale in counts
@@ -265,7 +270,10 @@ class PatchLinkage:
         )
         return counts, sum_weights
 
-    def _run_engine(self, catalog1, catalog2, *, auto, binned2, mode, backend="auto"):
+    def _run_engine(
+        self, catalog1, catalog2, *, auto, binned2, mode, backend="auto",
+        audit=False,
+    ):
         binning = self.config.binning.binning
         num_bins = len(binning)
         num_patches = catalog1.num_patches
@@ -283,7 +291,7 @@ class PatchLinkage:
         )
         cumulative = count_pairs_tiles(
             tiles1, tiles2, pairs, self.edges.chord2_table,
-            backend=backend, edges_radian=self.edges.edges,
+            backend=backend, edges_radian=self.edges.edges, audit=audit,
         )
         per_scale = self.edges.counts_to_scales(cumulative)  # (S, slots, B)
 
@@ -318,6 +326,7 @@ def autocorrelate(
     max_resident_patches: int | None = None,
     progress: bool = False,
     max_workers: int | None = None,
+    audit: bool = False,
 ) -> list[CorrFunc]:
     """Measure the angular autocorrelation amplitude of a catalog in bins
     of redshift.
@@ -327,7 +336,10 @@ def autocorrelate(
     becomes available.
     """
     ensure_unique_catalogs(data, random)
-    kwargs = dict(progress=progress, max_workers=max_workers, backend=backend)
+    kwargs = dict(
+        progress=progress, max_workers=max_workers, backend=backend,
+        max_resident_patches=max_resident_patches, audit=audit,
+    )
 
     logger.info(
         "computing auto-correlation from DD, DR%s", ", RR" if count_rr else ""
@@ -363,6 +375,7 @@ def crosscorrelate(
     max_resident_patches: int | None = None,
     progress: bool = False,
     max_workers: int | None = None,
+    audit: bool = False,
 ) -> list[CorrFunc]:
     """Measure the angular cross-correlation amplitude between the unknown
     sample and redshift slices of the reference sample.
@@ -379,7 +392,7 @@ def crosscorrelate(
 
     kwargs = dict(
         progress=progress, max_workers=max_workers, backend=backend,
-        max_resident_patches=max_resident_patches,
+        max_resident_patches=max_resident_patches, audit=audit,
     )
     logger.info(
         "computing cross-correlation from DD%s%s%s",

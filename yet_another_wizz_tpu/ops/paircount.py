@@ -39,6 +39,7 @@ if TYPE_CHECKING:
     from yet_another_wizz_tpu.ops.tiles import TileSet
 
 __all__ = [
+    "audit_boundary_counts",
     "count_pairs_tiles",
     "pair_block_counts",
 ]
@@ -160,6 +161,157 @@ def _count_pairs_xla(
     return acc[:-1]
 
 
+def _pair_block_boundary(
+    lane1: jnp.ndarray,
+    lane2: jnp.ndarray,
+    chord2_table: jnp.ndarray,
+    band_table: jnp.ndarray,
+    *,
+    cols_binned: bool,
+) -> jnp.ndarray:
+    """Scalar bool: does any valid pair of the two tiles fall within the
+    float32 resolution band of one of its bin's thresholds? Same distance
+    math as :func:`pair_block_counts`."""
+    num_bins, num_edges = chord2_table.shape
+    tile1 = lane1.T
+
+    chord2 = None
+    for dim in range(3):
+        d_hi = tile1[:, dim : dim + 1] - lane2[dim : dim + 1, :]
+        d_lo = tile1[:, 3 + dim : 4 + dim] - lane2[3 + dim : 4 + dim, :]
+        d = d_hi + d_lo
+        chord2 = d * d if chord2 is None else chord2 + d * d
+
+    w_rows = tile1[:, 6:7]  # (T, 1)
+    w_cols = lane2[6:7, :]  # (1, T)
+    valid = (w_rows > 0.0) & (w_cols > 0.0)
+    if cols_binned:
+        valid &= tile1[:, 7:8] == lane2[7:8, :]
+
+    # per-row thresholds/bands of the row's own bin (exact one-hot select)
+    z_rows = tile1[:, 7:8]
+    bin_ids = jnp.arange(num_bins, dtype=jnp.float32)[None, :]
+    onehot = (z_rows == bin_ids).astype(jnp.float32)  # (T, B)
+    thresholds = jnp.sum(
+        onehot[:, :, None] * chord2_table[None, :, :], axis=1
+    )  # (T, E)
+    bands = jnp.sum(onehot[:, :, None] * band_table[None, :, :], axis=1)
+
+    hit = jnp.zeros(chord2.shape, dtype=bool)
+    for e in range(num_edges):
+        near = jnp.abs(chord2 - thresholds[:, e : e + 1]) <= bands[:, e : e + 1]
+        hit |= near
+    return jnp.any(hit & valid)
+
+
+@partial(jax.jit, static_argnames=("cols_binned", "chunk_size"))
+def _boundary_flags_xla(
+    lane1, lane2, tile1, tile2, chord2_table, band_table,
+    *,
+    cols_binned: bool,
+    chunk_size: int,
+):
+    num_chunks = len(tile1) // chunk_size
+    shape = (num_chunks, chunk_size)
+    flag_fn = jax.vmap(
+        partial(_pair_block_boundary, cols_binned=cols_binned),
+        in_axes=(0, 0, None, None),
+    )
+
+    def body(_, chunk):
+        idx1, idx2 = chunk
+        return None, flag_fn(lane1[idx1], lane2[idx2], chord2_table, band_table)
+
+    _, flags = jax.lax.scan(
+        body, None, (tile1.reshape(shape), tile2.reshape(shape))
+    )
+    return flags.reshape(-1)
+
+
+def audit_boundary_counts(
+    tiles1: TileSet,
+    tiles2: TileSet,
+    pairs: TilePairs,
+    counts: NDArray,
+    chord2_table: NDArray,
+    edges_radian: NDArray,
+    *,
+    rel_band: float = 1e-6,
+    chunk_size: int = 16,
+) -> tuple[NDArray, int]:
+    """Exact-boundary audit: certify or repair float32 edge classification.
+
+    The device engine classifies pairs against float32 squared-chord
+    thresholds; a pair whose true distance lies within the float32
+    resolution (~1.4e-7 relative) of a bin edge can land on the wrong side
+    compared to the float64 reference (a whole pair weight of error in one
+    bin, see /root/reference/src/yaw/catalog/trees.py:303-362 for the
+    float64 semantics being matched). This pass flags — on device, at full
+    engine throughput — every tile pair containing such a boundary-band
+    pair, then recomputes exactly the flagged patch-pair slots with the
+    float64 host oracle.
+
+    Returns ``(corrected_counts, num_flagged_slots)``; with zero flagged
+    slots the device counts are certified free of boundary
+    misclassification (remaining deviation is float32 accumulation
+    rounding only).
+    """
+    from yet_another_wizz_tpu.coordinates import angle_to_chord
+    from yet_another_wizz_tpu.ops.cpu_oracle import count_pairs_oracle
+
+    if pairs.num_pairs == 0:
+        return counts, 0
+
+    # band: engine distance error (relative) plus the float32 rounding of
+    # the float64 threshold itself, with a 2x safety margin
+    t64 = angle_to_chord(np.asarray(edges_radian, dtype=np.float64)) ** 2
+    t32 = np.asarray(chord2_table, dtype=np.float64)
+    band = 2.0 * (rel_band * t64 + np.abs(t32 - t64))
+    band_table = jnp.asarray(band, dtype=jnp.float32)
+    table = jnp.asarray(chord2_table, dtype=jnp.float32)
+
+    num_pairs = pairs.num_pairs
+    padded = -(-num_pairs // chunk_size) * chunk_size
+    tile1 = np.zeros(padded, dtype=np.int32)
+    tile2 = np.zeros(padded, dtype=np.int32)
+    tile1[:num_pairs] = pairs.tile1
+    tile2[:num_pairs] = pairs.tile2
+    # padding repeats pair 0; it only re-tests an already-tested tile pair
+    tile1[num_pairs:] = pairs.tile1[0]
+    tile2[num_pairs:] = pairs.tile2[0]
+
+    flags = np.asarray(
+        jax.device_get(
+            _boundary_flags_xla(
+                tiles1.device_data(),
+                tiles2.device_data(),
+                jnp.asarray(tile1),
+                jnp.asarray(tile2),
+                table,
+                band_table,
+                cols_binned=tiles2.binned,
+                chunk_size=chunk_size,
+            )
+        )
+    )[:num_pairs]
+
+    flagged_slots = np.unique(pairs.slot[flags])
+    if len(flagged_slots) == 0:
+        return counts, 0
+
+    xyz1, w1, z1, p1 = _unpack_tileset(tiles1)
+    xyz2, w2, z2, p2 = _unpack_tileset(tiles2)
+    oracle = count_pairs_oracle(
+        xyz1, w1, z1, p1,
+        xyz2, w2, (z2 if tiles2.binned else None), p2,
+        pairs.slot_patches[flagged_slots],
+        np.asarray(edges_radian, dtype=np.float64),
+    )
+    corrected = np.array(counts, dtype=np.float64, copy=True)
+    corrected[flagged_slots] = oracle
+    return corrected, int(len(flagged_slots))
+
+
 def _unpack_tileset(tiles: TileSet):
     """Recover per-point float64 arrays from a tile set (hi + lo restores
     the original coordinates to ~1e-15; padding rows carry zero weight)."""
@@ -193,6 +345,7 @@ def count_pairs_tiles(
     backend: str = "auto",
     chunk_size: int = 16,
     edges_radian: NDArray | None = None,
+    audit: bool = False,
 ) -> NDArray:
     """Run the pair-count engine over a tile-pair list.
 
@@ -202,7 +355,13 @@ def count_pairs_tiles(
     Backends: ``pallas`` (TPU kernel), ``xla`` (portable jax.numpy path),
     ``oracle`` (float64 scipy kd-trees on the host, requires
     ``edges_radian``; used for validation), or ``auto``.
+
+    With ``audit=True`` (requires ``edges_radian``) the result passes
+    through :func:`audit_boundary_counts`, which repairs any float32
+    bin-edge misclassification against the float64 reference semantics.
     """
+    if audit and edges_radian is None:
+        raise ValueError("audit=True requires 'edges_radian'")
     cols_binned = tiles2.binned
     if cols_binned and tiles1.num_bins != tiles2.num_bins:
         raise ValueError("tile sets have inconsistent binning")
@@ -260,4 +419,16 @@ def count_pairs_tiles(
     else:
         raise ValueError(f"unknown backend '{backend}'")
 
-    return np.asarray(jax.device_get(result), dtype=np.float64)
+    counts = np.asarray(jax.device_get(result), dtype=np.float64)
+    if audit:
+        counts, num_flagged = audit_boundary_counts(
+            tiles1, tiles2, pairs, counts, chord2_table, edges_radian
+        )
+        if num_flagged:
+            import logging
+
+            logging.getLogger(__name__).info(
+                "boundary audit: %d patch-pair slot(s) recomputed in "
+                "float64", num_flagged,
+            )
+    return counts
