@@ -159,3 +159,43 @@ class TestAutocorrelationConventions:
         reference, _, randoms = mock_catalogs
         with pytest.raises(ValueError, match="separate"):
             autocorrelate(config, reference, reference)
+
+
+class TestEstimatorOverride:
+    """`sample(estimator=...)` forces a registered estimator (reference
+    auto-selects only, /root/reference/src/yaw/correlation/corrfunc.py:238)."""
+
+    @pytest.fixture(scope="class")
+    def corrfunc_with_rr(self, mock_catalogs, config):
+        reference, _, randoms = mock_catalogs
+        (w_ss,) = autocorrelate(
+            config, reference, randoms, backend="xla", count_rr=True
+        )
+        return w_ss
+
+    def test_default_is_landy_szalay(self, corrfunc_with_rr):
+        auto = corrfunc_with_rr.sample()
+        forced = corrfunc_with_rr.sample(estimator="LS")
+        assert_allclose(forced.data, auto.data, rtol=1e-12)
+
+    def test_force_davis_peebles_ignores_rr(self, mock_catalogs, config, corrfunc_with_rr):
+        reference, _, randoms = mock_catalogs
+        forced = corrfunc_with_rr.sample(estimator="DP")
+        (no_rr,) = autocorrelate(
+            config, reference, randoms, backend="xla", count_rr=False
+        )
+        assert_allclose(forced.data, no_rr.sample().data, rtol=1e-10)
+
+    def test_force_ls_without_rr_raises(self, mock_catalogs, config):
+        from yet_another_wizz_tpu.models.estimators import EstimatorError
+
+        reference, _, randoms = mock_catalogs
+        (w_ss,) = autocorrelate(
+            config, reference, randoms, backend="xla", count_rr=False
+        )
+        with pytest.raises(EstimatorError, match="RR"):
+            w_ss.sample(estimator="LS")
+
+    def test_unknown_estimator_name(self, corrfunc_with_rr):
+        with pytest.raises(ValueError, match="unknown estimator"):
+            corrfunc_with_rr.sample(estimator="XX")

@@ -300,3 +300,28 @@ class TestLockFile:
         )
         # hist already complete; nothing rescheduled
         assert all(task.name != "hist" for task in resumed.tasks)
+
+
+class TestTaskOptions:
+    """Tasks may carry options as single-key mappings in the YAML list."""
+
+    def test_estimate_options(self, data_files, tmp_path):
+        tasks = [
+            "cross_corr",
+            {"estimate": {"method": "bootstrap", "num_samples": 100,
+                          "estimator": "DP"}},
+        ]
+        pipeline = run(tmp_path, base_setup(data_files, tasks))
+        nz = pipeline.project.estimate.nz_est[1].load()
+        assert nz.method == "bootstrap"
+        assert nz.samples.shape[0] == 100
+
+    def test_unknown_option_rejected(self, data_files, tmp_path):
+        tasks = ["cross_corr", {"estimate": {"bogus": 1}}]
+        with pytest.raises(ConfigError, match="bogus"):
+            run(tmp_path, base_setup(data_files, tasks))
+
+    def test_malformed_entry_rejected(self, data_files, tmp_path):
+        tasks = [{"cross_corr": None, "estimate": None}]
+        with pytest.raises(ConfigError, match="single-key"):
+            run(tmp_path, base_setup(data_files, tasks))

@@ -79,7 +79,12 @@ inputs:
     # store the cached catalogs outside the project directory
     # cache_path: null
 
-# Tasks to execute (cache_ref/cache_unk are linked automatically):
+# Tasks to execute (cache_ref/cache_unk are linked automatically).
+# A task may carry options as a single-key mapping, e.g.
+#   - estimate:
+#       method: bootstrap   # resampling (jackknife, bootstrap)
+#       num_samples: 500    # bootstrap realisations
+#       estimator: DP       # force an estimator (DP, LS)
 tasks:
   - auto_ref
   - cross_corr

@@ -237,7 +237,7 @@ class ProjectConfig:
         self,
         correlation: Configuration,
         inputs: InputsConfig,
-        tasks: list[str],
+        tasks: list,
     ) -> None:
         self.correlation = correlation
         self.inputs = inputs

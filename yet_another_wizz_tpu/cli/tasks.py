@@ -51,6 +51,7 @@ class Task(ABC):
     name: str
     requires: tuple[str, ...] = ()
     optional: tuple[str, ...] = ()
+    allowed_options: tuple[str, ...] = ()
 
     def __init_subclass__(cls) -> None:
         super().__init_subclass__()
@@ -64,11 +65,20 @@ class Task(ABC):
         *,
         progress: bool = False,
         max_workers: int | None = None,
+        options: dict | None = None,
     ) -> None:
         self.project = project
         self.config = config
         self.progress = progress
         self.max_workers = max_workers
+        self.options = dict(options or {})
+        unknown = set(self.options) - set(self.allowed_options)
+        if unknown:
+            raise ConfigError(
+                f"task '{self.name}' does not accept option(s): "
+                f"{', '.join(sorted(unknown))}",
+                f"tasks.{self.name}",
+            )
 
     def __repr__(self) -> str:
         return f"{type(self).__name__}()"
@@ -295,6 +305,7 @@ class EstimateTask(Task):
     name = "estimate"
     requires = ("cross_corr",)
     optional = ("auto_ref", "auto_unk")
+    allowed_options = ("method", "num_samples", "estimator")
 
     def check_config(self, scheduled: set[str]) -> None:
         pass
@@ -305,21 +316,27 @@ class EstimateTask(Task):
     def run(self) -> None:
         from yet_another_wizz_tpu.redshifts import RedshiftData
 
+        kwargs = dict(
+            method=self.options.get("method", "jackknife"),
+            num_samples=self.options.get("num_samples"),
+            estimator=self.options.get("estimator"),
+        )
+
         auto_ref_data = None
         if self.project.paircounts.auto_ref.exists():
             auto_ref = self.project.paircounts.auto_ref.load()
-            auto_ref_data = auto_ref.sample()
+            auto_ref_data = auto_ref.sample(**kwargs)
             self.project.estimate.auto_ref.save(auto_ref_data)
 
         for index in self.project.indices:
             cross = self.project.paircounts.cross[index].load()
-            cross_data = cross.sample()
+            cross_data = cross.sample(**kwargs)
             self.project.estimate.cross[index].save(cross_data)
 
             auto_unk_data = None
             if self.project.paircounts.auto_unk[index].exists():
                 auto_unk = self.project.paircounts.auto_unk[index].load()
-                auto_unk_data = auto_unk.sample()
+                auto_unk_data = auto_unk.sample(**kwargs)
                 self.project.estimate.auto_unk[index].save(auto_unk_data)
 
             nz_est = RedshiftData.from_corrdata(
@@ -391,7 +408,30 @@ class TaskList:
         max_workers: int | None = None,
         resume: bool = False,
     ) -> None:
-        names = list(dict.fromkeys(config.tasks))  # unique, order-stable
+        # entries are task names or single-key mappings name -> options
+        task_options: dict[str, dict] = {}
+        names = []
+        for entry in config.tasks:
+            if isinstance(entry, str):
+                name, options = entry, {}
+            elif isinstance(entry, dict) and len(entry) == 1:
+                name, options = next(iter(entry.items()))
+                if options is None:
+                    options = {}
+                if not isinstance(options, dict):
+                    raise ConfigError(
+                        f"task '{name}' options must be a mapping",
+                        f"tasks.{name}",
+                    )
+            else:
+                raise ConfigError(
+                    "each task must be a name or a single-key mapping "
+                    "of name to options",
+                    "tasks",
+                )
+            if name not in names:
+                names.append(name)
+            task_options.setdefault(name, {}).update(options)
         unknown = [name for name in names if name not in _REGISTRY]
         if unknown:
             raise ConfigError(
@@ -410,7 +450,8 @@ class TaskList:
 
         self.tasks = {
             name: _REGISTRY[name](
-                project, config, progress=progress, max_workers=max_workers
+                project, config, progress=progress, max_workers=max_workers,
+                options=task_options.get(name),
             )
             for name in scheduled
         }

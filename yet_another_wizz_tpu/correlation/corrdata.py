@@ -333,8 +333,8 @@ class CorrData(AsciiSerializable, SampledData):
         path_prefix = Path(path_prefix)
 
         edges, closed, data, _ = _load_data_file(path_prefix.with_suffix(".dat"))
-        samples = _load_samples_file(path_prefix.with_suffix(".smp"))
-        return cls(Binning(edges, closed=closed), data, samples)
+        samples, method = _load_samples_file(path_prefix.with_suffix(".smp"))
+        return cls(Binning(edges, closed=closed), data, samples, method=method)
 
     def to_files(self, path_prefix: Path | str) -> None:
         """Write ``.dat`` (edges, data, error), ``.smp`` (samples) and
@@ -361,6 +361,8 @@ class CorrData(AsciiSerializable, SampledData):
             self.binning.right,
             self.samples,
             closed,
+            label="jack" if self.method == ResamplingMethod.jackknife
+            else "boot",
         )
         _write_covariance_file(
             path_prefix.with_suffix(".cov"),
@@ -409,9 +411,11 @@ def _load_data_file(path):
     return edges, closed, data, error
 
 
-def _write_samples_file(path, description, zleft, zright, samples, closed):
+def _write_samples_file(
+    path, description, zleft, zright, samples, closed, label="jack"
+):
     with Path(path).open("w") as f:
-        columns = [f"jack_{i}" for i in range(len(samples))]
+        columns = [f"{label}_{i}" for i in range(len(samples))]
         _write_header(f, description, _column_header(columns, closed))
         for lo, hi, sample_col in zip(zleft, zright, samples.T):
             values = [
@@ -425,7 +429,17 @@ def _write_samples_file(path, description, zleft, zright, samples, closed):
 
 
 def _load_samples_file(path):
-    return np.loadtxt(path).T[2:]  # strip the two binning columns
+    samples = np.loadtxt(path).T[2:]  # strip the two binning columns
+    # the description line records the resampling method that produced the
+    # samples (e.g. "64 correlation function jackknife samples")
+    method = ResamplingMethod.jackknife
+    with Path(path).open() as f:
+        first = f.readline()
+    for candidate in ResamplingMethod:
+        if str(candidate.value) in first:
+            method = candidate
+            break
+    return samples, method
 
 
 def _write_covariance_file(path, description, covariance):

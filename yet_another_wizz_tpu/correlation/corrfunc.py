@@ -223,6 +223,7 @@ class BaseCorrFunc(
         self,
         method: ResamplingMethod | str = ResamplingMethod.jackknife,
         num_samples: int | None = None,
+        estimator: str | None = None,
     ) -> CorrData:
         """Estimate the correlation function per redshift bin.
 
@@ -233,23 +234,51 @@ class BaseCorrFunc(
         Args:
             method: ``jackknife`` (default) or ``bootstrap``.
             num_samples: number of bootstrap realisations (bootstrap only).
+            estimator: optional estimator override by registered name
+                (``DP``, ``LS``, ...); by default the most appropriate
+                estimator for the stored counts is chosen.
         """
-        estimator = self.get_estimator()
+        from inspect import Parameter, signature
+
+        from yet_another_wizz_tpu.models.estimators import get_estimator
+
+        if estimator is None:
+            estimator_fn = self.get_estimator()
+        else:
+            estimator_fn = get_estimator(estimator)
         logger.debug(
-            "sampling correlation function with estimator '%s'", estimator.name
+            "sampling correlation function with estimator '%s'",
+            estimator_fn.name,
         )
+
+        params = signature(estimator_fn).parameters
+        required = {
+            name
+            for name, param in params.items()
+            if param.default is Parameter.empty
+        }
+        missing = required - {
+            key for key, counts in self._counts.items() if counts is not None
+        }
+        if missing:
+            raise EstimatorError(
+                f"estimator '{estimator_fn.name}' requires pair counts "
+                f"not measured here: {', '.join(sorted(missing)).upper()}"
+            )
 
         totals = {}
         samples = {}
         for key, counts in self._counts.items():
+            if key not in params:
+                continue  # e.g. forced DP ignores measured RR
             sampled = counts.sample_patch_sum(method, num_samples)
             totals[key] = sampled.data
             samples[key] = sampled.samples
 
         return CorrData(
             self.binning,
-            estimator(**totals),
-            estimator(**samples),
+            estimator_fn(**totals),
+            estimator_fn(**samples),
             method=method,
         )
 
