@@ -37,7 +37,7 @@ def test_virtual_devices_available():
     assert len(jax.devices()) == 8
 
 
-@pytest.mark.parametrize("data_sharding", ["replicated", "columns"])
+@pytest.mark.parametrize("data_sharding", ["replicated", "columns", "ring"])
 def test_sharded_matches_single_device(problem, data_sharding):
     ts1, ts2, pairs, chord2 = problem
     single = count_pairs_tiles(ts1, ts2, pairs, chord2, backend="xla")
@@ -63,6 +63,31 @@ def test_column_sharding_distributes_tiles(problem):
         count_pairs_sharded(
             ts1, ts2, pairs, chord2, mesh=mesh, data_sharding="rows"
         )
+
+
+def test_ring_sharding_auto_binned(problem):
+    """Ring rotation with a binned column catalog (autocorrelation-style
+    counting) and a mesh size that does not divide the tile count."""
+    rng = np.random.default_rng(4242)
+    num_bins, num_patches = 2, 4
+    xyz, w, z = random_cap_catalog(rng, 2500, num_bins)
+    patch = simple_patches(xyz, num_patches, np.random.default_rng(3))
+    ts = build_tile_set(
+        xyz, patch, num_patches, weights=w, zbins=z, num_bins=num_bins,
+        tile_size=64,
+    )
+    edges = np.deg2rad(np.tile((0.2, 1.0), (num_bins, 1)))
+    chord2 = ((2 * np.sin(edges / 2)) ** 2).astype(np.float32)
+    centers, radii = patch_geometry(xyz, patch, num_patches)
+    linkage = build_linkage(centers, radii, edges.max() * 1.000001)
+    pairs = build_tile_pairs(ts, ts, linkage, auto=True)
+    single = count_pairs_tiles(ts, ts, pairs, chord2, backend="xla")
+    for n_dev in (3, 8):
+        mesh = default_mesh(n_dev)
+        ring = count_pairs_sharded(
+            ts, ts, pairs, chord2, mesh=mesh, data_sharding="ring"
+        )
+        assert_allclose(ring, single, rtol=1e-5, atol=1e-2)
 
 
 def test_graft_entry_contract():

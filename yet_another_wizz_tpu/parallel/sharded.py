@@ -105,6 +105,13 @@ def count_pairs_sharded(
       at all, only the final ``psum``. Per-device memory for the (usually
       much larger) column side scales as 1/num_devices; the natural
       layout for randoms catalogs on pods.
+    - ``"ring"``: BOTH catalogs sharded 1/num_devices. Column shards stay
+      pinned; the row shard rotates one hop around the ICI ring per step
+      (``ppermute``), so after num_devices steps every (row shard, column
+      shard) combination has met exactly once on some device. The compute
+      of step s+1 overlaps the ring transfer of step s in XLA's schedule;
+      per-device memory for both catalogs scales as 1/num_devices — the
+      layout for survey-scale inputs that fit on no single chip.
     """
     mesh = mesh or default_mesh()
     num_devices = mesh.devices.size
@@ -155,6 +162,12 @@ def count_pairs_sharded(
 
         lane1 = jax.device_put(tiles1.lane_data, replicated)
         lane2 = jax.device_put(lane2_padded, sharded)
+    elif data_sharding == "ring":
+        return _count_pairs_ring(
+            tiles1, tiles2, pairs, table,
+            mesh=mesh, chunk_size=chunk_size,
+            cols_binned=cols_binned, num_slots=num_slots,
+        )
     elif data_sharding == "replicated":
         # equal contiguous chunks of the slot-sorted pair list
         quantum = num_devices * chunk_size
@@ -196,4 +209,130 @@ def count_pairs_sharded(
         return jax.lax.psum(local, MESH_AXIS)
 
     result = sharded_counts(lane1, lane2, tile1, tile2, slots, table)
+    return np.asarray(jax.device_get(result), dtype=np.float64)[:-1]
+
+
+def _pad_tiles_to_shards(lane_data, num_devices):
+    """Pad a tile array so it splits into equal per-device shards."""
+    num_tiles = len(lane_data)
+    shard = max(1, -(-num_tiles // num_devices))
+    total = num_devices * shard
+    if total != num_tiles:
+        pad = np.zeros(
+            (total - num_tiles, *lane_data.shape[1:]), dtype=lane_data.dtype
+        )
+        lane_data = np.concatenate([lane_data, pad])
+    return lane_data, shard
+
+
+def _count_pairs_ring(
+    tiles1, tiles2, pairs, table,
+    *,
+    mesh, chunk_size, cols_binned, num_slots,
+):
+    """Both-sides-sharded execution: column shards pinned per device, the
+    row shard rotates around the ring; device d at step s processes the
+    pairs whose column tile it owns and whose row tile lives in the shard
+    currently resident, i.e. shard ``(d - s) mod N``."""
+    num_devices = mesh.devices.size
+
+    lane1_padded, shard1 = _pad_tiles_to_shards(
+        tiles1.lane_data, num_devices
+    )
+    lane2_padded, shard2 = _pad_tiles_to_shards(
+        tiles2.lane_data, num_devices
+    )
+
+    owner1 = pairs.tile1 // shard1
+    owner2 = pairs.tile2 // shard2
+    step_of_pair = (owner2 - owner1) % num_devices  # met at this ring step
+
+    # bucket pairs by (device, step); pad all buckets to a common chunked
+    # length with dump-slot entries (local tile 0 of whatever is resident)
+    key = owner2 * num_devices + step_of_pair
+    order = np.argsort(key, kind="stable")
+    counts = np.bincount(key, minlength=num_devices * num_devices)
+    longest = -(-max(int(counts.max()), 1) // chunk_size) * chunk_size
+
+    shape = (num_devices, num_devices, longest)
+    tile1 = np.zeros(shape, dtype=np.int32)
+    tile2 = np.zeros(shape, dtype=np.int32)
+    slots = np.full(shape, num_slots, dtype=np.int32)
+    bounds = np.concatenate([[0], np.cumsum(counts)])
+    for device in range(num_devices):
+        for step in range(num_devices):
+            bucket = device * num_devices + step
+            sel = order[bounds[bucket] : bounds[bucket + 1]]
+            n = len(sel)
+            # local indices within the resident row shard / owned col shard
+            row_shard = (device - step) % num_devices
+            tile1[device, step, :n] = pairs.tile1[sel] - row_shard * shard1
+            tile2[device, step, :n] = pairs.tile2[sel] - device * shard2
+            slots[device, step, :n] = pairs.slot[sel]
+
+    replicated = NamedSharding(mesh, P())
+    sharded = NamedSharding(mesh, P(MESH_AXIS))
+    lane1 = jax.device_put(
+        lane1_padded.reshape(num_devices, shard1, *lane1_padded.shape[1:]),
+        sharded,
+    )
+    lane2 = jax.device_put(
+        lane2_padded.reshape(num_devices, shard2, *lane2_padded.shape[1:]),
+        sharded,
+    )
+    table = jax.device_put(table, replicated)
+    tile1 = jax.device_put(jnp.asarray(tile1), sharded)
+    tile2 = jax.device_put(jnp.asarray(tile2), sharded)
+    slots = jax.device_put(jnp.asarray(slots), sharded)
+
+    perm = [(i, (i + 1) % num_devices) for i in range(num_devices)]
+
+    @jax.jit
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(MESH_AXIS), P(MESH_AXIS), P(MESH_AXIS), P(MESH_AXIS),
+            P(MESH_AXIS), P(),
+        ),
+        out_specs=P(),
+    )
+    def ring_counts(lane1, lane2, tile1, tile2, slots, table):
+        # leading mesh axis is size 1 inside the shard
+        lane1_resident = lane1[0]
+        lane2_local = lane2[0]
+
+        def step(carry, step_data):
+            resident, acc = carry
+            idx1, idx2, slot = step_data
+            partial_acc = _partial_counts(
+                resident, lane2_local, idx1, idx2, slot, table,
+                cols_binned=cols_binned,
+                num_slots=num_slots,
+                chunk_size=chunk_size,
+            )
+            acc = acc + partial_acc
+            # rotate the row shard one hop around the ring
+            resident = jax.lax.ppermute(resident, MESH_AXIS, perm)
+            return (resident, acc), None
+
+        init_acc = jnp.zeros(
+            (num_slots + 1, *table.shape), dtype=jnp.float32
+        )
+        if hasattr(jax.lax, "pcast"):
+            init_acc = jax.lax.pcast(
+                init_acc, to="varying", axis_name=MESH_AXIS
+            )
+        else:  # pragma: no cover - older jax
+            init_acc = jax.lax.pvary(init_acc, MESH_AXIS)
+        # xs leading axis = ring steps; each step consumes a flat padded
+        # pair list which _partial_counts chunks internally
+        (_, acc), _ = jax.lax.scan(
+            step,
+            (lane1_resident, init_acc),
+            (tile1[0], tile2[0], slots[0]),
+        )
+        return jax.lax.psum(acc, MESH_AXIS)
+
+    result = ring_counts(lane1, lane2, tile1, tile2, slots, table)
     return np.asarray(jax.device_get(result), dtype=np.float64)[:-1]
