@@ -126,3 +126,66 @@ class TestDistributedHelpers:
         parallel.barrier()  # no-op
         payload = {"config": [1, 2, 3]}
         assert parallel.broadcast(payload) == payload
+
+
+def test_mesh_through_measurement_api():
+    """`crosscorrelate(mesh=...)` runs the sharded engine and matches the
+    single-device measurement."""
+    from yet_another_wizz_tpu import Catalog, Configuration
+    from yet_another_wizz_tpu.correlation.measurements import crosscorrelate
+    from yet_another_wizz_tpu.examples import generate_mock_data
+
+    mock = generate_mock_data(
+        num_reference=1500, num_unknown=2500, num_randoms=5000, seed=11
+    )
+    reference = Catalog.from_arrays(
+        **mock["reference"], degrees=False, patch_num=4
+    )
+    centers = reference.get_centers()
+    unknown = Catalog.from_arrays(
+        **mock["unknown"], degrees=False, patch_centers=centers
+    )
+    randoms = Catalog.from_arrays(
+        **mock["randoms"], degrees=False, patch_centers=centers
+    )
+    config = Configuration.create(
+        rmin=500, rmax=3000, unit="kpc", zmin=0.15, zmax=1.0, num_bins=4
+    )
+    (single,) = crosscorrelate(
+        config, reference, unknown, ref_rand=randoms, backend="xla"
+    )
+    for sharding in ("columns", "ring"):
+        (sharded,) = crosscorrelate(
+            config, reference, unknown, ref_rand=randoms,
+            mesh=default_mesh(8), data_sharding=sharding,
+        )
+        assert_allclose(
+            sharded.dd.counts.counts, single.dd.counts.counts,
+            rtol=1e-5, atol=1e-2,
+        )
+        assert_allclose(
+            sharded.sample().data, single.sample().data, rtol=1e-4
+        )
+
+
+def test_mesh_rejects_blocked_mode():
+    from yet_another_wizz_tpu import Catalog, Configuration
+    from yet_another_wizz_tpu.correlation.measurements import crosscorrelate
+    from yet_another_wizz_tpu.examples import generate_mock_data
+
+    mock = generate_mock_data(500, 600, 900, seed=2)
+    ref = Catalog.from_arrays(**mock["reference"], degrees=False, patch_num=3)
+    unk = Catalog.from_arrays(
+        **mock["unknown"], degrees=False, patch_centers=ref.get_centers()
+    )
+    rand = Catalog.from_arrays(
+        **mock["randoms"], degrees=False, patch_centers=ref.get_centers()
+    )
+    config = Configuration.create(
+        rmin=500, rmax=3000, unit="kpc", zmin=0.15, zmax=1.0, num_bins=3
+    )
+    with pytest.raises(NotImplementedError, match="mesh"):
+        crosscorrelate(
+            config, ref, unk, ref_rand=rand,
+            mesh=default_mesh(2), max_resident_patches=2,
+        )

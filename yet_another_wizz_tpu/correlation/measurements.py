@@ -166,6 +166,8 @@ class PatchLinkage:
         max_workers: int | None = None,
         count_type_info: str | None = None,
         audit: bool = False,
+        mesh=None,
+        data_sharding: str = "replicated",
     ) -> list[NormalisedCounts]:
         """Count pairs between two catalogs (or within one for an
         autocorrelation), one :class:`NormalisedCounts` per scale.
@@ -189,6 +191,10 @@ class PatchLinkage:
                 raise NotImplementedError(
                     "audit=True is not supported with max_resident_patches"
                 )
+            if mesh is not None:
+                raise NotImplementedError(
+                    "mesh= is not supported with max_resident_patches"
+                )
             counts, sum_weights = self._run_blocked(
                 catalog1, catalog2, auto=auto, binned2=binned2, mode=mode,
                 backend=backend, max_resident_patches=max_resident_patches,
@@ -196,7 +202,8 @@ class PatchLinkage:
         else:
             counts, sum_weights = self._run_engine(
                 catalog1, catalog2, auto=auto, binned2=binned2, mode=mode,
-                backend=backend, audit=audit,
+                backend=backend, audit=audit, mesh=mesh,
+                data_sharding=data_sharding,
             )
         return [
             NormalisedCounts(per_scale, sum_weights) for per_scale in counts
@@ -272,7 +279,7 @@ class PatchLinkage:
 
     def _run_engine(
         self, catalog1, catalog2, *, auto, binned2, mode, backend="auto",
-        audit=False,
+        audit=False, mesh=None, data_sharding="replicated",
     ):
         binning = self.config.binning.binning
         num_bins = len(binning)
@@ -292,6 +299,7 @@ class PatchLinkage:
         cumulative = count_pairs_tiles(
             tiles1, tiles2, pairs, self.edges.chord2_table,
             backend=backend, edges_radian=self.edges.edges, audit=audit,
+            mesh=mesh, data_sharding=data_sharding,
         )
         per_scale = self.edges.counts_to_scales(cumulative)  # (S, slots, B)
 
@@ -327,6 +335,8 @@ def autocorrelate(
     progress: bool = False,
     max_workers: int | None = None,
     audit: bool = False,
+    mesh=None,
+    data_sharding: str = "replicated",
 ) -> list[CorrFunc]:
     """Measure the angular autocorrelation amplitude of a catalog in bins
     of redshift.
@@ -376,6 +386,8 @@ def crosscorrelate(
     progress: bool = False,
     max_workers: int | None = None,
     audit: bool = False,
+    mesh=None,
+    data_sharding: str = "replicated",
 ) -> list[CorrFunc]:
     """Measure the angular cross-correlation amplitude between the unknown
     sample and redshift slices of the reference sample.
@@ -393,6 +405,7 @@ def crosscorrelate(
     kwargs = dict(
         progress=progress, max_workers=max_workers, backend=backend,
         max_resident_patches=max_resident_patches, audit=audit,
+        mesh=mesh, data_sharding=data_sharding,
     )
     logger.info(
         "computing cross-correlation from DD%s%s%s",

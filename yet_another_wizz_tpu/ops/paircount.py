@@ -346,6 +346,8 @@ def count_pairs_tiles(
     chunk_size: int = 16,
     edges_radian: NDArray | None = None,
     audit: bool = False,
+    mesh=None,
+    data_sharding: str = "replicated",
 ) -> NDArray:
     """Run the pair-count engine over a tile-pair list.
 
@@ -355,6 +357,11 @@ def count_pairs_tiles(
     Backends: ``pallas`` (TPU kernel), ``xla`` (portable jax.numpy path),
     ``oracle`` (float64 scipy kd-trees on the host, requires
     ``edges_radian``; used for validation), or ``auto``.
+
+    With ``mesh`` (a :class:`jax.sharding.Mesh`) the engine runs sharded
+    over the mesh devices with the given ``data_sharding`` layout
+    (``replicated``, ``columns`` or ``ring``, see
+    :func:`yet_another_wizz_tpu.parallel.count_pairs_sharded`).
 
     With ``audit=True`` (requires ``edges_radian``) the result passes
     through :func:`audit_boundary_counts`, which repairs any float32
@@ -376,6 +383,26 @@ def count_pairs_tiles(
 
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+
+    if mesh is not None and backend != "oracle":
+        from yet_another_wizz_tpu.parallel import count_pairs_sharded
+
+        counts = count_pairs_sharded(
+            tiles1, tiles2, pairs, table,
+            mesh=mesh, data_sharding=data_sharding,
+        )
+        if audit:
+            counts, num_flagged = audit_boundary_counts(
+                tiles1, tiles2, pairs, counts, chord2_table, edges_radian
+            )
+            if num_flagged:
+                import logging
+
+                logging.getLogger(__name__).info(
+                    "boundary audit: %d patch-pair slot(s) recomputed in "
+                    "float64", num_flagged,
+                )
+        return counts
 
     if backend == "oracle":
         if edges_radian is None:
