@@ -129,3 +129,9 @@ class TestAngularDistances:
         assert len(d) == 3
         assert_allclose(d.min().data, [0.1])
         assert_allclose(d.max().data, [0.7])
+
+
+def test_sgn_convention():
+    from yet_another_wizz_tpu.coordinates import sgn
+
+    assert_allclose(sgn([-2.0, -0.0, 0.0, 3.0]), [-1.0, 1.0, 1.0, 1.0])

@@ -28,9 +28,18 @@ __all__ = [
     "angle_to_chord",
     "chord_to_angle",
     "radec_to_xyz",
-    "xyz_to_radec",
+    "sgn",
     "split_hi_lo",
+    "xyz_to_radec",
 ]
+
+
+def sgn(values):
+    """Sign with the convention sgn(0) = 1 (parity with the reference
+    helper, /root/reference/src/yaw/coordinates.py:31-34)."""
+    import numpy as _np
+
+    return _np.where(_np.asarray(values) == 0, 1.0, _np.sign(values))
 
 
 def radec_to_xyz(ra: ArrayLike, dec: ArrayLike) -> NDArray:
