@@ -168,6 +168,7 @@ class PatchLinkage:
         audit: bool = False,
         mesh=None,
         data_sharding: str = "replicated",
+        _defer: bool = False,
     ) -> list[NormalisedCounts]:
         """Count pairs between two catalogs (or within one for an
         autocorrelation), one :class:`NormalisedCounts` per scale.
@@ -176,6 +177,12 @@ class PatchLinkage:
         redshift bins (requiring equal bins on both sides of a pair); by
         default only autocorrelations bin both sides, mirroring the
         reference's binned/unbinned tree building.
+
+        ``_defer`` (internal) returns a zero-argument callable producing
+        the result instead: the device work is queued immediately, the
+        host-side fetch and post-processing happen at call time — used by
+        the measurement functions to overlap the transfers of one count
+        type with the queued device compute of the next.
         """
         if count_type_info is not None:
             logger.info("counting %s from patch pairs", count_type_info)
@@ -199,15 +206,26 @@ class PatchLinkage:
                 catalog1, catalog2, auto=auto, binned2=binned2, mode=mode,
                 backend=backend, max_resident_patches=max_resident_patches,
             )
-        else:
-            counts, sum_weights = self._run_engine(
-                catalog1, catalog2, auto=auto, binned2=binned2, mode=mode,
-                backend=backend, audit=audit, mesh=mesh,
-                data_sharding=data_sharding,
-            )
-        return [
-            NormalisedCounts(per_scale, sum_weights) for per_scale in counts
-        ]
+            result = [
+                NormalisedCounts(per_scale, sum_weights)
+                for per_scale in counts
+            ]
+            return (lambda: result) if _defer else result
+
+        finalize_engine = self._run_engine(
+            catalog1, catalog2, auto=auto, binned2=binned2, mode=mode,
+            backend=backend, audit=audit, mesh=mesh,
+            data_sharding=data_sharding, defer=True,
+        )
+
+        def finish() -> list[NormalisedCounts]:
+            counts, sum_weights = finalize_engine()
+            return [
+                NormalisedCounts(per_scale, sum_weights)
+                for per_scale in counts
+            ]
+
+        return finish if _defer else finish()
 
     def count_pairs_optional(
         self,
@@ -217,7 +235,8 @@ class PatchLinkage:
     ) -> list[NormalisedCounts | None]:
         """Like :meth:`count_pairs` but propagates missing catalogs."""
         if any(cat is None for cat in (main_catalog, *optional_catalog)):
-            return [None] * self.config.scales.num_scales
+            result = [None] * self.config.scales.num_scales
+            return (lambda: result) if kwargs.get("_defer") else result
         return self.count_pairs(main_catalog, *optional_catalog, **kwargs)
 
     def count_scalar_pairs(
@@ -279,7 +298,7 @@ class PatchLinkage:
 
     def _run_engine(
         self, catalog1, catalog2, *, auto, binned2, mode, backend="auto",
-        audit=False, mesh=None, data_sharding="replicated",
+        audit=False, mesh=None, data_sharding="replicated", defer=False,
     ):
         binning = self.config.binning.binning
         num_bins = len(binning)
@@ -296,32 +315,44 @@ class PatchLinkage:
             pairs.num_pairs,
             pairs.num_slots,
         )
+        # with defer=True the engine result may come back as an in-flight
+        # device array; the host-side post-processing moves into finalize()
+        # so queued device work for later counts overlaps it
         cumulative = count_pairs_tiles(
             tiles1, tiles2, pairs, self.edges.chord2_table,
             backend=backend, edges_radian=self.edges.edges, audit=audit,
-            mesh=mesh, data_sharding=data_sharding,
+            mesh=mesh, data_sharding=data_sharding, defer=defer,
         )
-        per_scale = self.edges.counts_to_scales(cumulative)  # (S, slots, B)
 
-        slot_ids1 = pairs.slot_patches[:, 0]
-        slot_ids2 = pairs.slot_patches[:, 1]
-        if auto:
-            same = slot_ids1 == slot_ids2
-            per_scale[:, same, :] *= 0.5  # ordered pairs double-count
+        def finalize():
+            import jax
 
-        counts = []
-        for scale_values in per_scale:
-            patched = PatchedCounts.zeros(binning, num_patches, auto=auto)
-            patched.counts[:, slot_ids1, slot_ids2] = scale_values.T
-            counts.append(patched)
+            values = cumulative
+            if not isinstance(values, np.ndarray):
+                values = np.asarray(jax.device_get(values), dtype=np.float64)
+            per_scale = self.edges.counts_to_scales(values)  # (S, slots, B)
 
-        sum_weights = PatchedSumWeights(
-            binning,
-            tiles1.bin_sum_weights(num_bins),
-            tiles2.bin_sum_weights(num_bins),
-            auto=auto,
-        )
-        return counts, sum_weights
+            slot_ids1 = pairs.slot_patches[:, 0]
+            slot_ids2 = pairs.slot_patches[:, 1]
+            if auto:
+                same = slot_ids1 == slot_ids2
+                per_scale[:, same, :] *= 0.5  # ordered pairs double-count
+
+            counts = []
+            for scale_values in per_scale:
+                patched = PatchedCounts.zeros(binning, num_patches, auto=auto)
+                patched.counts[:, slot_ids1, slot_ids2] = scale_values.T
+                counts.append(patched)
+
+            sum_weights = PatchedSumWeights(
+                binning,
+                tiles1.bin_sum_weights(num_bins),
+                tiles2.bin_sum_weights(num_bins),
+                auto=auto,
+            )
+            return counts, sum_weights
+
+        return finalize if defer else finalize()
 
 
 def autocorrelate(
@@ -361,16 +392,21 @@ def autocorrelate(
         "with" if config.scales.rweight else "without",
     )
 
-    dd = links.count_pairs(data, **kwargs, count_type_info="DD")
+    # queue all count types on the device first, then finalize in order:
+    # each count's result transfer and host post-processing overlap the
+    # queued device compute of the following counts
+    dd = links.count_pairs(data, **kwargs, count_type_info="DD", _defer=True)
     # data x random pairs are counted between matching redshift bins on
     # both sides, like the reference's binned random trees
     dr = links.count_pairs(
-        data, random, binned2=True, **kwargs, count_type_info="DR"
+        data, random, binned2=True, **kwargs, count_type_info="DR",
+        _defer=True,
     )
     optional_random = random if count_rr else None
     rr = links.count_pairs_optional(
-        optional_random, **kwargs, count_type_info="RR"
+        optional_random, **kwargs, count_type_info="RR", _defer=True
     )
+    dd, dr, rr = dd(), dr(), rr()
     return [CorrFunc(a, b, None, c) for a, b, c in zip(dd, dr, rr)]
 
 
@@ -422,16 +458,21 @@ def crosscorrelate(
         "with" if config.scales.rweight else "without",
     )
 
-    dd = links.count_pairs(reference, unknown, **kwargs, count_type_info="DD")
+    # queue all count types, then finalize in order (fetch/post-processing
+    # of earlier counts overlaps the queued device compute of later ones)
+    dd = links.count_pairs(
+        reference, unknown, **kwargs, count_type_info="DD", _defer=True
+    )
     dr = links.count_pairs_optional(
-        reference, unk_rand, **kwargs, count_type_info="DR"
+        reference, unk_rand, **kwargs, count_type_info="DR", _defer=True
     )
     rd = links.count_pairs_optional(
-        ref_rand, unknown, **kwargs, count_type_info="RD"
+        ref_rand, unknown, **kwargs, count_type_info="RD", _defer=True
     )
     rr = links.count_pairs_optional(
-        ref_rand, unk_rand, **kwargs, count_type_info="RR"
+        ref_rand, unk_rand, **kwargs, count_type_info="RR", _defer=True
     )
+    dd, dr, rd, rr = dd(), dr(), rd(), rr()
     return [CorrFunc(a, b, c, d) for a, b, c, d in zip(dd, dr, rd, rr)]
 
 

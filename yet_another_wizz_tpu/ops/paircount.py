@@ -46,6 +46,22 @@ __all__ = [
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
+_table_cache: dict[tuple, jnp.ndarray] = {}
+
+
+def _device_table(chord2_table) -> jnp.ndarray:
+    """Upload a (small) threshold table once per distinct content; repeated
+    measurements with the same configuration skip the transfer round trip."""
+    arr = np.asarray(chord2_table, dtype=np.float32)
+    key = (arr.shape, arr.tobytes())
+    dev = _table_cache.get(key)
+    if dev is None:
+        if len(_table_cache) > 64:
+            _table_cache.clear()
+        dev = jnp.asarray(arr)
+        _table_cache[key] = dev
+    return dev
+
 
 def pair_block_counts(
     lane1: jnp.ndarray,
@@ -348,11 +364,17 @@ def count_pairs_tiles(
     audit: bool = False,
     mesh=None,
     data_sharding: str = "replicated",
+    defer: bool = False,
 ) -> NDArray:
     """Run the pair-count engine over a tile-pair list.
 
     Returns a float64 numpy array ``(num_slots, B, E)`` of cumulative
-    weighted pair counts per patch-pair slot.
+    weighted pair counts per patch-pair slot. With ``defer=True`` the
+    device float32 array is returned WITHOUT waiting for it — the caller
+    fetches later (``np.asarray(jax.device_get(...))``), so the device can
+    keep computing queued follow-up counts while earlier results transfer
+    and post-process on the host (ignored for the oracle backend and when
+    ``audit`` or ``mesh`` is active).
 
     Backends: ``pallas`` (TPU kernel), ``xla`` (portable jax.numpy path),
     ``oracle`` (float64 scipy kd-trees on the host, requires
@@ -376,7 +398,7 @@ def count_pairs_tiles(
         raise ValueError("first tile set must be binned")
 
     num_slots = pairs.num_slots
-    table = jnp.asarray(chord2_table, dtype=jnp.float32)
+    table = _device_table(chord2_table)
 
     if pairs.num_pairs == 0:
         return np.zeros((num_slots, *table.shape), dtype=np.float64)
@@ -446,6 +468,8 @@ def count_pairs_tiles(
     else:
         raise ValueError(f"unknown backend '{backend}'")
 
+    if defer and not audit:
+        return result
     counts = np.asarray(jax.device_get(result), dtype=np.float64)
     if audit:
         counts, num_flagged = audit_boundary_counts(

@@ -255,11 +255,14 @@ def count_pairs_pallas(
         interpret,
     )
 
-    # upload the padded index arrays once; per-segment slicing happens on
-    # the device (repeated host->device transfers dominate otherwise)
-    tile1_dev = jnp.asarray(tile1)
-    tile2_dev = jnp.asarray(tile2)
-    slots_dev = jnp.asarray(slots)
+    # upload the padded index arrays once, stacked into a single transfer
+    # (each host->device transfer pays a full link round trip, which
+    # dominates over a tunneled device link); per-segment slicing happens
+    # on the device
+    stacked = jnp.asarray(np.stack([tile1, tile2, slots]))
+    tile1_dev = stacked[0]
+    tile2_dev = stacked[1]
+    slots_dev = stacked[2]
 
     total = None
     for lo in range(0, padded, segment):
