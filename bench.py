@@ -182,6 +182,43 @@ def main() -> None:
         f"mean amplitude {np.nanmean(w_ss_data.data):.4f}"
     )
 
+    # secondary configuration (BASELINE config #5 ingredient): randoms
+    # drawn from a HEALPix probability map through the full measurement
+    from yet_another_wizz_tpu.randoms import HealPixRandoms
+    from yet_another_wizz_tpu.utils.healpix import pix2ang_ring
+
+    nside = 64
+    colat, lon = pix2ang_ring(nside, np.arange(12 * nside * nside))
+    pix_ra_deg = np.rad2deg(lon)
+    pix_dec_deg = 90.0 - np.rad2deg(colat)
+    pixel_map = (
+        (pix_ra_deg >= 40.0) & (pix_ra_deg <= 60.0)
+        & (pix_dec_deg >= -10.0) & (pix_dec_deg <= 10.0)
+    ).astype(float)
+    generator = HealPixRandoms(
+        pixel_map, redshifts=mock["reference"]["redshifts"], seed=99
+    )
+    hp_rand = Catalog.from_random(
+        None, generator, NUM_RANDOMS,
+        patch_centers=reference.get_centers(),
+    )
+
+    def run_healpix():
+        (w_sp,) = crosscorrelate(
+            config, reference, unknown, ref_rand=hp_rand
+        )
+        return RedshiftData.from_corrfuncs(w_sp)
+
+    run_healpix()
+    t0 = time.perf_counter()
+    nz_hp = run_healpix()
+    log(
+        f"secondary config HealPix-map randoms ({NUM_RANDOMS} drawn at "
+        f"nside={nside}): {time.perf_counter() - t0:.2f}s warm, "
+        f"n(z) corr vs box-randoms "
+        f"{np.corrcoef(nz_hp.data, nz.data)[0, 1]:.3f}"
+    )
+
     result = {
         "metric": (
             "weighted pairs/sec/chip; mock w_sp(z) DD+RD + jackknife "

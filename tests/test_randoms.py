@@ -114,3 +114,34 @@ class TestHealPixRandoms:
             HealPixRandoms(np.zeros(12))
         with pytest.raises(ValueError, match="healpix"):
             HealPixRandoms(np.ones(13))
+
+
+class TestHealPixBoundingBox:
+    def _map_for_box(self, nside, ra_lo, ra_hi, dec_lo, dec_hi):
+        from yet_another_wizz_tpu.utils.healpix import pix2ang_ring
+
+        colat, lon = pix2ang_ring(nside, np.arange(12 * nside * nside))
+        ra = np.rad2deg(lon)
+        dec = 90.0 - np.rad2deg(colat)
+        if ra_lo <= ra_hi:
+            in_ra = (ra >= ra_lo) & (ra <= ra_hi)
+        else:  # wraps through RA = 0
+            in_ra = (ra >= ra_lo) | (ra <= ra_hi)
+        return (in_ra & (dec >= dec_lo) & (dec <= dec_hi)).astype(float)
+
+    def test_small_footprint_efficiency(self):
+        pm = self._map_for_box(32, 40, 60, -10, 10)
+        gen = HealPixRandoms(pm, seed=3)
+        assert gen._efficiency > 0.5  # box-bounded, not full-sphere
+        data = gen(20_000)
+        ra = np.rad2deg(data["ra"])
+        assert ra.min() > 38 and ra.max() < 62
+
+    def test_wraparound_footprint(self):
+        pm = self._map_for_box(32, 350, 10, -5, 5)
+        gen = HealPixRandoms(pm, seed=3)
+        data = gen(20_000)
+        ra = np.rad2deg(data["ra"])
+        # all samples near RA=0 wrap, none in the excluded middle
+        assert np.all((ra >= 348) | (ra <= 12))
+        assert len(data) == 20_000

@@ -17,7 +17,11 @@ from typing import TYPE_CHECKING
 import numpy as np
 
 from yet_another_wizz_tpu.datachunk import DataChunk, DataChunkInfo, HandlesDataChunk
-from yet_another_wizz_tpu.utils.healpix import ang2pix_ring, npix_to_nside
+from yet_another_wizz_tpu.utils.healpix import (
+    ang2pix_ring,
+    npix_to_nside,
+    pix2ang_ring,
+)
 
 if TYPE_CHECKING:
     from numpy.typing import NDArray
@@ -139,9 +143,12 @@ class HealPixRandoms(RandomsBase):
         seed:
             Random seed.
 
-    Implementation: rejection sampling — uniform sky positions are kept
-    with probability proportional to the map value of their pixel. Exact
-    for any map, with efficiency equal to the mean map coverage.
+    Implementation: rejection sampling over the bounding box of the
+    non-zero pixels (padded by one pixel radius) — uniform positions in
+    the box are kept with probability proportional to their pixel value.
+    Exact for any map; efficiency equals the mean map value over the box
+    instead of over the whole sphere, so small survey footprints sample
+    efficiently.
     """
 
     def __init__(
@@ -161,7 +168,22 @@ class HealPixRandoms(RandomsBase):
             raise ValueError("'pixel_map' selects no area")
         self.nside = npix_to_nside(len(pixel_map))
         self.pixel_map = pixel_map / pixel_map.max()
-        self._efficiency = max(float(self.pixel_map.mean()), 1e-6)
+
+        # bounding box of the covered pixels, padded by one pixel radius
+        covered = np.nonzero(self.pixel_map)[0]
+        colat, lon = pix2ang_ring(self.nside, covered)
+        pad = 2.0 * np.sqrt(np.pi / len(pixel_map))  # ~pixel diagonal
+        z_hi = min(np.cos(colat.min()) + pad, 1.0)
+        z_lo = max(np.cos(colat.max()) - pad, -1.0)
+        lon_lo, lon_hi = lon.min() - pad, lon.max() + pad
+        if lon_hi - lon_lo >= 2.0 * np.pi - 4.0 * pad:
+            lon_lo, lon_hi = 0.0, 2.0 * np.pi  # wraps: use the full circle
+        self._z_range = (z_lo, z_hi)
+        self._lon_range = (lon_lo, lon_hi)
+
+        box_fraction = (z_hi - z_lo) / 2.0 * (lon_hi - lon_lo) / (2 * np.pi)
+        mean_in_box = float(self.pixel_map.mean()) / max(box_fraction, 1e-12)
+        self._efficiency = float(np.clip(mean_in_box, 1e-6, 1.0))
 
     def _draw_coords(self, probe_size: int) -> tuple[NDArray, NDArray]:
         ra_out = np.empty(probe_size)
@@ -170,8 +192,8 @@ class HealPixRandoms(RandomsBase):
         while filled < probe_size:
             batch = int((probe_size - filled) / self._efficiency * 1.1) + 64
             batch = min(batch, 20_000_000)
-            ra = self.rng.uniform(0.0, 2.0 * np.pi, batch)
-            dec = np.arcsin(self.rng.uniform(-1.0, 1.0, batch))
+            ra = self.rng.uniform(*self._lon_range, batch) % (2.0 * np.pi)
+            dec = np.arcsin(self.rng.uniform(*self._z_range, batch))
             pix = ang2pix_ring(self.nside, np.pi / 2.0 - dec, ra)
             accept = self.rng.uniform(0.0, 1.0, batch) < self.pixel_map[pix]
             ra, dec = ra[accept], dec[accept]
