@@ -182,6 +182,29 @@ def main() -> None:
         f"mean amplitude {np.nanmean(w_ss_data.data):.4f}"
     )
 
+    # secondary configuration (BASELINE config #4): multiple angular
+    # scale ranges with power-law separation weighting (rweight)
+    config_multi = Configuration.create(
+        rmin=[100, 300, 500], rmax=[300, 500, 1000], unit="kpc",
+        rweight=-1.0, resolution=32,
+        zmin=0.15, zmax=1.0, num_bins=NUM_BINS,
+    )
+
+    def run_multiscale():
+        scales = crosscorrelate(
+            config_multi, reference, unknown, ref_rand=randoms
+        )
+        return [w.sample() for w in scales]
+
+    run_multiscale()
+    t0 = time.perf_counter()
+    multi = run_multiscale()
+    log(
+        f"secondary config multi-scale rweight ({len(multi)} scale ranges, "
+        f"theta^-1 weighting): {time.perf_counter() - t0:.2f}s warm, "
+        f"amplitudes {[round(float(np.nanmean(m.data)), 1) for m in multi]}"
+    )
+
     # secondary configuration (BASELINE config #5 ingredient): randoms
     # drawn from a HEALPix probability map through the full measurement
     from yet_another_wizz_tpu.randoms import HealPixRandoms
