@@ -168,13 +168,14 @@ def test_mesh_through_measurement_api():
         )
 
 
-def test_mesh_rejects_blocked_mode():
+def test_mesh_with_blocked_mode():
+    """Out-of-core blocking combines with mesh-sharded block execution."""
     from yet_another_wizz_tpu import Catalog, Configuration
     from yet_another_wizz_tpu.correlation.measurements import crosscorrelate
     from yet_another_wizz_tpu.examples import generate_mock_data
 
-    mock = generate_mock_data(500, 600, 900, seed=2)
-    ref = Catalog.from_arrays(**mock["reference"], degrees=False, patch_num=3)
+    mock = generate_mock_data(1200, 1800, 3000, seed=2)
+    ref = Catalog.from_arrays(**mock["reference"], degrees=False, patch_num=5)
     unk = Catalog.from_arrays(
         **mock["unknown"], degrees=False, patch_centers=ref.get_centers()
     )
@@ -184,8 +185,18 @@ def test_mesh_rejects_blocked_mode():
     config = Configuration.create(
         rmin=500, rmax=3000, unit="kpc", zmin=0.15, zmax=1.0, num_bins=3
     )
-    with pytest.raises(NotImplementedError, match="mesh"):
-        crosscorrelate(
-            config, ref, unk, ref_rand=rand,
-            mesh=default_mesh(2), max_resident_patches=2,
-        )
+    (single,) = crosscorrelate(
+        config, ref, unk, ref_rand=rand, backend="xla"
+    )
+    (blocked_sharded,) = crosscorrelate(
+        config, ref, unk, ref_rand=rand, backend="xla",
+        mesh=default_mesh(4), data_sharding="ring",
+        max_resident_patches=4,
+    )
+    assert_allclose(
+        blocked_sharded.dd.counts.counts, single.dd.counts.counts,
+        rtol=1e-5, atol=1e-2,
+    )
+    assert_allclose(
+        blocked_sharded.sample().data, single.sample().data, rtol=1e-4
+    )

@@ -101,10 +101,19 @@ def count_pairs_blocked(
     max_resident_patches: int = 16,
     tile_size: int | None = None,
     backend: str = "auto",
+    mesh=None,
+    data_sharding: str = "replicated",
 ) -> np.ndarray:
     """Count pairs block by block; returns per-scale counts with shape
     ``(num_scales, num_bins, num_patches, num_patches)`` (same contract as
-    the in-memory engine path after scatter)."""
+    the in-memory engine path after scatter).
+
+    With ``mesh`` each resident block pair is evaluated sharded over the
+    device mesh (see
+    :func:`yet_another_wizz_tpu.parallel.count_pairs_sharded`) — the
+    combination of host-side patch-block streaming with device-sharded
+    execution is the out-of-core layout for pod-scale runs where not even
+    a patch block fits a single chip."""
     from yet_another_wizz_tpu.ops.tiles import DEFAULT_TILE_SIZE
 
     tile_size = tile_size or DEFAULT_TILE_SIZE
@@ -158,6 +167,7 @@ def count_pairs_blocked(
             cumulative = count_pairs_tiles(
                 tiles1, tiles2, pairs, edges.chord2_table,
                 backend=backend, edges_radian=edges.edges,
+                mesh=mesh, data_sharding=data_sharding,
             )
             per_scale = edges.counts_to_scales(cumulative)  # (S, slots, B)
 

@@ -198,13 +198,10 @@ class PatchLinkage:
                 raise NotImplementedError(
                     "audit=True is not supported with max_resident_patches"
                 )
-            if mesh is not None:
-                raise NotImplementedError(
-                    "mesh= is not supported with max_resident_patches"
-                )
             counts, sum_weights = self._run_blocked(
                 catalog1, catalog2, auto=auto, binned2=binned2, mode=mode,
                 backend=backend, max_resident_patches=max_resident_patches,
+                mesh=mesh, data_sharding=data_sharding,
             )
             result = [
                 NormalisedCounts(per_scale, sum_weights)
@@ -262,7 +259,7 @@ class PatchLinkage:
 
     def _run_blocked(
         self, catalog1, catalog2, *, auto, binned2, mode, backend,
-        max_resident_patches,
+        max_resident_patches, mesh=None, data_sharding="replicated",
     ):
         """Device-memory-bounded path: stream patch blocks through the
         engine (see :mod:`yet_another_wizz_tpu.correlation.blocked`)."""
@@ -283,6 +280,8 @@ class PatchLinkage:
             mode=mode,
             max_resident_patches=max_resident_patches,
             backend=backend,
+            mesh=mesh,
+            data_sharding=data_sharding,
         )
         counts = [
             PatchedCounts(binning, scale_counts, auto=auto)
