@@ -208,11 +208,23 @@ class Catalog(Mapping):
         if not patch_dirs:
             raise FileNotFoundError(f"cache is empty: {cache_directory}")
 
-        chunks = []
-        patch_ids = []
-        for path in patch_dirs:
+        # patch files load concurrently: numpy file reads release the GIL,
+        # so a thread pool overlaps per-patch disk IO (the reference reads
+        # patches lazily instead; this catalog is memory-resident)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def load(path):
             pid = int(path.name.split("_")[1])
             _, data = read_patch_data(path / "data.bin")
+            return pid, data
+
+        max_workers = min(16, max(1, len(patch_dirs)))
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            loaded = list(pool.map(load, patch_dirs))
+
+        chunks = []
+        patch_ids = []
+        for pid, data in loaded:
             chunks.append(data)
             patch_ids.append(np.full(len(data), pid, dtype=np.int32))
 
