@@ -93,3 +93,21 @@ def test_random_configuration_matches_oracle(trial):
         result.sum(axis=0), expect.sum(axis=0), rtol=5e-6, atol=20.0
     )
     assert_allclose(result, expect, rtol=1e-4, atol=30.0)
+
+    # audit mode repairs boundary flips: slot-exact against the oracle up
+    # to float32 accumulation noise
+    audited = count_pairs_tiles(
+        ts1, ts2, pairs, chord2, backend="xla",
+        edges_radian=edges, audit=True,
+    )
+    assert_allclose(audited, expect, rtol=2e-5, atol=1.0)
+
+    # mesh-sharded execution reproduces the single-device engine exactly
+    from yet_another_wizz_tpu.parallel import count_pairs_sharded, default_mesh
+
+    sharding = ("replicated", "columns", "ring")[trial % 3]
+    mesh = default_mesh(int(rng.integers(2, 9)))
+    sharded = count_pairs_sharded(
+        ts1, ts2, pairs, chord2, mesh=mesh, data_sharding=sharding
+    )
+    assert_allclose(sharded, result, rtol=1e-5, atol=0.5)
