@@ -103,6 +103,7 @@ def count_pairs_blocked(
     backend: str = "auto",
     mesh=None,
     data_sharding: str = "replicated",
+    progress: bool = False,
 ) -> np.ndarray:
     """Count pairs block by block; returns per-scale counts with shape
     ``(num_scales, num_bins, num_patches, num_patches)`` (same contract as
@@ -122,6 +123,12 @@ def count_pairs_blocked(
     block = max(1, int(max_resident_patches) // 2)  # two resident sides
     starts = list(range(0, num_patches, block))
 
+    indicator = None
+    if progress:
+        from yet_another_wizz_tpu.utils.logging import Indicator
+
+        indicator = iter(Indicator(range(len(starts) ** 2), len(starts) ** 2))
+
     result = np.zeros(
         (edges.num_scales, num_bins, num_patches, num_patches)
     )
@@ -131,6 +138,8 @@ def count_pairs_blocked(
         hi1 = min(lo1 + block, num_patches)
         tiles1 = None  # built lazily: the block pair may be fully pruned
         for lo2 in starts:
+            if indicator is not None:
+                next(indicator, None)
             hi2 = min(lo2 + block, num_patches)
             if auto and hi2 <= lo1:
                 continue  # only patch pairs with id2 >= id1 contribute
@@ -177,6 +186,9 @@ def count_pairs_blocked(
                 same = global1 == global2
                 per_scale[:, same, :] *= 0.5
             result[:, :, global1, global2] += np.moveaxis(per_scale, 1, -1)
+
+    if indicator is not None:
+        next(indicator, None)  # drain: prints the 100% line + newline
 
     logger.debug(
         "processed %d resident block pairs of <=%d patches",

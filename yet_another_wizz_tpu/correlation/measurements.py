@@ -201,7 +201,7 @@ class PatchLinkage:
             counts, sum_weights = self._run_blocked(
                 catalog1, catalog2, auto=auto, binned2=binned2, mode=mode,
                 backend=backend, max_resident_patches=max_resident_patches,
-                mesh=mesh, data_sharding=data_sharding,
+                mesh=mesh, data_sharding=data_sharding, progress=progress,
             )
             result = [
                 NormalisedCounts(per_scale, sum_weights)
@@ -260,6 +260,7 @@ class PatchLinkage:
     def _run_blocked(
         self, catalog1, catalog2, *, auto, binned2, mode, backend,
         max_resident_patches, mesh=None, data_sharding="replicated",
+        progress=False,
     ):
         """Device-memory-bounded path: stream patch blocks through the
         engine (see :mod:`yet_another_wizz_tpu.correlation.blocked`)."""
@@ -282,6 +283,7 @@ class PatchLinkage:
             backend=backend,
             mesh=mesh,
             data_sharding=data_sharding,
+            progress=progress,
         )
         counts = [
             PatchedCounts(binning, scale_counts, auto=auto)

@@ -120,7 +120,24 @@ def count_pairs_oracle_multiprocess(
 ) -> NDArray:
     """Multiprocess variant of :func:`count_pairs_oracle` (the CPU
     performance baseline, analogous to the reference's process pool over
-    patch pairs, /root/reference/src/yaw/utils/parallel.py:318-343)."""
+    patch pairs, /root/reference/src/yaw/utils/parallel.py:318-343).
+
+    Worker count defaults to the ``YAWT_NUM_THREADS`` environment
+    variable (reference parity: ``YAW_NUM_THREADS``,
+    /root/reference/src/yaw/utils/parallel.py:75-85) or the CPU count."""
+    if max_workers is None:
+        import os
+
+        env = os.environ.get("YAWT_NUM_THREADS")
+        if env:
+            try:
+                max_workers = max(1, int(env))
+            except ValueError:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "ignoring invalid YAWT_NUM_THREADS=%r", env
+                )
     tasks = list(
         _build_tasks(
             xyz1, w1, zbin1, patch1, xyz2, w2, zbin2, patch2, slot_patches,
