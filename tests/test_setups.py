@@ -138,6 +138,31 @@ class TestInvalidSetups:
         with pytest.raises(FileNotFoundError):
             run(tmp_path, setup)
 
+    def test_auto_unk_without_randoms(self, data_files, tmp_path):
+        setup = base_setup(data_files, ["auto_unk"])
+        del setup["inputs"]["unknown"]["path_rand"]
+        with pytest.raises(ConfigError, match="randoms"):
+            run(tmp_path, setup)
+
+    def test_auto_unk_without_redshifts(self, data_files, tmp_path):
+        setup = base_setup(data_files, ["auto_unk"])
+        del setup["inputs"]["unknown"]["redshift"]
+        with pytest.raises(ConfigError, match="redshift"):
+            run(tmp_path, setup)
+
+    def test_reference_missing_coordinate_column(self, data_files, tmp_path):
+        setup = base_setup(data_files, ["cross_corr", "estimate"])
+        del setup["inputs"]["reference"]["dec"]
+        with pytest.raises(ConfigError):
+            run(tmp_path, setup)
+
+    def test_cross_with_all_randoms_removed(self, data_files, tmp_path):
+        setup = base_setup(data_files, ["cross_corr", "estimate"])
+        del setup["inputs"]["reference"]["path_rand"]
+        del setup["inputs"]["unknown"]["path_rand"]
+        with pytest.raises(ConfigError, match="random"):
+            run(tmp_path, setup)
+
     def test_reference_without_unknown_for_cross(self, data_files, tmp_path):
         setup = base_setup(data_files, ["cross_corr"])
         del setup["inputs"]["unknown"]
@@ -187,6 +212,51 @@ class TestValidSetups:
             tmp_path, base_setup(data_files, ["hist"]), drop=True
         )
         assert not (pipeline.project.path / "cache" / "unknown_1").exists()
+
+    # the reference's remaining expect_pass combinations
+    # (/root/reference/tests/setups/expect_pass/*.yml)
+
+    def test_only_wss(self, data_files, tmp_path):
+        pipeline = run(tmp_path, base_setup(data_files, ["auto_ref"]))
+        project = pipeline.project
+        assert project.paircounts.auto_ref.exists()
+        assert not project.paircounts.cross[1].exists()
+
+    def test_only_wpp(self, data_files, tmp_path):
+        pipeline = run(tmp_path, base_setup(data_files, ["auto_unk"]))
+        assert pipeline.project.paircounts.auto_unk[1].exists()
+
+    def test_no_wss(self, data_files, tmp_path):
+        tasks = ["auto_unk", "cross_corr", "estimate"]
+        pipeline = run(tmp_path, base_setup(data_files, tasks))
+        project = pipeline.project
+        assert project.estimate.nz_est[1].exists()
+        assert not project.paircounts.auto_ref.exists()
+
+    def test_no_wpp(self, data_files, tmp_path):
+        tasks = ["auto_ref", "cross_corr", "estimate"]
+        pipeline = run(tmp_path, base_setup(data_files, tasks))
+        project = pipeline.project
+        assert project.estimate.nz_est[1].exists()
+        assert project.estimate.auto_ref.exists()
+
+    def test_no_unk_z(self, data_files, tmp_path):
+        setup = base_setup(data_files, ["cross_corr", "estimate"])
+        del setup["inputs"]["unknown"]["redshift"]
+        pipeline = run(tmp_path, setup)
+        assert pipeline.project.estimate.nz_est[1].exists()
+
+    def test_only_wsp_no_ref_rand(self, data_files, tmp_path):
+        setup = base_setup(data_files, ["cross_corr", "estimate"])
+        del setup["inputs"]["reference"]["path_rand"]
+        pipeline = run(tmp_path, setup)
+        assert pipeline.project.estimate.nz_est[1].exists()
+
+    def test_only_wsp_no_unk_rand(self, data_files, tmp_path):
+        setup = base_setup(data_files, ["cross_corr", "estimate"])
+        del setup["inputs"]["unknown"]["path_rand"]
+        pipeline = run(tmp_path, setup)
+        assert pipeline.project.estimate.nz_est[1].exists()
 
 
 @pytest.mark.slow
