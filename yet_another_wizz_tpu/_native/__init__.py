@@ -24,6 +24,8 @@ __all__ = [
     "assign_patches",
     "morton_codes",
     "pack_tiles",
+    "patch_geometry",
+    "radec_to_xyz",
     "tile_caps",
 ]
 
@@ -77,6 +79,10 @@ def _load() -> None:
     _lib.pack_tiles.argtypes = [f64p, f64p, f64p, i64p, i64, i64, f32p]
     _lib.tile_center_sums.argtypes = [f64p, i64p, i64, i64, f64p]
     _lib.tile_max_chord.argtypes = [f64p, i64p, i64, i64, f64p, f64p]
+    _lib.radec_to_xyz.argtypes = [f64p, f64p, i64, f64p]
+    _lib.patch_geometry.argtypes = [
+        f64p, ctypes.c_void_p, i32p, i64, i64, f64p, f64p
+    ]
     NATIVE_ENABLED = True
 
 
@@ -145,3 +151,33 @@ def assign_patches(xyz: np.ndarray, centers: np.ndarray) -> np.ndarray:
     out = np.empty(len(xyz), dtype=np.int32)
     _lib.assign_patches(xyz, len(xyz), centers, len(centers), out)
     return out
+
+
+def radec_to_xyz(ra: np.ndarray, dec: np.ndarray) -> np.ndarray:
+    """Unit-sphere 3-vectors from (ra, dec) in radian (single write pass)."""
+    ra = np.ascontiguousarray(ra, dtype=np.float64)
+    dec = np.ascontiguousarray(dec, dtype=np.float64)
+    out = np.empty((len(ra), 3), dtype=np.float64)
+    _lib.radec_to_xyz(ra, dec, len(ra), out)
+    return out
+
+
+def patch_geometry(
+    xyz: np.ndarray,
+    weights: np.ndarray | None,
+    patch_ids: np.ndarray,
+    num_patches: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-patch cap centers (weighted spherical means) and angular radii."""
+    xyz = np.ascontiguousarray(xyz, dtype=np.float64)
+    ids = np.ascontiguousarray(patch_ids, dtype=np.int32)
+    centers = np.empty((num_patches, 3), dtype=np.float64)
+    radii = np.empty(num_patches, dtype=np.float64)
+    w_ptr = None
+    if weights is not None:
+        weights = np.ascontiguousarray(weights, dtype=np.float64)
+        w_ptr = weights.ctypes.data
+    _lib.patch_geometry(
+        xyz, w_ptr, ids, len(xyz), num_patches, centers, radii
+    )
+    return centers, radii

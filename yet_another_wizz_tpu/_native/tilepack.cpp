@@ -12,6 +12,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <vector>
 
 extern "C" {
 
@@ -82,6 +83,61 @@ void tile_max_chord(const double* xyz, const int64_t* dest, int64_t n,
         }
         const double chord = sqrt(d2);
         if (chord > max_chord[tile]) max_chord[tile] = chord;
+    }
+}
+
+void radec_to_xyz(const double* ra, const double* dec, int64_t n,
+                  double* out) {
+    // unit-sphere 3-vectors; one output allocation, one write pass
+    #pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; ++i) {
+        const double cd = std::cos(dec[i]);
+        out[3 * i + 0] = cd * std::cos(ra[i]);
+        out[3 * i + 1] = cd * std::sin(ra[i]);
+        out[3 * i + 2] = std::sin(dec[i]);
+    }
+}
+
+void patch_geometry(const double* xyz, const double* weights,
+                    const int32_t* ids, int64_t n, int64_t num_patches,
+                    double* centers_out, double* radii_out) {
+    // pass 1: weighted coordinate sums per patch
+    std::vector<double> sums(3 * num_patches, 0.0);
+    for (int64_t i = 0; i < n; ++i) {
+        const double w = weights ? weights[i] : 1.0;
+        const int64_t p = ids[i];
+        sums[3 * p + 0] += w * xyz[3 * i + 0];
+        sums[3 * p + 1] += w * xyz[3 * i + 1];
+        sums[3 * p + 2] += w * xyz[3 * i + 2];
+    }
+    for (int64_t p = 0; p < num_patches; ++p) {
+        const double norm = std::sqrt(sums[3 * p] * sums[3 * p] +
+                                      sums[3 * p + 1] * sums[3 * p + 1] +
+                                      sums[3 * p + 2] * sums[3 * p + 2]);
+        if (norm > 0.0) {
+            centers_out[3 * p + 0] = sums[3 * p + 0] / norm;
+            centers_out[3 * p + 1] = sums[3 * p + 1] / norm;
+            centers_out[3 * p + 2] = sums[3 * p + 2] / norm;
+        } else {
+            centers_out[3 * p + 0] = 1.0;
+            centers_out[3 * p + 1] = 0.0;
+            centers_out[3 * p + 2] = 0.0;
+        }
+    }
+    // pass 2: maximum chord distance to the patch center
+    std::vector<double> max_chord2(num_patches, 0.0);
+    for (int64_t i = 0; i < n; ++i) {
+        const int64_t p = ids[i];
+        const double dx = xyz[3 * i + 0] - centers_out[3 * p + 0];
+        const double dy = xyz[3 * i + 1] - centers_out[3 * p + 1];
+        const double dz = xyz[3 * i + 2] - centers_out[3 * p + 2];
+        const double c2 = dx * dx + dy * dy + dz * dz;
+        if (c2 > max_chord2[p]) max_chord2[p] = c2;
+    }
+    for (int64_t p = 0; p < num_patches; ++p) {
+        double half = std::sqrt(max_chord2[p]) / 2.0;
+        if (half > 1.0) half = 1.0;
+        radii_out[p] = 2.0 * std::asin(half);
     }
 }
 

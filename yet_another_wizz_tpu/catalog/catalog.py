@@ -298,6 +298,16 @@ class Catalog(Mapping):
         ids = self._patch_ids
         num = self.num_patches
 
+        from yet_another_wizz_tpu import _native
+
+        if _native.NATIVE_ENABLED:
+            centers, radii = _native.patch_geometry(
+                self._xyz, weights, ids, num
+            )
+            self.patch_centers_xyz = centers
+            self.patch_radii = radii
+            return
+
         w = np.ones(len(ids)) if weights is None else weights
         sums = np.stack(
             [

@@ -42,6 +42,12 @@ def sgn(values):
     return _np.where(_np.asarray(values) == 0, 1.0, _np.sign(values))
 
 
+NATIVE_XYZ_THRESHOLD = 100_000
+"""Above this length the native single-pass conversion is used (the numpy
+expression allocates ~6 temporaries, which is expensive for catalog-sized
+inputs on first touch)."""
+
+
 def radec_to_xyz(ra: ArrayLike, dec: ArrayLike) -> NDArray:
     """Project (ra, dec) in radian onto the unit sphere.
 
@@ -49,6 +55,11 @@ def radec_to_xyz(ra: ArrayLike, dec: ArrayLike) -> NDArray:
     """
     ra = np.asarray(ra, dtype=np.float64)
     dec = np.asarray(dec, dtype=np.float64)
+    if ra.ndim == 1 and ra.size > NATIVE_XYZ_THRESHOLD:
+        from yet_another_wizz_tpu import _native
+
+        if _native.NATIVE_ENABLED:
+            return _native.radec_to_xyz(ra, dec)
     cos_dec = np.cos(dec)
     return np.stack(
         [np.cos(ra) * cos_dec, np.sin(ra) * cos_dec, np.sin(dec)], axis=-1
