@@ -80,6 +80,7 @@ def _load() -> None:
     _lib.tile_center_sums.argtypes = [f64p, i64p, i64, i64, f64p]
     _lib.tile_max_chord.argtypes = [f64p, i64p, i64, i64, f64p, f64p]
     _lib.radec_to_xyz.argtypes = [f64p, f64p, i64, f64p]
+    _lib.min_dist2_update.argtypes = [f64p, i64, f64p, f64p]
     _lib.patch_geometry.argtypes = [
         f64p, ctypes.c_void_p, i32p, i64, i64, f64p, f64p
     ]
@@ -181,3 +182,14 @@ def patch_geometry(
         xyz, w_ptr, ids, len(xyz), num_patches, centers, radii
     )
     return centers, radii
+
+
+def min_dist2_update(
+    xyz: np.ndarray, center: np.ndarray, min_d2: np.ndarray
+) -> None:
+    """In-place ``min_d2 = minimum(min_d2, |xyz - center|^2)`` (no
+    temporaries; the numpy expression allocates three catalog-sized
+    intermediates per call)."""
+    _lib.min_dist2_update(
+        xyz, len(xyz), np.ascontiguousarray(center, np.float64), min_d2
+    )

@@ -98,6 +98,19 @@ void radec_to_xyz(const double* ra, const double* dec, int64_t n,
     }
 }
 
+void min_dist2_update(const double* xyz, int64_t n, const double* center,
+                      double* min_d2) {
+    // in-place: min_d2[i] = min(min_d2[i], |xyz_i - center|^2)
+    #pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; ++i) {
+        const double dx = xyz[3 * i + 0] - center[0];
+        const double dy = xyz[3 * i + 1] - center[1];
+        const double dz = xyz[3 * i + 2] - center[2];
+        const double d2 = dx * dx + dy * dy + dz * dz;
+        if (d2 < min_d2[i]) min_d2[i] = d2;
+    }
+}
+
 void patch_geometry(const double* xyz, const double* weights,
                     const int32_t* ids, int64_t n, int64_t num_patches,
                     double* centers_out, double* radii_out) {

@@ -41,12 +41,18 @@ def _seed_centers_plusplus(
     """Deterministic kmeans++ seeding: each new center is drawn with
     probability proportional to the weighted squared distance to the
     nearest existing center."""
+    from yet_another_wizz_tpu import _native
+
     centers = np.empty((num_patches, 3))
     centers[0] = xyz[rng.integers(len(xyz))]
     min_d2 = np.full(len(xyz), np.inf)
+    xyz_c = np.ascontiguousarray(xyz, dtype=np.float64)
     for idx in range(1, num_patches):
-        d2 = np.sum((xyz - centers[idx - 1]) ** 2, axis=1)
-        np.minimum(min_d2, d2, out=min_d2)
+        if _native.NATIVE_ENABLED:
+            _native.min_dist2_update(xyz_c, centers[idx - 1], min_d2)
+        else:
+            d2 = np.sum((xyz - centers[idx - 1]) ** 2, axis=1)
+            np.minimum(min_d2, d2, out=min_d2)
         probs = min_d2 * weights
         total = probs.sum()
         if total <= 0:
