@@ -395,3 +395,14 @@ class TestTaskOptions:
         tasks = [{"cross_corr": None, "estimate": None}]
         with pytest.raises(ConfigError, match="single-key"):
             run(tmp_path, base_setup(data_files, tasks))
+
+
+@pytest.mark.slow
+def test_profile_trace_written(data_files, tmp_path):
+    pipeline = run(
+        tmp_path, base_setup(data_files, ["hist"]), profile=True
+    )
+    trace_dir = pipeline.project.path / "profile"
+    assert trace_dir.exists()
+    traces = list(trace_dir.rglob("*.trace.json.gz"))
+    assert traces, "no profiler trace written"

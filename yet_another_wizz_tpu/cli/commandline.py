@@ -154,6 +154,11 @@ def create_parser() -> argparse.ArgumentParser:
         help="show progress on the terminal",
     )
     parser.add_argument(
+        "--profile", action="store_true",
+        help="write a jax profiler trace of the task loop to "
+             "<project>/profile",
+    )
+    parser.add_argument(
         "--version", action="version", version=f"%(prog)s {__version__}"
     )
     return parser
@@ -175,6 +180,7 @@ def main(args: list[str] | None = None) -> int:
             progress=parsed.progress,
             verbose=parsed.verbose,
             quiet=parsed.quiet,
+            profile=parsed.profile,
         )
     except Exception as err:  # pragma: no cover - smoke tested via API
         print(f"ERROR: {err}", file=sys.stderr)

@@ -172,9 +172,13 @@ def run_setup(
     progress: bool = False,
     verbose: int = 0,
     quiet: bool = False,
+    profile: bool = False,
 ) -> Pipeline:
     """Create and run a full pipeline from a YAML setup (the programmatic
-    equivalent of the command-line tool)."""
+    equivalent of the command-line tool).
+
+    With ``profile=True`` a ``jax.profiler`` trace of the task loop is
+    written to ``<project>/profile`` (view with tensorboard/xprof)."""
     if not quiet:
         level = {0: "info", 1: "debug"}.get(min(verbose, 1), "debug")
         get_logger(level, capture_exceptions=False)
@@ -188,7 +192,15 @@ def run_setup(
         progress=progress,
         max_workers=workers,
     )
-    pipeline.run()
+    if profile:
+        from yet_another_wizz_tpu.utils.logging import profile_trace
+
+        trace_dir = pipeline.project.path / "profile"
+        logger.info("writing profiler trace to: %s", trace_dir)
+        with profile_trace(trace_dir):
+            pipeline.run()
+    else:
+        pipeline.run()
     if drop:
         pipeline.drop_cache()
     return pipeline
