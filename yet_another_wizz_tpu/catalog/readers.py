@@ -191,7 +191,10 @@ class ParquetReader(BaseReader):
 
         super().__init__(**kwargs)
         self.path = Path(path)
-        self._file = pq.ParquetFile(self.path)
+        # memory-mapped reads skip the buffered-read copy (a fresh
+        # multi-MB allocation per row group, which is expensive to fault
+        # in); pages come straight from the OS cache
+        self._file = pq.ParquetFile(self.path, memory_map=True)
         self._num_records = self._file.metadata.num_rows
         # prefix sums of row-group sizes for range slicing
         sizes = [
