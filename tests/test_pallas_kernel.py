@@ -64,3 +64,44 @@ def test_pallas_single_slot_accumulation(rng):
     via_xla = count_pairs_tiles(ts, ts, pairs, chord2, backend="xla")
     via_pallas = count_pairs_tiles(ts, ts, pairs, chord2, backend="pallas")
     assert_allclose(via_pallas, via_xla, rtol=1e-5, atol=1e-2)
+
+
+@pytest.mark.parametrize("max_pairs", [8, 32])
+def test_pallas_multi_segment(rng, max_pairs):
+    """Forcing many small segments exercises the per-segment visited-slot
+    masking: XLA may hand a later segment an output buffer aliasing an
+    earlier segment's result, and unvisited slots must not leak stale
+    counts (the historical failure mode was an exact 2x doubling)."""
+    from yet_another_wizz_tpu.ops.pallas_paircount import count_pairs_pallas
+
+    num_bins, num_patches, tile_size = 2, 5, 32
+    xyz1, w1, z1 = random_cap_catalog(rng, 2000, num_bins)
+    xyz2, w2, _ = random_cap_catalog(rng, 2500, num_bins)
+    patch1 = simple_patches(xyz1, num_patches, np.random.default_rng(3))
+    patch2 = simple_patches(xyz2, num_patches, np.random.default_rng(3))
+    ts1 = build_tile_set(
+        xyz1, patch1, num_patches, weights=w1, zbins=z1, num_bins=num_bins,
+        tile_size=tile_size,
+    )
+    ts2 = build_tile_set(xyz2, patch2, num_patches, weights=w2,
+                         tile_size=tile_size)
+    edges = np.deg2rad(np.tile((0.2, 1.0), (num_bins, 1)))
+    chord2 = ((2 * np.sin(edges / 2)) ** 2).astype(np.float32)
+    centers, radii = patch_geometry(xyz1, patch1, num_patches)
+    linkage = build_linkage(centers, radii, edges.max() * 1.000001)
+    pairs = build_tile_pairs(ts1, ts2, linkage, auto=False)
+    assert pairs.num_pairs > 4 * max_pairs  # really multi-segment
+
+    expected = count_pairs_tiles(ts1, ts2, pairs, chord2, backend="xla")
+    import jax
+
+    segmented = np.asarray(
+        jax.device_get(
+            count_pairs_pallas(
+                ts1.device_data(), ts2.device_data(), pairs,
+                chord2, cols_binned=False, max_pairs_per_call=max_pairs,
+            )
+        ),
+        dtype=np.float64,
+    )
+    assert_allclose(segmented, expected, rtol=1e-6, atol=1e-3)

@@ -281,6 +281,10 @@ def count_pairs_pallas(
         visited = np.zeros(num_slots + 1, dtype=bool)
         visited[np.unique(slots[lo:hi])] = True
         if not visited.all():
-            part = part * jnp.asarray(visited, jnp.float32)[:, None, None]
+            # a multiply would propagate NaN from uninitialised memory in
+            # unvisited blocks (0 * nan = nan); select instead
+            part = jnp.where(
+                jnp.asarray(visited)[:, None, None], part, 0.0
+            )
         total = part if total is None else total + part
     return total[:-1]
