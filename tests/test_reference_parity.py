@@ -169,3 +169,125 @@ class TestMeasurementParity:
         pull = np.abs(nz.data - committed.data) / committed.error
         # measured: max pull 0.04 sigma (sub-percent amplitudes)
         assert np.nanmax(pull) < 0.1
+
+
+REFERENCE_SRC = Path("/root/reference/src")
+
+
+@pytest.fixture(scope="module")
+def reference_modules():
+    """Import the reference package's correlation modules from source with
+    minimal shims for its unavailable third-party dependencies (strenum,
+    astropy, treecorr; none are exercised by the file-format code paths
+    under test)."""
+    import enum
+    import sys
+    import types
+
+    if not REFERENCE_SRC.exists():
+        pytest.skip("reference source tree not available")
+
+    sys.path.insert(0, str(REFERENCE_SRC))
+    try:
+        for name in ("yaw._version", "treecorr"):
+            module = types.ModuleType(name)
+            sys.modules.setdefault(name, module)
+        sys.modules["yaw._version"].__version__ = "3.1.0"
+        sys.modules["yaw._version"].__version_tuple__ = (3, 1, 0)
+        strenum = types.ModuleType("strenum")
+        strenum.StrEnum = enum.StrEnum
+        sys.modules.setdefault("strenum", strenum)
+
+        def make_pkg(name):
+            module = types.ModuleType(name)
+            module.__path__ = []
+            sys.modules.setdefault(name, module)
+            return sys.modules[name]
+
+        astropy = make_pkg("astropy")
+        units = make_pkg("astropy.units")
+        cosmology = make_pkg("astropy.cosmology")
+        io = make_pkg("astropy.io")
+        fits = make_pkg("astropy.io.fits")
+
+        class FLRW:
+            pass
+
+        class _Planck15(FLRW):
+            name = "Planck15"
+
+        cosmology.FLRW = FLRW
+        cosmology.Planck15 = _Planck15()
+        cosmology.cosmology_equal = lambda a, b: a is b
+        cosmology.z_at_value = None
+        cosmology.available = ("Planck15",)
+        astropy.units = units
+        astropy.cosmology = cosmology
+        astropy.io = io
+        io.fits = fits
+
+        import yaw.correlation.corrdata as ref_corrdata
+        import yaw.correlation.corrfunc as ref_corrfunc
+
+        return ref_corrfunc, ref_corrdata
+    finally:
+        sys.path.remove(str(REFERENCE_SRC))
+
+
+class TestTwoWayFormatParity:
+    """The REFERENCE package's own readers consume files written by this
+    framework (the one-way tests above cover the opposite direction)."""
+
+    @pytest.fixture(scope="class")
+    def measured(self):
+        from yet_another_wizz_tpu import Catalog, Configuration
+        from yet_another_wizz_tpu.correlation.measurements import (
+            crosscorrelate,
+        )
+        from yet_another_wizz_tpu.examples import generate_mock_data
+
+        mock = generate_mock_data(2000, 3000, 6000, seed=31)
+        ref = Catalog.from_arrays(
+            **mock["reference"], degrees=False, patch_num=4
+        )
+        unk = Catalog.from_arrays(
+            **mock["unknown"], degrees=False, patch_centers=ref.get_centers()
+        )
+        rand = Catalog.from_arrays(
+            **mock["randoms"], degrees=False, patch_centers=ref.get_centers()
+        )
+        config = Configuration.create(
+            rmin=500, rmax=3000, unit="kpc", zmin=0.15, zmax=1.0, num_bins=4
+        )
+        (w_sp,) = crosscorrelate(
+            config, ref, unk, ref_rand=rand, backend="xla"
+        )
+        return w_sp
+
+    def test_reference_reads_my_hdf5(
+        self, reference_modules, measured, tmp_path
+    ):
+        ref_corrfunc, _ = reference_modules
+        measured.to_file(tmp_path / "cross.hdf")
+        theirs = ref_corrfunc.CorrFunc.from_file(tmp_path / "cross.hdf")
+        assert_allclose(
+            theirs.dd.counts.counts, measured.dd.counts.counts, rtol=1e-12
+        )
+        # THEIR estimator code on the file reproduces my w(z) + samples
+        theirs_sample = theirs.sample()
+        mine_sample = measured.sample()
+        assert_allclose(theirs_sample.data, mine_sample.data, rtol=1e-10)
+        assert_allclose(
+            theirs_sample.samples, mine_sample.samples, rtol=1e-10
+        )
+
+    def test_reference_reads_my_ascii(
+        self, reference_modules, measured, tmp_path
+    ):
+        _, ref_corrdata = reference_modules
+        mine = measured.sample()
+        mine.to_files(tmp_path / "corr")
+        theirs = ref_corrdata.CorrData.from_files(tmp_path / "corr")
+        # fixed-width ASCII carries ~7 significant digits
+        assert_allclose(theirs.data, mine.data, rtol=1e-6)
+        assert_allclose(theirs.samples, mine.samples, rtol=1e-6)
