@@ -226,10 +226,11 @@ def reference_modules():
         astropy.io = io
         io.fits = fits
 
+        import yaw.catalog.patch as ref_patch
         import yaw.correlation.corrdata as ref_corrdata
         import yaw.correlation.corrfunc as ref_corrfunc
 
-        return ref_corrfunc, ref_corrdata
+        return ref_corrfunc, ref_corrdata, ref_patch
     finally:
         sys.path.remove(str(REFERENCE_SRC))
 
@@ -267,7 +268,7 @@ class TestTwoWayFormatParity:
     def test_reference_reads_my_hdf5(
         self, reference_modules, measured, tmp_path
     ):
-        ref_corrfunc, _ = reference_modules
+        ref_corrfunc, _, _ = reference_modules
         measured.to_file(tmp_path / "cross.hdf")
         theirs = ref_corrfunc.CorrFunc.from_file(tmp_path / "cross.hdf")
         assert_allclose(
@@ -284,10 +285,29 @@ class TestTwoWayFormatParity:
     def test_reference_reads_my_ascii(
         self, reference_modules, measured, tmp_path
     ):
-        _, ref_corrdata = reference_modules
+        _, ref_corrdata, _ = reference_modules
         mine = measured.sample()
         mine.to_files(tmp_path / "corr")
         theirs = ref_corrdata.CorrData.from_files(tmp_path / "corr")
         # fixed-width ASCII carries ~7 significant digits
         assert_allclose(theirs.data, mine.data, rtol=1e-6)
         assert_allclose(theirs.samples, mine.samples, rtol=1e-6)
+
+    def test_reference_reads_my_patch_cache(
+        self, reference_modules, tmp_path
+    ):
+        from yet_another_wizz_tpu import Catalog
+        from yet_another_wizz_tpu.examples import generate_mock_data
+
+        _, _, ref_patch = reference_modules
+        mock = generate_mock_data(20_000, 100, 100, seed=41)
+        cat = Catalog.from_arrays(
+            **mock["reference"], degrees=False, patch_num=4,
+            cache_directory=tmp_path / "cache",
+        )
+        theirs = ref_patch.Patch(tmp_path / "cache" / "patch_0")
+        mine = cat[0]
+        assert theirs.meta.num_records == mine.meta.num_records
+        assert_allclose(theirs.coords.data, mine.coords.data, rtol=1e-14)
+        assert_allclose(theirs.weights, mine.weights, rtol=1e-14)
+        assert_allclose(theirs.redshifts, mine.redshifts, rtol=1e-14)
