@@ -213,3 +213,25 @@ class TestPrefetch:
 
         with pytest.raises(RuntimeError, match="boom"):
             list(prefetch_chunks(Broken()))
+
+
+class TestCsvReader:
+    def test_roundtrip(self, columns, tmp_path):
+        import pandas as pd
+
+        from yet_another_wizz_tpu.catalog.readers import CsvReader
+
+        path = tmp_path / "cat.csv"
+        pd.DataFrame(columns).to_csv(path, index=False)
+        with CsvReader(path, **NAMES, chunksize=300) as reader:
+            check_reader(reader, columns, 300)
+
+    def test_dispatch(self, columns, tmp_path):
+        import pandas as pd
+
+        from yet_another_wizz_tpu.catalog.readers import CsvReader
+
+        path = tmp_path / "cat.csv"
+        pd.DataFrame(columns).to_csv(path, index=False)
+        with new_filereader(path, **NAMES) as reader:
+            assert isinstance(reader, CsvReader)

@@ -406,3 +406,14 @@ def test_profile_trace_written(data_files, tmp_path):
     assert trace_dir.exists()
     traces = list(trace_dir.rglob("*.trace.json.gz"))
     assert traces, "no profiler trace written"
+
+
+def test_task_order_is_deterministic(data_files, tmp_path):
+    """cache_ref must come before cache_unk regardless of hash
+    randomisation: the first cached catalog defines the kmeans patch
+    centers, so unstable ordering made pipeline outputs nondeterministic
+    across processes."""
+    pipeline = run(tmp_path, base_setup(data_files, ["cross_corr"]))
+    names = [type(task).name for task in pipeline.tasks.queue] if hasattr(
+        pipeline.tasks, "queue") else []
+    assert names.index("cache_ref") < names.index("cache_unk")

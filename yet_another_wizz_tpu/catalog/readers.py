@@ -30,6 +30,7 @@ if TYPE_CHECKING:
 
 __all__ = [
     "CHUNKSIZE",
+    "CsvReader",
     "DataFrameReader",
     "FitsReader",
     "HDFReader",
@@ -181,6 +182,33 @@ class RandomReader(BaseReader):
         return DataChunk.create(
             raw.pop("ra"), raw.pop("dec"), degrees=False, **raw
         )
+
+
+class CsvReader(BaseReader):
+    """Reader for delimited text catalogs (loaded in memory via pandas;
+    CSV is not a chunkable format, so bounded-memory streaming applies
+    only to the patch-assignment stage downstream)."""
+
+    def __init__(self, path: Path | str, **kwargs) -> None:
+        import pandas as pd
+
+        super().__init__(**kwargs)
+        self.path = Path(path)
+        usecols = [n for n in (
+            kwargs.get("ra_name"), kwargs.get("dec_name"),
+            kwargs.get("weight_name"), kwargs.get("redshift_name"),
+            kwargs.get("kappa_name"), kwargs.get("patch_name"),
+        ) if n is not None]
+        self._frame = pd.read_csv(self.path, usecols=usecols)
+        self._num_records = len(self._frame)
+
+    def _load_range(self, start, stop):
+        view = self._frame.iloc[start:stop]
+        return {
+            attr: np.asarray(view[name])
+            for attr, name in self.columns.items()
+            if name is not None
+        }
 
 
 class ParquetReader(BaseReader):
@@ -364,6 +392,7 @@ class FitsReader(BaseReader):
 
 
 _READERS = {
+    ".csv": CsvReader,
     ".fits": FitsReader,
     ".fit": FitsReader,
     ".cat": FitsReader,

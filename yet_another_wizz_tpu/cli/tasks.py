@@ -458,11 +458,18 @@ class TaskList:
         for task in self.tasks.values():
             task.check_config(scheduled)
 
+        # deterministic tie-breaking: set iteration order is randomised
+        # per process (string hashing), which would let cache_unk run
+        # before cache_ref in some runs — and the first cached catalog
+        # defines the kmeans patch centers. Sorted insertion pins the
+        # order (and puts cache_ref first, so the reference sample always
+        # defines the patches).
         graph = {
-            name: set(cls.requires) | (set(cls.optional) & scheduled)
-            for name, cls in (
-                (name, _REGISTRY[name]) for name in scheduled
+            name: sorted(
+                set(_REGISTRY[name].requires)
+                | (set(_REGISTRY[name].optional) & scheduled)
             )
+            for name in sorted(scheduled)
         }
         order = list(TopologicalSorter(graph).static_order())
 
