@@ -81,6 +81,10 @@ def _load() -> None:
     _lib.tile_max_chord.argtypes = [f64p, i64p, i64, i64, f64p, f64p]
     _lib.radec_to_xyz.argtypes = [f64p, f64p, i64, f64p]
     _lib.min_dist2_update.argtypes = [f64p, i64, f64p, f64p]
+    _lib.interleave_columns.argtypes = [
+        ctypes.POINTER(ctypes.c_void_p), i64, i64, i64, f64p
+    ]
+    _lib.interleave_columns.restype = ctypes.c_int
     _lib.patch_geometry.argtypes = [
         f64p, ctypes.c_void_p, i32p, i64, i64, f64p, f64p
     ]
@@ -192,4 +196,17 @@ def min_dist2_update(
     intermediates per call)."""
     _lib.min_dist2_update(
         xyz, len(xyz), np.ascontiguousarray(center, np.float64), min_d2
+    )
+
+
+def interleave_columns(columns, out: np.ndarray) -> int:
+    """Interleave float64 column arrays into ``out`` (an (n, k) float64
+    view of a record array) with a fused finite check. Returns the index
+    of the first non-finite column, or -1 on success."""
+    ptrs = (ctypes.c_void_p * len(columns))(
+        *(c.ctypes.data for c in columns)
+    )
+    stride = out.strides[0] // 8
+    return _lib.interleave_columns(
+        ptrs, len(columns), len(out), stride, out
     )

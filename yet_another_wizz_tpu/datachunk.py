@@ -171,6 +171,35 @@ class DataChunk:
             ]
         )
         chunk = np.empty(num_rows, dtype=dtype)
+
+        # pure-f8 layouts interleave natively in one pass with a fused
+        # finite check (the numpy loop allocates one bool temporary per
+        # column, which is expensive to fault in for catalog-sized rows)
+        f8_names = [n for n in values if n != "patch_ids"]
+        from yet_another_wizz_tpu import _native
+
+        if (
+            _native.NATIVE_ENABLED
+            and chkfinite
+            and "patch_ids" not in values
+            and num_rows > 65536
+        ):
+            columns = [
+                np.ascontiguousarray(values[n], dtype=np.float64)
+                for n in chunk.dtype.names
+            ]
+            view = np.lib.stride_tricks.as_strided(
+                chunk.view(np.float64).reshape(-1),
+                shape=(num_rows, len(columns)),
+                strides=(chunk.dtype.itemsize, 8),
+            )
+            bad = _native.interleave_columns(columns, view)
+            if bad >= 0:
+                raise ValueError(
+                    f"invalid values encountered in '{chunk.dtype.names[bad]}'"
+                )
+            return chunk
+
         for name, column in values.items():
             if chkfinite and not np.all(np.isfinite(column)):
                 raise ValueError(f"invalid values encountered in '{name}'")
