@@ -5,6 +5,9 @@ Mirrors the reference test strategy
 (/root/reference/tests/test_setups.py:47-168).
 """
 
+import os
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -417,3 +420,42 @@ def test_task_order_is_deterministic(data_files, tmp_path):
     names = [type(task).name for task in pipeline.tasks.queue] if hasattr(
         pipeline.tasks, "queue") else []
     assert names.index("cache_ref") < names.index("cache_unk")
+
+
+@pytest.mark.slow
+def test_pipeline_deterministic_across_processes(data_files, tmp_path):
+    """Identical setups must produce byte-identical outputs in separate
+    interpreter processes (hash randomisation exposed an ordering bug
+    where the kmeans patch centers came from whichever catalog cached
+    first)."""
+    import subprocess
+    import sys
+
+    import yaml
+
+    setup = base_setup(data_files, ["cross_corr", "estimate"])
+    setup_path = tmp_path / "setup.yml"
+    with setup_path.open("w") as f:
+        yaml.safe_dump(setup, f)
+
+    outputs = []
+    for run_id in (1, 2):
+        wdir = tmp_path / f"proj{run_id}"
+        code = (
+            "import sys; sys.path.insert(0, {root!r});"
+            "from yet_another_wizz_tpu.cli.pipeline import run_setup;"
+            "run_setup({wdir!r}, {setup!r}, quiet=True)"
+        ).format(
+            root=str(Path(__file__).parent.parent),
+            wdir=str(wdir),
+            setup=str(setup_path),
+        )
+        subprocess.run(
+            [sys.executable, "-c", code], check=True,
+            env={**os.environ, "PYTHONHASHSEED": "random"},
+        )
+        outputs.append(
+            (wdir / "estimate" / "nz_est_1.dat").read_bytes()
+            + (wdir / "estimate" / "nz_est_1.smp").read_bytes()
+        )
+    assert outputs[0] == outputs[1]
