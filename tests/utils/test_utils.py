@@ -118,3 +118,44 @@ class TestProfiling:
         with profile_trace(tmp_path / "trace"):
             jnp.ones(8).sum().block_until_ready()
         assert any((tmp_path / "trace").rglob("*"))
+
+
+class TestPlotStyles:
+    @pytest.fixture()
+    def corrdata(self, rng):
+        import numpy as np
+
+        from yet_another_wizz_tpu.binning import Binning
+        from yet_another_wizz_tpu.correlation.corrdata import CorrData
+
+        binning = Binning(np.linspace(0.2, 1.0, 6))
+        data = rng.uniform(1, 2, 5)
+        samples = data[None, :] * rng.uniform(0.9, 1.1, (8, 5))
+        return CorrData(binning, data, samples)
+
+    @pytest.mark.parametrize("style", ["point", "line", "step"])
+    def test_plot_styles(self, corrdata, style, tmp_path):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        ax = corrdata.plot(style=style)
+        ax.figure.savefig(tmp_path / f"{style}.png")
+        plt.close(ax.figure)
+        assert (tmp_path / f"{style}.png").stat().st_size > 0
+
+    def test_plot_corr_matrix(self, corrdata, tmp_path):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        ax = corrdata.plot_corr()
+        ax.figure.savefig(tmp_path / "corr.png")
+        plt.close(ax.figure)
+        assert (tmp_path / "corr.png").stat().st_size > 0
+
+    def test_unknown_style(self, corrdata):
+        with pytest.raises(ValueError):
+            corrdata.plot(style="sparkles")
