@@ -155,3 +155,57 @@ class TestNormalisedCounts:
         with h5py.File(tmp_path / "s.hdf", "r") as f:
             clone = NormalisedScalarCounts.from_hdf(f)
         assert clone == scalar
+
+
+class TestIndexers:
+    """`.bins[...]` / `.patches[...]` slicing on the container hierarchy
+    (reference: yaw.utils.abc BinwiseData/PatchwiseData indexers)."""
+
+    @pytest.fixture()
+    def corrfunc(self, rng):
+        from yet_another_wizz_tpu.correlation.corrfunc import CorrFunc
+
+        binning = Binning(np.linspace(0.2, 1.0, 6))
+        num_patches = 4
+
+        def normalised():
+            counts = rng.uniform(0, 10, (5, num_patches, num_patches))
+            sum1 = rng.uniform(1, 2, (5, num_patches))
+            sum2 = rng.uniform(1, 2, (5, num_patches))
+            return NormalisedCounts(
+                PatchedCounts(binning, counts, auto=False),
+                PatchedSumWeights(binning, sum1, sum2, auto=False),
+            )
+
+        return CorrFunc(normalised(), normalised())
+
+    def test_bin_slice(self, corrfunc):
+        sub = corrfunc.bins[1:4]
+        assert sub.num_bins == 3
+        assert_allclose(sub.binning.edges, corrfunc.binning.edges[1:5])
+        assert_allclose(
+            sub.dd.counts.counts, corrfunc.dd.counts.counts[1:4]
+        )
+
+    def test_bin_scalar_and_iteration(self, corrfunc):
+        first = corrfunc.bins[0]
+        assert first.num_bins == 1
+        parts = list(corrfunc.bins)
+        assert len(parts) == corrfunc.num_bins
+        assert_allclose(
+            parts[2].dd.counts.counts[0], corrfunc.dd.counts.counts[2]
+        )
+
+    def test_patch_slice(self, corrfunc):
+        sub = corrfunc.patches[[0, 2]]
+        assert sub.num_patches == 2
+        assert_allclose(
+            sub.dd.counts.counts,
+            corrfunc.dd.counts.counts[:, [0, 2]][:, :, [0, 2]],
+        )
+
+    def test_sliced_sample_consistent(self, corrfunc):
+        """Sampling a bin-slice equals slicing the full sample."""
+        sub_sample = corrfunc.bins[1:4].sample()
+        full_sample = corrfunc.sample()
+        assert_allclose(sub_sample.data, full_sample.data[1:4], rtol=1e-12)
