@@ -88,3 +88,21 @@ class TestBinning:
         binning = Binning([0.0, 0.25, 0.5, 1.0], closed="left")
         idx = binning.digitize([0.0, 0.25, 0.3, 1.0, 1.1])
         assert np.array_equal(idx, [1, 2, 2, 4, 4])
+
+
+def test_load_legacy_binning(tmp_path):
+    """Pre-v3 reference layout: (left, right) pairs in a 'binning' dataset
+    (/root/reference/src/yaw/binning.py legacy loader parity)."""
+    import h5py
+
+    from yet_another_wizz_tpu.binning import load_legacy_binning
+
+    edges = np.linspace(0.1, 0.9, 5)
+    pairs = np.column_stack([edges[:-1], edges[1:]])
+    with h5py.File(tmp_path / "legacy.hdf", "w") as f:
+        dset = f.create_dataset("binning", data=pairs)
+        dset.attrs["closed"] = "left"
+    with h5py.File(tmp_path / "legacy.hdf") as f:
+        binning = load_legacy_binning(f)
+    assert_allclose(binning.edges, edges)
+    assert str(binning.closed) == "left"

@@ -159,3 +159,17 @@ class TestPlotStyles:
     def test_unknown_style(self, corrdata):
         with pytest.raises(ValueError):
             corrdata.plot(style="sparkles")
+
+
+def test_long_num_format():
+    from yet_another_wizz_tpu.utils.logging import long_num_format
+
+    assert long_num_format(999) in ("999", "999.0")
+    assert "M" in long_num_format(2_500_000)
+    assert "K" in long_num_format(12_000)
+
+
+def test_get_options():
+    from yet_another_wizz_tpu.options import Closed, get_options
+
+    assert set(get_options(Closed)) == {"left", "right"}
