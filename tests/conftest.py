@@ -32,12 +32,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 if jax.default_backend() != "cpu" or len(jax.devices()) < 8:
     # jax was initialised (e.g. by sitecustomize) before this file ran
-    try:
+    if hasattr(jax, "clear_backends"):  # removed in jax >= 0.5
         jax.clear_backends()
-    except Exception:
-        import jax._src.xla_bridge as xla_bridge
+    else:
+        import jax.extend.backend
 
-        xla_bridge.backends.cache_clear()
+        jax.extend.backend.clear_backends()
 assert jax.default_backend() == "cpu", "tests require the CPU backend"
 
 import numpy as np  # noqa: E402
