@@ -1,0 +1,119 @@
+"""Worker entry point for the two-process (multi-host emulation) tests.
+
+Launched as ``python multiprocess_worker.py <mode> <workdir>`` with the
+``YAWT_COORDINATOR`` / ``YAWT_NUM_PROCESSES`` / ``YAWT_PROCESS_ID``
+environment variables set per process (the same launch contract as a real
+pod job). Each process brings up 2 virtual CPU devices, so two workers
+form a 4-device global mesh across process boundaries — cross-process
+collectives run over gloo exactly where a pod would use ICI/DCN.
+
+Not collected by pytest (no ``test_`` prefix); driven by
+``tests/test_multiprocess.py``.
+"""
+
+import os
+import sys
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+
+sys.path.insert(0, str(REPO_ROOT))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+from yet_another_wizz_tpu import parallel  # noqa: E402
+
+
+def check_cluster():
+    parallel.initialize()
+    assert parallel.num_processes() == 2, parallel.num_processes()
+    assert jax.device_count() == 4, jax.device_count()
+    assert jax.local_device_count() == 2, jax.local_device_count()
+
+
+def run_engine(workdir: Path) -> None:
+    """Sharded pair counts on the global 4-device mesh, plus the host-side
+    coordination helpers (broadcast, root-guarded writes)."""
+    from __graft_entry__ import _tiny_problem
+
+    from yet_another_wizz_tpu.ops.paircount import count_pairs_tiles
+    from yet_another_wizz_tpu.utils.abc import HdfSerializable
+
+    check_cluster()
+    rank = parallel.process_index()
+
+    ts1, ts2, pairs, chord2 = _tiny_problem()
+    expected = np.load(workdir / "expected.npy")
+
+    mesh = parallel.default_mesh()
+    assert mesh.devices.size == 4
+    for data_sharding in ("replicated", "columns", "ring"):
+        result = parallel.count_pairs_sharded(
+            ts1, ts2, pairs, chord2, mesh=mesh, data_sharding=data_sharding
+        )
+        np.testing.assert_allclose(
+            result, expected, rtol=1e-5, atol=1e-2,
+            err_msg=f"{data_sharding} (rank {rank})",
+        )
+
+    # pod jobs default to the global mesh without an explicit mesh argument
+    result = count_pairs_tiles(ts1, ts2, pairs, chord2, backend="xla")
+    np.testing.assert_allclose(
+        result, expected, rtol=1e-5, atol=1e-2, err_msg="auto-mesh"
+    )
+
+    # host-side value broadcast: every process must see root's payload
+    value = parallel.broadcast({"rank": rank, "data": np.arange(5)})
+    assert value["rank"] == 0, value
+    np.testing.assert_array_equal(value["data"], np.arange(5))
+
+    class Payload(HdfSerializable):
+        def __init__(self, value: int) -> None:
+            self.value = value
+
+        @classmethod
+        def from_hdf(cls, source):
+            return cls(int(source["value"][()]))
+
+        def to_hdf(self, dest) -> None:
+            dest.create_dataset("value", data=self.value)
+
+    # root-guarded writes: both processes call to_file with different
+    # payloads; the file must contain root's (exactly one writer)
+    target = workdir / "payload.hdf"
+    Payload(rank).to_file(target)
+    assert Payload.from_file(target).value == 0
+
+    parallel.barrier("engine_done")
+    print(f"ENGINE OK rank={rank}")
+
+
+def run_pipeline(workdir: Path) -> None:
+    """The full CLI pipeline executed collectively by both processes."""
+    from yet_another_wizz_tpu.cli.pipeline import run_setup
+
+    check_cluster()
+    run_setup(workdir / "project_mp", workdir / "setup.yml", quiet=True)
+    parallel.barrier("pipeline_done")
+    print(f"PIPELINE OK rank={parallel.process_index()}")
+
+
+def main() -> None:
+    mode, workdir = sys.argv[1], Path(sys.argv[2])
+    if mode == "engine":
+        run_engine(workdir)
+    elif mode == "pipeline":
+        run_pipeline(workdir)
+    else:
+        raise SystemExit(f"unknown mode: {mode}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,180 @@
+"""Two-process execution tests: emulate a multi-host pod with two CPU
+processes of 2 virtual devices each, joined via ``jax.distributed`` (gloo
+collectives stand in for ICI/DCN).
+
+Covers the multi-host contract of SURVEY.md section 2.2 (the reference
+scales out over MPI ranks, /root/reference/src/yaw/utils/parallel.py): the
+sharded engine produces identical counts across process boundaries, and
+all file I/O follows the root-writes/barrier discipline.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+WORKER = Path(__file__).parent / "multiprocess_worker.py"
+REPO_ROOT = Path(__file__).resolve().parent.parent
+
+
+def _free_port() -> int:
+    with socket.socket() as sock:
+        sock.bind(("localhost", 0))
+        return sock.getsockname()[1]
+
+
+# XLA's gloo adapter hard-codes a 30 s key-exchange deadline when a new
+# cross-process communicator is established. On a single-core CI host the
+# two workers' XLA compilations serialise, which can skew their arrival at
+# a collective past that deadline — an infrastructure timeout, not a
+# correctness failure. A shared persistent compile cache plus one retry
+# (warm cache => near-zero skew) makes the tests deterministic.
+_GLOO_TIMEOUT = "Gloo context initialization failed"
+
+
+def _run_pair_once(
+    mode: str, workdir: Path, cache_dir: Path, timeout: float
+) -> list:
+    port = _free_port()
+    procs = []
+    for rank in range(2):
+        env = os.environ.copy()
+        env.update(
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+            PALLAS_AXON_POOL_IPS="",  # never dial TPU hardware from tests
+            YAWT_COORDINATOR=f"localhost:{port}",
+            YAWT_NUM_PROCESSES="2",
+            YAWT_PROCESS_ID=str(rank),
+            JAX_COMPILATION_CACHE_DIR=str(cache_dir),
+            JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES="-1",
+            JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="0",
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(WORKER), mode, str(workdir)],
+                env=env,
+                cwd=REPO_ROOT,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+        )
+    results = []
+    try:
+        for proc in procs:
+            out, _ = proc.communicate(timeout=timeout)
+            results.append((proc.returncode, out))
+    finally:
+        for proc in procs:
+            if proc.poll() is None:
+                proc.kill()
+    return results
+
+
+def _launch_pair(mode: str, workdir: Path, timeout: float = 300.0) -> None:
+    """Run two worker processes to completion, failing with their output."""
+    import shutil
+
+    cache_dir = workdir / "jax_cache"
+    for attempt in range(2):
+        results = _run_pair_once(mode, workdir, cache_dir, timeout)
+        if all(rc == 0 for rc, _ in results):
+            return
+        outputs = "".join(out for _, out in results)
+        if attempt == 0 and _GLOO_TIMEOUT in outputs:
+            # infra timeout: clear partial products, keep the warm cache
+            shutil.rmtree(workdir / "project_mp", ignore_errors=True)
+            (workdir / "payload.hdf").unlink(missing_ok=True)
+            continue
+        for rank, (rc, out) in enumerate(results):
+            assert rc == 0, f"worker {rank} failed (rc={rc}):\n{out}"
+    raise AssertionError(f"worker pair failed twice:\n{outputs}")
+
+
+def test_two_process_engine(tmp_path):
+    """Sharded counts across two processes match the single-process result
+    for every data layout; broadcast and root-guarded writes behave."""
+    sys.path.insert(0, str(REPO_ROOT))
+    from __graft_entry__ import _tiny_problem
+
+    from yet_another_wizz_tpu.ops.paircount import count_pairs_tiles
+
+    ts1, ts2, pairs, chord2 = _tiny_problem()
+    expected = count_pairs_tiles(ts1, ts2, pairs, chord2, backend="xla")
+    np.save(tmp_path / "expected.npy", expected)
+
+    _launch_pair("engine", tmp_path)
+
+    # exactly one writer: the guarded to_file produced root's payload
+    import h5py
+
+    with h5py.File(tmp_path / "payload.hdf", "r") as f:
+        assert int(f["value"][()]) == 0
+
+
+@pytest.mark.slow
+def test_two_process_pipeline(tmp_path):
+    """The full CLI pipeline, run collectively by two processes, produces
+    the same redshift estimate as a single-process run."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import yaml
+
+    from yet_another_wizz_tpu.cli.pipeline import run_setup
+    from yet_another_wizz_tpu.examples import generate_mock_data
+
+    mock = generate_mock_data(
+        num_reference=1500, num_unknown=2500, num_randoms=5000, seed=7
+    )
+    paths = {}
+    for name, sample in mock.items():
+        table = pa.table(
+            dict(
+                ra=np.rad2deg(sample["ra"]),
+                dec=np.rad2deg(sample["dec"]),
+                z=sample["redshifts"],
+            )
+        )
+        paths[name] = str(tmp_path / f"{name}.pqt")
+        pq.write_table(table, paths[name])
+
+    setup = dict(
+        correlation=dict(
+            scales=dict(rmin=500, rmax=3000, unit="kpc"),
+            binning=dict(zmin=0.15, zmax=1.0, num_bins=3),
+        ),
+        inputs=dict(
+            reference=dict(
+                path_data=paths["reference"],
+                path_rand=paths["randoms"],
+                ra="ra", dec="dec", redshift="z",
+            ),
+            unknown=dict(
+                path_data={1: paths["unknown"]},
+                path_rand={1: paths["randoms"]},
+                ra="ra", dec="dec", redshift="z",
+            ),
+            num_patches=4,
+        ),
+        tasks=["auto_ref", "cross_corr", "estimate", "hist"],
+    )
+    with (tmp_path / "setup.yml").open("w") as f:
+        yaml.safe_dump(setup, f)
+
+    # single-process reference run
+    run_setup(tmp_path / "project_sp", tmp_path / "setup.yml", quiet=True)
+
+    _launch_pair("pipeline", tmp_path, timeout=420.0)
+
+    # the lock must be released and all products present exactly once
+    assert not (tmp_path / "project_mp" / ".tasklock").exists()
+    for product in ("estimate/nz_est_1", "estimate/cross_1"):
+        sp = np.loadtxt(tmp_path / f"project_sp/{product}.dat")
+        mp = np.loadtxt(tmp_path / f"project_mp/{product}.dat")
+        # engines differ only in device count / summation order
+        np.testing.assert_allclose(mp, sp, rtol=1e-4, atol=1e-6)

@@ -331,30 +331,43 @@ class Catalog(Mapping):
     def to_cache(
         self, cache_directory: Path | str, *, overwrite: bool = False
     ) -> None:
-        """Write the catalog to a reference-compatible patch cache."""
-        cache = Path(cache_directory)
-        if cache.exists():
-            if not overwrite and any(cache.iterdir()):
-                raise FileExistsError(f"cache directory not empty: {cache}")
-            if overwrite:
-                import shutil
+        """Write the catalog to a reference-compatible patch cache.
 
-                shutil.rmtree(cache)
-        cache.mkdir(parents=True, exist_ok=True)
-        logger.info(
-            "writing %d patches to cache: %s", self.num_patches, cache
+        Root-only in multi-process jobs (every process holds the same
+        in-memory catalog); a barrier afterwards makes the cache visible
+        to all processes via the shared filesystem."""
+        from yet_another_wizz_tpu.parallel.distributed import (
+            barrier,
+            on_root,
         )
 
-        for pid in range(self.num_patches):
-            sel = self._patch_ids == pid
-            patch_dir = cache / PATCH_NAME_TEMPLATE.format(pid)
-            patch_dir.mkdir()
-            write_patch_data(patch_dir / "data.bin", self._chunk[sel])
-            meta = Metadata.compute(
-                DataChunk.get_coords(self._chunk[sel]),
-                weights=DataChunk.getattr(self._chunk[sel], "weights"),
+        cache = Path(cache_directory)
+        if on_root():
+            if cache.exists():
+                if not overwrite and any(cache.iterdir()):
+                    raise FileExistsError(
+                        f"cache directory not empty: {cache}"
+                    )
+                if overwrite:
+                    import shutil
+
+                    shutil.rmtree(cache)
+            cache.mkdir(parents=True, exist_ok=True)
+            logger.info(
+                "writing %d patches to cache: %s", self.num_patches, cache
             )
-            meta.to_file(patch_dir / "meta.yml")
+
+            for pid in range(self.num_patches):
+                sel = self._patch_ids == pid
+                patch_dir = cache / PATCH_NAME_TEMPLATE.format(pid)
+                patch_dir.mkdir()
+                write_patch_data(patch_dir / "data.bin", self._chunk[sel])
+                meta = Metadata.compute(
+                    DataChunk.get_coords(self._chunk[sel]),
+                    weights=DataChunk.getattr(self._chunk[sel], "weights"),
+                )
+                meta.to_file(patch_dir / "meta.yml")
+        barrier("to_cache")
         self.cache_directory = cache
 
     @classmethod
@@ -466,13 +479,24 @@ class Catalog(Mapping):
                             "exactly one of 'patch_centers', 'patch_name', "
                             "or 'patch_num' is required"
                         )
-                write_patches_streaming(
-                    reader,
-                    cache_directory,
-                    centers,
-                    overwrite=overwrite,
-                    progress=progress,
+                from yet_another_wizz_tpu.parallel.distributed import (
+                    barrier,
+                    on_root,
                 )
+
+                # root streams the file into the patch cache; the other
+                # processes attach to it after the barrier (the analogue
+                # of the reference's reader/writer rank split,
+                # /root/reference/src/yaw/catalog/catalog.py:587-908)
+                if on_root():
+                    write_patches_streaming(
+                        reader,
+                        cache_directory,
+                        centers,
+                        overwrite=overwrite,
+                        progress=progress,
+                    )
+                barrier("write_patches_streaming")
                 return cls(cache_directory)
 
             chunks = [chunk for chunk in reader]

@@ -166,8 +166,12 @@ def create_parser() -> argparse.ArgumentParser:
 
 def main(args: list[str] | None = None) -> int:
     from yet_another_wizz_tpu.cli.pipeline import run_setup
+    from yet_another_wizz_tpu.parallel import initialize
 
     parsed = create_parser().parse_args(args)
+    # multi-host pod launches: one process per host with YAWT_COORDINATOR /
+    # YAWT_NUM_PROCESSES / YAWT_PROCESS_ID exported (no-op single-host)
+    initialize()
     try:
         run_setup(
             parsed.wdir,

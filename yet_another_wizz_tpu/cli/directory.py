@@ -187,11 +187,36 @@ class CacheDirectory(_Subdirectory):
 
     def set_patch_centers(self, centers: AngularCoordinates) -> None:
         """Store the shared patch centers; they may only be written once."""
+        from yet_another_wizz_tpu.parallel.distributed import (
+            barrier,
+            on_root,
+        )
+
         if self.patch_center_file.exists():
             raise RuntimeError(
                 "overwriting existing patch centers not permitted"
             )
-        np.save(self.patch_center_file, centers.data)
+        if on_root():
+            np.save(self.patch_center_file, centers.data)
+        barrier("set_patch_centers")
+
+    def ensure_patch_centers(self, centers: AngularCoordinates) -> None:
+        """Store the shared patch centers unless already present.
+
+        Multi-process-safe: the branch decision is root's filesystem view,
+        broadcast so every process takes the same path (a local ``exists``
+        check would race against root's in-flight write)."""
+        from yet_another_wizz_tpu.parallel.distributed import (
+            barrier,
+            broadcast,
+            on_root,
+        )
+
+        if broadcast(self.patch_center_file.exists()):
+            return
+        if on_root():
+            np.save(self.patch_center_file, centers.data)
+        barrier("ensure_patch_centers_written")
 
 
 class PaircountsDirectory(_Subdirectory):
@@ -248,12 +273,19 @@ class ProjectDirectory:
     """The root project directory with its subdirectory accessors."""
 
     def __init__(self, path: Path | str, bin_indices) -> None:
+        from yet_another_wizz_tpu.parallel.distributed import (
+            barrier,
+            on_root,
+        )
+
         self.path = Path(path)
         self.indices = tuple(bin_indices)
         self.path.mkdir(parents=True, exist_ok=True)
-        self.indices_file.write_text(
-            ",".join(str(i) for i in self.indices)
-        )
+        if on_root():
+            self.indices_file.write_text(
+                ",".join(str(i) for i in self.indices)
+            )
+        barrier("project_directory")
 
     @classmethod
     def open(cls, path: Path | str) -> ProjectDirectory:

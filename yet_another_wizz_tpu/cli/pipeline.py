@@ -37,24 +37,46 @@ logger = logging.getLogger(__name__)
 
 
 class LockFile:
-    """Guards a project against concurrent or resumed-after-crash runs."""
+    """Guards a project against concurrent or resumed-after-crash runs.
+
+    In multi-process jobs only the root process owns the lock; the other
+    processes of the same job must not contend for it (they are
+    participants, not concurrent runs)."""
 
     def __init__(self, path: Path | str) -> None:
         self.path = Path(path)
 
     def acquire(self, content: str = "") -> None:
-        if self.path.exists():
-            raise RuntimeError(
-                f"a pipeline run appears to be in progress (or crashed); "
-                f"remove the lock file to continue: {self.path}"
-            )
-        self.path.write_text(f"{os.getpid()}:{content}")
+        from yet_another_wizz_tpu.parallel.distributed import (
+            barrier,
+            on_root,
+        )
+
+        if on_root():
+            if self.path.exists():
+                raise RuntimeError(
+                    f"a pipeline run appears to be in progress (or "
+                    f"crashed); remove the lock file to continue: "
+                    f"{self.path}"
+                )
+            self.path.write_text(f"{os.getpid()}:{content}")
+        barrier("lock_acquire")
 
     def update(self, content: str) -> None:
-        self.path.write_text(f"{os.getpid()}:{content}")
+        from yet_another_wizz_tpu.parallel.distributed import on_root
+
+        if on_root():
+            self.path.write_text(f"{os.getpid()}:{content}")
 
     def release(self) -> None:
-        self.path.unlink(missing_ok=True)
+        from yet_another_wizz_tpu.parallel.distributed import (
+            barrier,
+            on_root,
+        )
+
+        barrier("lock_release")
+        if on_root():
+            self.path.unlink(missing_ok=True)
 
 
 class Pipeline:
@@ -101,26 +123,36 @@ class Pipeline:
             setup_file = config_path
         config = ProjectConfig.from_file(setup_file)
 
+        from yet_another_wizz_tpu.parallel.distributed import (
+            barrier,
+            on_root,
+        )
+
         if wdir.exists() and any(wdir.iterdir()) and not (
             overwrite or resume or config_path.exists()
         ):
             raise FileExistsError(f"project directory not empty: {wdir}")
         if overwrite and wdir.exists():
-            import shutil
+            barrier("pre_overwrite")  # nobody may still be reading it
+            if on_root():
+                import shutil
 
-            shutil.rmtree(wdir)
+                shutil.rmtree(wdir)
+            barrier("post_overwrite")
 
         indices = config.bin_indices
         project = ProjectDirectory(wdir, indices)
-        config.to_file(project.config_path)
-        init_file_logging(project.log_path)
+        if on_root():
+            config.to_file(project.config_path)
+            init_file_logging(project.log_path)
 
-        if cache_path is not None or config.inputs.cache_path is not None:
-            external = Path(cache_path or config.inputs.cache_path)
-            internal = project.path / "cache"
-            if not internal.exists():
-                external.mkdir(parents=True, exist_ok=True)
-                internal.symlink_to(external.resolve())
+            if cache_path is not None or config.inputs.cache_path is not None:
+                external = Path(cache_path or config.inputs.cache_path)
+                internal = project.path / "cache"
+                if not internal.exists():
+                    external.mkdir(parents=True, exist_ok=True)
+                    internal.symlink_to(external.resolve())
+        barrier("project_created")
 
         tasks = TaskList(
             project, config,
@@ -149,15 +181,23 @@ class Pipeline:
 
     def drop_cache(self) -> None:
         """Remove the cached catalogs (the reference's ``--drop`` flag)."""
-        import shutil
+        from yet_another_wizz_tpu.parallel.distributed import (
+            barrier,
+            on_root,
+        )
 
-        cache = self.project.path / "cache"
-        if cache.is_symlink():
-            shutil.rmtree(cache.resolve())
-            cache.unlink()
-        elif cache.exists():
-            shutil.rmtree(cache)
-        logger.info("dropped cached catalogs")
+        barrier("pre_drop_cache")  # nobody may still be reading it
+        if on_root():
+            import shutil
+
+            cache = self.project.path / "cache"
+            if cache.is_symlink():
+                shutil.rmtree(cache.resolve())
+                cache.unlink()
+            elif cache.exists():
+                shutil.rmtree(cache)
+            logger.info("dropped cached catalogs")
+        barrier("post_drop_cache")
 
 
 def run_setup(
@@ -178,8 +218,15 @@ def run_setup(
     equivalent of the command-line tool).
 
     With ``profile=True`` a ``jax.profiler`` trace of the task loop is
-    written to ``<project>/profile`` (view with tensorboard/xprof)."""
-    if not quiet:
+    written to ``<project>/profile`` (view with tensorboard/xprof).
+
+    In multi-process jobs (after :func:`yet_another_wizz_tpu.parallel.
+    initialize`) all processes execute the pipeline collectively: the
+    measurements shard over the global device mesh while terminal/file
+    logging and all product writes happen on the root process only."""
+    from yet_another_wizz_tpu.parallel.distributed import on_root
+
+    if not quiet and on_root():
         level = {0: "info", 1: "debug"}.get(min(verbose, 1), "debug")
         get_logger(level, capture_exceptions=False)
 

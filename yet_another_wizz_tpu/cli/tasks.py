@@ -148,8 +148,7 @@ def _create_catalog_pair(project, pair_config, cache_handle, num_patches,
             progress=progress,
             max_workers=max_workers,
         )
-        if project.cache.get_patch_centers() is None:
-            project.cache.set_patch_centers(catalog.get_centers())
+        project.cache.ensure_patch_centers(catalog.get_centers())
 
 
 class CacheRefTask(Task):
@@ -391,9 +390,16 @@ class PlotTask(Task):
         return False  # cheap; always regenerated
 
     def run(self) -> None:
-        from yet_another_wizz_tpu.cli import plotting
+        from yet_another_wizz_tpu.parallel.distributed import (
+            barrier,
+            on_root,
+        )
 
-        plotting.make_checkplots(self.project)
+        if on_root():
+            from yet_another_wizz_tpu.cli import plotting
+
+            plotting.make_checkplots(self.project)
+        barrier("checkplots")
 
 
 class TaskList:

@@ -338,7 +338,18 @@ class CorrData(AsciiSerializable, SampledData):
 
     def to_files(self, path_prefix: Path | str) -> None:
         """Write ``.dat`` (edges, data, error), ``.smp`` (samples) and
-        ``.cov`` (covariance matrix, informational)."""
+        ``.cov`` (covariance matrix, informational).
+
+        Root-only in multi-process jobs (all processes hold identical
+        replicated results), followed by a barrier."""
+        from yet_another_wizz_tpu.parallel.distributed import (
+            barrier,
+            on_root,
+        )
+
+        if not on_root():
+            barrier("to_files")
+            return
         logger.info(
             "writing %s to: %s.{dat,smp,cov}", type(self).__name__, path_prefix
         )
@@ -369,6 +380,7 @@ class CorrData(AsciiSerializable, SampledData):
             self._description_covariance,
             self.covariance,
         )
+        barrier("to_files")
 
 
 # ASCII format helpers (format identical to the reference implementation,

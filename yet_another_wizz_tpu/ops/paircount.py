@@ -406,6 +406,15 @@ def count_pairs_tiles(
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
 
+    if mesh is None and backend != "oracle" and jax.process_count() > 1:
+        # multi-host pod job: all processes were launched to participate,
+        # so the engine defaults to the global device mesh (the analogue
+        # of the reference automatically task-farming over MPI ranks,
+        # /root/reference/src/yaw/utils/parallel.py:288-316)
+        from yet_another_wizz_tpu.parallel import default_mesh
+
+        mesh = default_mesh()
+
     if mesh is not None and backend != "oracle":
         from yet_another_wizz_tpu.parallel import count_pairs_sharded
 

@@ -12,6 +12,7 @@ conventions.
 from yet_another_wizz_tpu.parallel.distributed import (
     barrier,
     broadcast,
+    broadcasted,
     initialize,
     num_processes,
     on_root,
@@ -25,6 +26,7 @@ from yet_another_wizz_tpu.parallel.sharded import (
 __all__ = [
     "barrier",
     "broadcast",
+    "broadcasted",
     "count_pairs_sharded",
     "default_mesh",
     "initialize",

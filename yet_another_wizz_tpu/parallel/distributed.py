@@ -13,18 +13,22 @@ host-side coordination (configuration exchange, root-only I/O).
 
 from __future__ import annotations
 
+import functools
 import logging
+import os
 import pickle
 from typing import TYPE_CHECKING
 
 import numpy as np
 
 if TYPE_CHECKING:
+    from collections.abc import Callable
     from typing import Any
 
 __all__ = [
     "barrier",
     "broadcast",
+    "broadcasted",
     "initialize",
     "num_processes",
     "on_root",
@@ -34,6 +38,14 @@ __all__ = [
 logger = logging.getLogger(__name__)
 
 _initialized = False
+_multiprocess = False  # set only when a jax.distributed cluster was started
+
+# environment fallbacks for manual pod launches (one variable set per
+# process, e.g. by a job scheduler wrapper); jax.distributed additionally
+# auto-detects Slurm/GKE cluster environments when these are unset
+ENV_COORDINATOR = "YAWT_COORDINATOR"
+ENV_NUM_PROCESSES = "YAWT_NUM_PROCESSES"
+ENV_PROCESS_ID = "YAWT_PROCESS_ID"
 
 
 def initialize(
@@ -42,28 +54,73 @@ def initialize(
     process_id: int | None = None,
 ) -> None:
     """Initialise jax.distributed for a multi-host pod (no-op when already
-    initialised or when running single-host with no coordinator)."""
+    initialised or when running single-host with no coordinator).
+
+    Arguments default to the ``YAWT_COORDINATOR`` / ``YAWT_NUM_PROCESSES``
+    / ``YAWT_PROCESS_ID`` environment variables, so launchers only need to
+    export those before starting one process per host. The analogue of the
+    reference running under ``mpirun``
+    (/root/reference/src/yaw/utils/parallel.py:75-101).
+    """
     global _initialized
     if _initialized:
         return
-    import jax
+
+    coordinator_address = coordinator_address or os.environ.get(
+        ENV_COORDINATOR
+    )
+    if process_count is None and ENV_NUM_PROCESSES in os.environ:
+        process_count = int(os.environ[ENV_NUM_PROCESSES])
+    if process_id is None and ENV_PROCESS_ID in os.environ:
+        process_id = int(os.environ[ENV_PROCESS_ID])
 
     if coordinator_address is None and process_count in (None, 1):
         _initialized = True  # single host, nothing to set up
         return
+
+    import jax
+
+    try:
+        # cross-process collectives on the CPU backend require gloo; must
+        # be configured before the backend initialises (no-op on TPU pods,
+        # harmless if the backend is already up)
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:  # pragma: no cover - option absent in older jax
+        pass
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=process_count,
         process_id=process_id,
     )
+    global _multiprocess
+    _multiprocess = True
     _initialized = True
     logger.info(
         "initialised process %d of %d", process_index(), num_processes()
     )
 
 
+def _cluster_active() -> bool:
+    """Whether a multi-process jax cluster is actually up. Checked without
+    touching ``jax.process_count()`` so that single-process callers (every
+    root-guarded ``to_file``) never trigger a device-backend
+    initialisation just to learn they are process 0."""
+    import sys
+
+    if "jax" not in sys.modules:
+        return False
+    try:
+        from jax._src import distributed
+
+        return distributed.global_state.client is not None
+    except Exception:  # pragma: no cover - private API moved
+        return _multiprocess
+
+
 def process_index() -> int:
     """Index of this host process (0 on a single host)."""
+    if not _cluster_active():
+        return 0
     import jax
 
     return jax.process_index()
@@ -71,6 +128,8 @@ def process_index() -> int:
 
 def num_processes() -> int:
     """Number of host processes in the job."""
+    if not _cluster_active():
+        return 1
     import jax
 
     return jax.process_count()
@@ -114,3 +173,18 @@ def broadcast(value: Any, *, is_source: bool | None = None) -> Any:
         buffer, is_source=is_source
     )
     return pickle.loads(result.tobytes())
+
+
+def broadcasted(func: Callable) -> Callable:
+    """Decorator: run ``func`` only on the root process and broadcast its
+    return value to all processes (the analogue of the reference's
+    ``@broadcasted``, /root/reference/src/yaw/utils/parallel.py:189-208)."""
+
+    @functools.wraps(func)
+    def wrapper(*args, **kwargs):
+        if num_processes() == 1:
+            return func(*args, **kwargs)
+        result = func(*args, **kwargs) if on_root() else None
+        return broadcast(result)
+
+    return wrapper

@@ -6,9 +6,18 @@ slot-sorted tile-pair list from
 receives an equal, contiguous chunk (padded with dump-slot entries),
 evaluates the same vmapped pair-count program as the single-chip XLA path,
 scatter-adds into its private ``(num_slots + 1, B, E)`` partial tensor, and
-the partials are summed with ``psum`` over the mesh. Tile data is
-replicated (tile access is data-dependent); catalog-sharded layouts with
-ICI all-gathers are the planned optimisation for pod-scale inputs.
+the partials are summed with ``psum`` over the mesh. Three catalog layouts
+are implemented (``data_sharding=``): ``replicated`` tiles on every device,
+``columns`` with the column catalog sharded 1/N, and ``ring`` with both
+catalogs sharded 1/N and the row shard rotating over ICI via ``ppermute``.
+
+Multi-host pods: when more than one jax process participates
+(``jax.process_count() > 1`` after
+:func:`yet_another_wizz_tpu.parallel.initialize`), the same code runs over
+the global device mesh — every process prepares the identical host-side
+pair list deterministically and contributes the shards of its addressable
+devices (``jax.make_array_from_callback``); the ``psum`` then rides
+ICI/DCN across hosts.
 """
 
 from __future__ import annotations
@@ -38,11 +47,35 @@ MESH_AXIS = "shards"
 
 
 def default_mesh(num_devices: int | None = None) -> Mesh:
-    """A 1-dim mesh over the available (or first ``num_devices``) devices."""
+    """A 1-dim mesh over the available (or first ``num_devices``) devices.
+
+    In a multi-process job ``jax.devices()`` lists the global devices of
+    all processes, so the default mesh spans the full pod."""
     devices = jax.devices()
     if num_devices is not None:
         devices = devices[:num_devices]
     return Mesh(np.array(devices), (MESH_AXIS,))
+
+
+def _put_global(arr, sharding: NamedSharding):
+    """Place a host array with the given sharding. Single-process jobs use
+    a plain transfer; in multi-process jobs every process holds the same
+    full host array (deterministic replicated prep) and contributes only
+    the shards of its addressable devices."""
+    if jax.process_count() > 1:
+        arr = np.asarray(arr)
+        return jax.make_array_from_callback(
+            arr.shape, sharding, lambda idx: arr[idx]
+        )
+    return jax.device_put(arr, sharding)
+
+
+def _fetch_replicated(result) -> np.ndarray:
+    """Bring a fully-replicated global result to the host (works for both
+    single- and multi-process jobs: every process holds a full copy)."""
+    if jax.process_count() > 1:
+        return np.asarray(result.addressable_data(0))
+    return np.asarray(jax.device_get(result))
 
 
 def _partial_counts(
@@ -160,8 +193,8 @@ def count_pairs_sharded(
             )
             lane2_padded = np.concatenate([tiles2.lane_data, pad])
 
-        lane1 = jax.device_put(tiles1.lane_data, replicated)
-        lane2 = jax.device_put(lane2_padded, sharded)
+        lane1 = _put_global(tiles1.lane_data, replicated)
+        lane2 = _put_global(lane2_padded, sharded)
     elif data_sharding == "ring":
         return _count_pairs_ring(
             tiles1, tiles2, pairs, table,
@@ -179,16 +212,16 @@ def count_pairs_sharded(
         tile2[: pairs.num_pairs] = pairs.tile2
         slots[: pairs.num_pairs] = pairs.slot
 
-        lane1 = jax.device_put(tiles1.lane_data, replicated)
-        lane2 = jax.device_put(tiles2.lane_data, replicated)
+        lane1 = _put_global(tiles1.lane_data, replicated)
+        lane2 = _put_global(tiles2.lane_data, replicated)
     else:
         raise ValueError(f"unknown data_sharding '{data_sharding}'")
 
     lane2_spec = P(MESH_AXIS) if data_sharding == "columns" else P()
-    table = jax.device_put(table, replicated)
-    tile1 = jax.device_put(jnp.asarray(tile1), sharded)
-    tile2 = jax.device_put(jnp.asarray(tile2), sharded)
-    slots = jax.device_put(jnp.asarray(slots), sharded)
+    table = _put_global(table, replicated)
+    tile1 = _put_global(tile1, sharded)
+    tile2 = _put_global(tile2, sharded)
+    slots = _put_global(slots, sharded)
 
     @jax.jit
     @partial(
@@ -209,7 +242,7 @@ def count_pairs_sharded(
         return jax.lax.psum(local, MESH_AXIS)
 
     result = sharded_counts(lane1, lane2, tile1, tile2, slots, table)
-    return np.asarray(jax.device_get(result), dtype=np.float64)[:-1]
+    return _fetch_replicated(result).astype(np.float64)[:-1]
 
 
 def _pad_tiles_to_shards(lane_data, num_devices):
@@ -272,18 +305,18 @@ def _count_pairs_ring(
 
     replicated = NamedSharding(mesh, P())
     sharded = NamedSharding(mesh, P(MESH_AXIS))
-    lane1 = jax.device_put(
+    lane1 = _put_global(
         lane1_padded.reshape(num_devices, shard1, *lane1_padded.shape[1:]),
         sharded,
     )
-    lane2 = jax.device_put(
+    lane2 = _put_global(
         lane2_padded.reshape(num_devices, shard2, *lane2_padded.shape[1:]),
         sharded,
     )
-    table = jax.device_put(table, replicated)
-    tile1 = jax.device_put(jnp.asarray(tile1), sharded)
-    tile2 = jax.device_put(jnp.asarray(tile2), sharded)
-    slots = jax.device_put(jnp.asarray(slots), sharded)
+    table = _put_global(table, replicated)
+    tile1 = _put_global(tile1, sharded)
+    tile2 = _put_global(tile2, sharded)
+    slots = _put_global(slots, sharded)
 
     perm = [(i, (i + 1) % num_devices) for i in range(num_devices)]
 
@@ -335,4 +368,4 @@ def _count_pairs_ring(
         return jax.lax.psum(acc, MESH_AXIS)
 
     result = ring_counts(lane1, lane2, tile1, tile2, slots, table)
-    return np.asarray(jax.device_get(result), dtype=np.float64)[:-1]
+    return _fetch_replicated(result).astype(np.float64)[:-1]

@@ -71,11 +71,24 @@ class HdfSerializable(ABC):
             return cls.from_hdf(f)
 
     def to_file(self, path: Path | str) -> None:
-        """Serialise this instance into a new HDF5 file."""
-        import h5py
+        """Serialise this instance into a new HDF5 file.
 
-        with h5py.File(str(path), mode="w") as f:
-            self.to_hdf(f)
+        In multi-process jobs only the root process writes (all processes
+        hold identical replicated results); a barrier afterwards makes the
+        file visible to every process. Mirrors the reference's root-guarded
+        I/O (/root/reference/src/yaw/correlation/corrfunc.py:183-197).
+        """
+        from yet_another_wizz_tpu.parallel.distributed import (
+            barrier,
+            on_root,
+        )
+
+        if on_root():
+            import h5py
+
+            with h5py.File(str(path), mode="w") as f:
+                self.to_hdf(f)
+        barrier("to_file")
 
 
 class AsciiSerializable(ABC):
