@@ -13,12 +13,17 @@ resampled realisation.
 
 from __future__ import annotations
 
+import logging
 from typing import TYPE_CHECKING
+
+import numpy as np
 
 if TYPE_CHECKING:
     from collections.abc import Callable
 
     from numpy.typing import NDArray
+
+logger = logging.getLogger(__name__)
 
 __all__ = [
     "ESTIMATORS",
@@ -42,6 +47,26 @@ def _named(key: str):
     return decorator
 
 
+def _guard_denominator(denom: NDArray, *, term: str, name: str) -> NDArray:
+    """Mask zero-valued denominator bins to NaN instead of emitting inf.
+
+    Empty random bins otherwise poison downstream covariances silently
+    (the reference shares this flaw, /root/reference/src/yaw/correlation/
+    corrfunc.py:81-88: it divides unguarded and relies on numpy warnings).
+    A single warning is logged per offending call.
+    """
+    denom = np.asarray(denom, dtype=np.float64)
+    mask = denom == 0.0
+    if not np.any(mask):
+        return denom
+    logger.warning(
+        "%s estimator: %d bin(s) with %s=0 set to NaN", name, int(np.sum(mask)), term
+    )
+    guarded = denom.copy()
+    guarded[mask] = np.nan
+    return guarded
+
+
 @_named("DP")
 def davis_peebles(
     *, dd: NDArray, dr: NDArray | None = None, rd: NDArray | None = None
@@ -50,6 +75,7 @@ def davis_peebles(
     if dr is None and rd is None:
         raise EstimatorError("either 'dr' or 'rd' are required")
     mixed = dr if rd is None else rd
+    mixed = _guard_denominator(mixed, term="DR" if rd is None else "RD", name="DP")
     return (dd - mixed) / mixed
 
 
@@ -60,6 +86,7 @@ def landy_szalay(
     """Landy-Szalay estimator ``(DD - DR - RD + RR) / RR``."""
     if rd is None:
         rd = dr
+    rr = _guard_denominator(rr, term="RR", name="LS")
     return ((dd - dr) + (rr - rd)) / rr
 
 
