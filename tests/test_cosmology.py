@@ -22,6 +22,35 @@ class ToyCosmology(CustomCosmology):
         return 1000.0 * np.asarray(z) / (1.0 + np.asarray(z))
 
 
+class FakeQuantity:
+    """Minimal astropy ``Quantity`` stand-in: value + unit attributes and
+    arithmetic that keeps the wrapper, like ``Quantity`` does."""
+
+    def __init__(self, value, unit="Mpc"):
+        self.value = np.asarray(value, dtype=np.float64)
+        self.unit = unit
+
+    def __sub__(self, other):
+        other = other.value if isinstance(other, FakeQuantity) else other
+        return FakeQuantity(self.value - other, self.unit)
+
+
+class FakeAstropyCosmology:
+    """Duck-typed astropy-like cosmology: NOT a ``CustomCosmology`` subclass,
+    distances come back wrapped in Quantity-like objects (astropy interop per
+    /root/reference/src/yaw/cosmology.py:38-104, which accepts ``astropy.
+    cosmology.FLRW`` instances directly)."""
+
+    name = "FakeAstropy"
+
+    def comoving_distance(self, z):
+        return FakeQuantity(2000.0 * np.asarray(z, dtype=np.float64))
+
+    def angular_diameter_distance(self, z):
+        z = np.asarray(z, dtype=np.float64)
+        return FakeQuantity(2000.0 * z / (1.0 + z))
+
+
 class TestFLRWCosmology:
     def test_default_is_planck15(self):
         cosmo = get_default_cosmology()
@@ -143,6 +172,54 @@ class TestScales:
         scales = new_scales(1.0, 2.0, unit="Mpc")
         lo, hi = scales.get_angle_radian(1.0, cosmology=ToyCosmology())
         assert_allclose(lo, [1.0 / 500.0])
+
+
+class TestAstropyDuckTyping:
+    """An astropy-like cosmology (Quantity-returning, not a CustomCosmology
+    subclass) must work everywhere a cosmology is accepted."""
+
+    def test_physical_scales_unwrap_quantity(self):
+        scales = new_scales(1.0, 2.0, unit="Mpc")
+        lo, hi = scales.get_angle_radian(1.0, cosmology=FakeAstropyCosmology())
+        # D_A(1.0) = 1000 Mpc for the fake model
+        assert_allclose(lo, [1.0 / 1000.0])
+        assert_allclose(hi, [2.0 / 1000.0])
+
+    def test_comoving_scales_unwrap_quantity(self):
+        scales = new_scales(2.0, 20.0, unit="Mpc")
+        # comoving unit variant
+        comoving = new_scales(2.0, 20.0, unit="Mpc/h")
+        del scales
+        lo, hi = comoving.get_angle_radian(
+            0.5, cosmology=FakeAstropyCosmology()
+        )
+        assert np.all(np.isfinite(lo)) and np.all(hi > lo)
+
+    def test_binning_factory_generic_inversion(self):
+        factory = RedshiftBinningFactory(FakeAstropyCosmology())
+        binning = factory.comoving(0.1, 1.1, 8)
+        assert_allclose(binning.edges[[0, -1]], [0.1, 1.1])
+        # d(z) is linear in the fake model, so comoving binning == linear
+        assert_allclose(binning.edges, np.linspace(0.1, 1.1, 9), rtol=1e-8)
+
+    def test_equality_convention(self):
+        assert cosmology_is_equal(
+            FakeAstropyCosmology(), FakeAstropyCosmology()
+        )
+        assert not cosmology_is_equal(Planck15, FakeAstropyCosmology())
+
+    def test_configuration_accepts_duck_typed(self):
+        from yet_another_wizz_tpu.config import Configuration
+
+        config = Configuration.create(
+            rmin=500, rmax=1500, zmin=0.1, zmax=1.0, num_bins=4,
+            cosmology=FakeAstropyCosmology(),
+        )
+        assert isinstance(config.cosmology, FakeAstropyCosmology)
+        lo, hi = config.scales.scales.get_angle_radian(
+            0.5, cosmology=config.cosmology
+        )
+        assert np.all(np.isfinite(lo))
 
 
 class TestRedshiftBinningFactory:
