@@ -31,6 +31,8 @@ GOLDEN_SAMPLE_0 = [
 @pytest.mark.slow
 def test_example_estimate_reproduces_golden_values(tmp_path, monkeypatch):
     monkeypatch.setenv("YAWT_EXAMPLE_CACHE", str(tmp_path / "examples"))
+    # the golden numbers pin the deterministic mock, not the survey data
+    monkeypatch.setenv("YAWT_EXAMPLE_FORCE_MOCK", "1")
     # reload so PATH picks up the isolated cache location
     import importlib
 

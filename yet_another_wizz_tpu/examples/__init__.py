@@ -1,12 +1,16 @@
-"""Bundled example / mock data for tests, benchmarks and documentation.
+"""Bundled example data for tests, benchmarks and documentation.
 
-The reference ships a prepared 2dFLenS galaxy sample with precomputed
-correlation products (/root/reference/src/yaw/examples/__init__.py:46-301,
-downloaded at build time). This environment has no network access, so the
-example data is generated deterministically instead: a mock survey with
-genuine clustering signal, built by scattering galaxies around common
-"cluster" positions so that reference and unknown samples trace the same
-large-scale structure and the recovered n(z) is meaningful.
+Like the reference (/root/reference/src/yaw/examples/__init__.py:46-301),
+the example API serves a prepared 2dFLenS galaxy sample with precomputed
+correlation products when those files are available (``USES_REAL_DATA``;
+looked up via ``YAWT_EXAMPLE_DATA_DIR`` or the mounted reference package —
+the formats are two-way compatible). Without them (no network access to
+download), the example data is generated deterministically instead: a mock
+survey with genuine clustering signal, built by scattering galaxies around
+common "cluster" positions so that reference and unknown samples trace the
+same large-scale structure and the recovered n(z) is meaningful. Set
+``YAWT_EXAMPLE_FORCE_MOCK=1`` to force the mock even when the survey files
+exist (the golden regression test pins mock numbers).
 """
 
 from __future__ import annotations
@@ -24,6 +28,7 @@ if TYPE_CHECKING:
 __all__ = [
     "ExampleData",
     "PATH",
+    "USES_REAL_DATA",
     "config",
     "generate_mock_data",
 ]
@@ -138,20 +143,67 @@ import os as _os
 from pathlib import Path as _Path
 
 
+def _find_real_data_dir() -> "_Path | None":
+    """Locate the prepared 2dFLenS example files (data/rand parquet plus the
+    precomputed ``cross.hdf``/``auto.hdf``/``estimate.*`` products that the
+    reference bundles, /root/reference/src/yaw/examples/__init__.py:46-301).
+
+    Search order: ``YAWT_EXAMPLE_DATA_DIR``, then the mounted reference
+    package. Returns None (-> generated mock fallback) when unavailable or
+    when ``YAWT_EXAMPLE_FORCE_MOCK`` is set.
+    """
+    if _os.environ.get("YAWT_EXAMPLE_FORCE_MOCK"):
+        return None
+    candidates = []
+    if env_dir := _os.environ.get("YAWT_EXAMPLE_DATA_DIR"):
+        candidates.append(_Path(env_dir))
+    candidates.append(_Path("/root/reference/src/yaw/examples"))
+    required = (
+        "2dflens_kidss_data.pqt", "2dflens_kidss_rand_5x.pqt",
+        "cross.hdf", "auto.hdf", "estimate.dat", "estimate.smp",
+        "estimate.cov",
+    )
+    for directory in candidates:
+        if all((directory / name).exists() for name in required):
+            return directory
+    return None
+
+
+_REAL_DIR = _find_real_data_dir()
+
+USES_REAL_DATA: bool = _REAL_DIR is not None
+"""True when the prepared 2dFLenS survey files back the example API; False
+when the deterministic mock is used instead (no data files available)."""
+
+
 class PATH:
-    """Paths of the generated example data products (materialised on demand
-    by :class:`ExampleData`; the reference downloads prepared 2dFLenS files
-    here instead, which is impossible without network access)."""
+    """Paths of the example data products.
+
+    When the prepared 2dFLenS files are available (see
+    :func:`_find_real_data_dir`) these point at the real survey data and the
+    committed correlation products, exactly like the reference's
+    ``yaw.examples.PATH``. Otherwise they point into a writable cache where
+    :class:`ExampleData` materialises a deterministic mock on demand.
+    """
 
     root = _Path(
         _os.environ.get("YAWT_EXAMPLE_CACHE", "/tmp/yawt_examples")
     )
-    data = root / "mock_data.pqt"
-    rand = root / "mock_rand.pqt"
-    unknown = root / "mock_unknown.pqt"
-    cross = root / "cross.hdf"
-    auto = root / "auto.hdf"
-    estimate = root / "estimate"
+    if USES_REAL_DATA:
+        data = _REAL_DIR / "2dflens_kidss_data.pqt"
+        rand = _REAL_DIR / "2dflens_kidss_rand_5x.pqt"
+        # the reference example uses the data sample as its own unknown
+        unknown = data
+        cross = _REAL_DIR / "cross.hdf"
+        auto = _REAL_DIR / "auto.hdf"
+        estimate = _REAL_DIR / "estimate"
+    else:
+        data = root / "mock_data.pqt"
+        rand = root / "mock_rand.pqt"
+        unknown = root / "mock_unknown.pqt"
+        cross = root / "cross.hdf"
+        auto = root / "auto.hdf"
+        estimate = root / "estimate"
 
 
 def _example_configuration():
@@ -171,15 +223,18 @@ class ExampleData:
     """Create the example catalogs and precomputed correlation products.
 
     Mirrors the reference's ``yaw.examples.ExampleData``
-    (/root/reference/src/yaw/examples/__init__.py:94-301) with generated
-    mock data instead of the downloaded 2dFLenS sample.
+    (/root/reference/src/yaw/examples/__init__.py:94-301). Backed by the
+    prepared 2dFLenS survey files when available (``USES_REAL_DATA``, with
+    the bundled ``patch`` column assigning the 11 precomputed patches),
+    otherwise by a deterministically generated mock survey.
     """
 
     NUM_PATCHES = 11
 
     @classmethod
     def ensure_files(cls) -> None:
-        """Materialise the example parquet files (idempotent)."""
+        """Materialise the example parquet files (idempotent; no-op when the
+        real survey files are used)."""
         if PATH.data.exists() and PATH.rand.exists():
             return
         import numpy as np
@@ -210,6 +265,15 @@ class ExampleData:
             )
 
     @classmethod
+    def _default_patch_args(cls) -> dict:
+        """Patch assignment: the bundled ``patch`` column for the real survey
+        files (reference behaviour, examples/__init__.py:176-179), kmeans
+        patches for the mock."""
+        if USES_REAL_DATA:
+            return dict(patch_name="patch")
+        return dict(patch_num=cls.NUM_PATCHES)
+
+    @classmethod
     def _catalog(cls, cache_directory, path, **kwargs):
         from yet_another_wizz_tpu.catalog import Catalog
 
@@ -224,7 +288,7 @@ class ExampleData:
     def create_data_cat(cls, cache_directory=None, **kwargs):
         """The example reference data catalog."""
         return cls._catalog(
-            cache_directory, PATH.data, patch_num=cls.NUM_PATCHES, **kwargs
+            cache_directory, PATH.data, **cls._default_patch_args(), **kwargs
         )
 
     @classmethod
@@ -233,7 +297,7 @@ class ExampleData:
         patch_args = (
             dict(patch_centers=patch_centers)
             if patch_centers is not None
-            else dict(patch_num=cls.NUM_PATCHES)
+            else cls._default_patch_args()
         )
         return cls._catalog(
             cache_directory, PATH.rand, **patch_args, **kwargs
@@ -241,11 +305,12 @@ class ExampleData:
 
     @classmethod
     def create_unknown_cat(cls, cache_directory=None, patch_centers=None, **kwargs):
-        """The example unknown-sample catalog."""
+        """The example unknown-sample catalog (the data sample itself when
+        the real survey files are used, matching the reference)."""
         patch_args = (
             dict(patch_centers=patch_centers)
             if patch_centers is not None
-            else dict(patch_num=cls.NUM_PATCHES)
+            else cls._default_patch_args()
         )
         return cls._catalog(
             cache_directory, PATH.unknown, **patch_args, **kwargs
@@ -254,7 +319,19 @@ class ExampleData:
     @classmethod
     def build_products(cls, force: bool = False) -> None:
         """Compute and store the example correlation products
-        (``cross.hdf``, ``auto.hdf``, ``estimate.{dat,smp,cov}``)."""
+        (``cross.hdf``, ``auto.hdf``, ``estimate.{dat,smp,cov}``).
+
+        With the real survey files the committed products already exist and
+        are read-only; recomputation is refused (measure through the public
+        API instead, or set ``YAWT_EXAMPLE_FORCE_MOCK=1``).
+        """
+        if USES_REAL_DATA:
+            if force:
+                raise RuntimeError(
+                    "the committed 2dFLenS products are read-only; set "
+                    "YAWT_EXAMPLE_FORCE_MOCK=1 to regenerate mock products"
+                )
+            return
         if not force and PATH.cross.exists() and PATH.auto.exists():
             return
         from yet_another_wizz_tpu.correlation.measurements import (
@@ -279,7 +356,8 @@ class ExampleData:
 
 def __getattr__(name):
     # lazily computed example products, mirroring the reference's
-    # module-level `cross`, `auto` and `estimate` attributes
+    # module-level attributes (examples/__init__.py:271-301: config, cross,
+    # auto, estimate, normalised_counts, patched_count, patched_sum_weights)
     if name == "config":
         return _example_configuration()
     if name in ("cross", "auto"):
@@ -292,4 +370,10 @@ def __getattr__(name):
 
         ExampleData.build_products()
         return RedshiftData.from_files(PATH.estimate)
+    if name == "normalised_counts":
+        return __getattr__("cross").dd
+    if name == "patched_count":
+        return __getattr__("cross").dd.counts
+    if name == "patched_sum_weights":
+        return __getattr__("cross").dd.sum_weights
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
