@@ -15,6 +15,7 @@ columns) — sufficient for the tabular catalogs this framework consumes.
 from __future__ import annotations
 
 import logging
+import re
 from abc import ABC, abstractmethod
 from pathlib import Path
 from typing import TYPE_CHECKING
@@ -286,6 +287,14 @@ class FitsReader(BaseReader):
     80-character cards), locates the first BINTABLE extension, and maps
     fixed-width big-endian numeric columns (TFORM L/B/I/J/K/E/D including
     repeat counts) onto a numpy structured dtype read with ``np.memmap``.
+
+    Column semantics follow the FITS standard the way astropy/cfitsio apply
+    them for the reference (/root/reference/src/yaw/catalog/readers.py:481-560):
+    ``TSCALn``/``TZEROn`` linear scaling is applied to produce physical
+    values (including the unsigned-integer convention TZERO=2^(bits-1)),
+    integer ``TNULLn`` sentinels become NaN, and logical columns decode
+    'T'/'F' bytes. Selected columns must be scalar (repeat count 1); array
+    columns and unsupported TFORM codes raise instead of being misread.
     """
 
     _TFORM_DTYPES = {
@@ -314,9 +323,23 @@ class FitsReader(BaseReader):
                     return cards
                 if "=" not in card[8:10]:
                     continue
-                value = card[10:].split("/")[0].strip()
-                if value.startswith("'"):
-                    value = value.strip("'").strip()
+                raw = card[10:]
+                if raw.lstrip().startswith("'"):
+                    # quoted string: take up to the closing quote ('' escapes)
+                    body = raw.lstrip()[1:]
+                    out, i = [], 0
+                    while i < len(body):
+                        if body[i] == "'":
+                            if body[i : i + 2] == "''":
+                                out.append("'")
+                                i += 2
+                                continue
+                            break
+                        out.append(body[i])
+                        i += 1
+                    value = "".join(out).strip()
+                else:
+                    value = raw.split("/")[0].strip()
                 cards[key] = value
 
     def _find_table_hdu(self, hdu_index: int):
@@ -350,16 +373,40 @@ class FitsReader(BaseReader):
         num_rows = int(cards["NAXIS2"])
         row_bytes = int(cards["NAXIS1"])
         fields = []
+        self._column_meta: dict[str, tuple] = {}
         for i in range(1, num_fields + 1):
             name = cards.get(f"TTYPE{i}", f"col{i}")
             tform = cards[f"TFORM{i}"].strip()
-            repeat = int(tform[:-1]) if tform[:-1] else 1
-            code = tform[-1]
+            match = re.match(r"^(\d*)([A-Z])(.*)$", tform)
+            if match is None or match.group(3):
+                # trailing text = variable-length 'rPt(max)' or malformed
+                raise ValueError(
+                    f"unsupported FITS column format '{tform}' for column "
+                    f"'{name}' (variable-length and descriptor columns are "
+                    "not supported)"
+                )
+            repeat = int(match.group(1)) if match.group(1) else 1
+            code = match.group(2)
             if code == "A":
                 fields.append((name, f"S{repeat}"))
+                self._column_meta[name] = ("A", repeat, 1.0, 0.0, None)
                 continue
             if code not in self._TFORM_DTYPES:
-                raise ValueError(f"unsupported FITS column format '{tform}'")
+                raise ValueError(
+                    f"unsupported FITS column format '{tform}' for column "
+                    f"'{name}' (supported: scalar/array L, B, I, J, K, E, D "
+                    "and character A)"
+                )
+            tscale = float(cards.get(f"TSCAL{i}", 1.0))
+            tzero = float(cards.get(f"TZERO{i}", 0.0))
+            tnull_card = cards.get(f"TNULL{i}")
+            tnull = int(tnull_card) if tnull_card is not None else None
+            if tnull is not None and code in ("E", "D"):
+                raise ValueError(
+                    f"invalid TNULL{i} on floating-point column '{name}' "
+                    "(FITS uses NaN for floating-point nulls)"
+                )
+            self._column_meta[name] = (code, repeat, tscale, tzero, tnull)
             base = self._TFORM_DTYPES[code]
             fields.append((name, base, (repeat,)) if repeat > 1 else (name, base))
         dtype = np.dtype(fields)
@@ -369,6 +416,40 @@ class FitsReader(BaseReader):
                 f"({dtype.itemsize} != {row_bytes})"
             )
         return dtype, num_rows
+
+    def _physical_values(self, rows: NDArray, name: str) -> NDArray:
+        """Stored -> physical values for one selected column."""
+        try:
+            code, repeat, tscale, tzero, tnull = self._column_meta[name]
+        except KeyError:
+            raise KeyError(
+                f"column '{name}' not present in FITS table "
+                f"(available: {', '.join(self._column_meta)})"
+            ) from None
+        if code == "A":
+            raise ValueError(
+                f"FITS column '{name}' holds character data, not numbers"
+            )
+        if repeat != 1:
+            raise ValueError(
+                f"FITS column '{name}' is an array column (repeat {repeat}); "
+                "only scalar columns can be used as catalog attributes"
+            )
+        stored = rows[name]
+        if code == "L":
+            # logical bytes 'T'/'F' (0 = undefined -> NaN)
+            values = (stored == ord("T")).astype(np.float64)
+            values[stored == 0] = np.nan
+            return values
+        values = stored.astype(np.float64)
+        if tnull is not None and np.any(null_mask := stored == tnull):
+            raise ValueError(
+                f"FITS column '{name}' contains {int(null_mask.sum())} null "
+                f"(TNULL={tnull}) entries; filter them before ingestion"
+            )
+        if tscale != 1.0 or tzero != 0.0:
+            values = tzero + tscale * values
+        return values
 
     def _load_range(self, start, stop):
         rows = np.fromfile(
@@ -385,7 +466,7 @@ class FitsReader(BaseReader):
                 f"{start + len(rows)}"
             )
         return {
-            attr: rows[name].astype(np.float64)
+            attr: self._physical_values(rows, name)
             for attr, name in self.columns.items()
             if name is not None
         }
