@@ -64,12 +64,59 @@ class TestStreamingIngestion:
             rtol=1e-12,
         )
 
-    def test_streaming_requires_cache(self, parquet_file):
+    def test_streaming_without_cache(self, parquet_file, tmp_path):
+        """Tile-ready catalogs build directly from the streaming reader;
+        no patch-cache round trip required (single-process)."""
         path, _ = parquet_file
-        with pytest.raises(ValueError, match="cache_directory"):
-            Catalog.from_file(
-                None, path, **NAMES, patch_num=4, streaming=True
-            )
+        centers = Catalog.from_file(
+            None, path, **NAMES, patch_num=4, streaming=False
+        ).get_centers()
+        cached = Catalog.from_file(
+            tmp_path / "cache", path, **NAMES, patch_centers=centers,
+            streaming=True, chunksize=700,
+        )
+        cache_free = Catalog.from_file(
+            None, path, **NAMES, patch_centers=centers,
+            streaming=True, chunksize=700,
+        )
+        assert cache_free.cache_directory is None
+        assert cache_free.get_num_records() == cached.get_num_records()
+        np.testing.assert_array_equal(
+            cache_free._chunk, cached._chunk
+        )
+        np.testing.assert_array_equal(
+            cache_free._patch_ids, cached._patch_ids
+        )
+
+    def test_direct_construction_identical_to_cache_readback(
+        self, parquet_file, tmp_path
+    ):
+        """The root process constructs the catalog from the streamed data
+        in memory; a process attaching to the written cache must see byte
+        identical rows (cross-process determinism of the counts)."""
+        path, _ = parquet_file
+        streamed = Catalog.from_file(
+            tmp_path / "cache", path, **NAMES, patch_num=4,
+            streaming=True, chunksize=700, probe_size=2000,
+        )
+        readback = Catalog(tmp_path / "cache")
+        np.testing.assert_array_equal(streamed._chunk, readback._chunk)
+        np.testing.assert_array_equal(
+            streamed._patch_ids, readback._patch_ids
+        )
+        assert_allclose(
+            streamed.patch_centers_xyz, readback.patch_centers_xyz,
+            rtol=0, atol=0,
+        )
+        from yet_another_wizz_tpu.binning import Binning
+
+        binning = Binning(np.linspace(0.1, 1.0, 5))
+        tiles_a = streamed.get_tiles(binning)
+        tiles_b = readback.get_tiles(binning)
+        np.testing.assert_array_equal(tiles_a.lane_data, tiles_b.lane_data)
+        np.testing.assert_array_equal(
+            tiles_a.sum_weights, tiles_b.sum_weights
+        )
 
     def test_kmeans_probe_centers(self, parquet_file, tmp_path):
         path, _ = parquet_file

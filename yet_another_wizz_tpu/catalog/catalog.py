@@ -236,6 +236,29 @@ class Catalog(Mapping):
         self._tile_cache = {}
 
     @classmethod
+    def _from_streamed(
+        cls: type[Self],
+        chunk: NDArray,
+        patch_ids: NDArray,
+        num_patches: int,
+        cache_directory: Path | str | None,
+    ) -> Self:
+        """Construct directly from streaming-ingestion output (patch-major
+        rows with known assignment), skipping the cache read-back."""
+        check_patch_ids(num_patches - 1)  # int16 bound (<= 32767)
+        new = cls.__new__(cls)
+        new.cache_directory = (
+            Path(cache_directory) if cache_directory is not None else None
+        )
+        new._chunk = chunk
+        new._patch_ids = np.asarray(patch_ids, dtype=np.int32)
+        new.num_patches = num_patches
+        new._xyz = radec_to_xyz(chunk["ra"], chunk["dec"])
+        new._init_patch_geometry(centers_xyz=None)
+        new._tile_cache = {}
+        return new
+
+    @classmethod
     def from_arrays(
         cls: type[Self],
         ra: ArrayLike,
@@ -461,10 +484,16 @@ class Catalog(Mapping):
                     resolve_patch_centers,
                     write_patches_streaming,
                 )
+                from yet_another_wizz_tpu.parallel.distributed import (
+                    barrier,
+                    num_processes,
+                    on_root,
+                )
 
-                if cache_directory is None:
+                if cache_directory is None and num_processes() > 1:
                     raise ValueError(
-                        "streaming ingestion requires a 'cache_directory'"
+                        "multi-process streaming ingestion requires a "
+                        "'cache_directory' (non-root processes attach to it)"
                     )
                 centers = None
                 if patch_name is None:
@@ -479,22 +508,26 @@ class Catalog(Mapping):
                             "exactly one of 'patch_centers', 'patch_name', "
                             "or 'patch_num' is required"
                         )
-                from yet_another_wizz_tpu.parallel.distributed import (
-                    barrier,
-                    on_root,
-                )
 
-                # root streams the file into the patch cache; the other
-                # processes attach to it after the barrier (the analogue
-                # of the reference's reader/writer rank split,
+                # root streams the file through patch assignment, keeping
+                # the assembled data so the catalog is constructed directly
+                # (no cache read-back); other processes attach to the cache
+                # after the barrier (the analogue of the reference's
+                # reader/writer rank split,
                 # /root/reference/src/yaw/catalog/catalog.py:587-908)
                 if on_root():
-                    write_patches_streaming(
+                    num_patches, assembled = write_patches_streaming(
                         reader,
                         cache_directory,
                         centers,
                         overwrite=overwrite,
                         progress=progress,
+                        keep_data=True,
+                    )
+                    barrier("write_patches_streaming")
+                    chunk, patch_ids = assembled
+                    return cls._from_streamed(
+                        chunk, patch_ids, num_patches, cache_directory
                     )
                 barrier("write_patches_streaming")
                 return cls(cache_directory)

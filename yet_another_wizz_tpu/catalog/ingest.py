@@ -80,31 +80,45 @@ def resolve_patch_centers(
 
 def write_patches_streaming(
     reader: BaseReader,
-    cache_directory: Path | str,
+    cache_directory: Path | str | None,
     centers_xyz: NDArray | None,
     *,
     overwrite: bool = False,
     buffersize: int | None = None,
     progress: bool = False,
-) -> int:
-    """Stream a chunked reader into a per-patch disk cache.
+    keep_data: bool = False,
+) -> "tuple[int, tuple[NDArray, NDArray] | None]":
+    """Stream a chunked reader through patch assignment.
 
     Per chunk: assign patch ids (device matmul against the centers, unless
-    the chunk carries a patch-id column), split the chunk by patch, and
-    append to buffered per-patch writers. Returns the number of patches.
-    """
-    cache = Path(cache_directory)
-    if cache.exists() and any(cache.iterdir()):
-        if not overwrite:
-            raise FileExistsError(f"cache directory not empty: {cache}")
-        import shutil
+    the chunk carries a patch-id column) and split the chunk by patch. With
+    a ``cache_directory`` the splits are appended to buffered per-patch
+    writers on disk; with ``keep_data`` they are additionally assembled
+    in memory (patch-major, chunk-arrival order within each patch — byte
+    identical to reading the cache back) so the caller can construct the
+    catalog directly without the cache round trip. ``cache_directory=None``
+    requires ``keep_data`` and skips disk entirely.
 
-        shutil.rmtree(cache)
-    cache.mkdir(parents=True, exist_ok=True)
+    Returns ``(num_patches, assembled)`` where ``assembled`` is None or a
+    ``(chunk, patch_ids)`` pair.
+    """
+    if cache_directory is None and not keep_data:
+        raise ValueError("either a cache_directory or keep_data is required")
+    cache = None
+    if cache_directory is not None:
+        cache = Path(cache_directory)
+        if cache.exists() and any(cache.iterdir()):
+            if not overwrite:
+                raise FileExistsError(f"cache directory not empty: {cache}")
+            import shutil
+
+            shutil.rmtree(cache)
+        cache.mkdir(parents=True, exist_ok=True)
 
     from yet_another_wizz_tpu.catalog.readers import prefetch_chunks
 
     writers: dict[int, PatchWriter] = {}
+    parts: dict[int, list[NDArray]] = {}
     chunk_iter = prefetch_chunks(reader)
     if progress:
         from yet_another_wizz_tpu.utils.logging import Indicator
@@ -129,6 +143,10 @@ def write_patches_streaming(
             try:
                 info, splits = item
                 for pid, part in splits:
+                    if keep_data:
+                        parts.setdefault(pid, []).append(part)
+                    if cache is None:
+                        continue
                     if pid not in writers:
                         writers[pid] = PatchWriter(
                             cache / PATCH_NAME_TEMPLATE.format(pid),
@@ -179,18 +197,37 @@ def write_patches_streaming(
     if writer_error:
         raise writer_error[0]
 
-    missing = [
-        pid for pid in range(num_expected) if pid not in writers
-    ]
+    seen = parts if keep_data else writers
+    missing = [pid for pid in range(num_expected) if pid not in seen]
     if missing:
         raise ValueError(f"patches with no data: {missing}")
+    num_patches = len(seen)
+
+    assembled = None
+    if keep_data:
+        # patch-major assembly in writer-append order: byte-identical to
+        # reading the finalized cache back
+        patch_arrays = [
+            np.concatenate(parts[pid]) if len(parts[pid]) > 1 else parts[pid][0]
+            for pid in range(num_patches)
+        ]
+        patch_ids = np.repeat(
+            np.arange(num_patches, dtype=np.int32),
+            [len(arr) for arr in patch_arrays],
+        )
+        assembled = (np.concatenate(patch_arrays), patch_ids)
 
     from yet_another_wizz_tpu.catalog.patch import read_patch_data
 
-    for patch_writer in writers.values():
+    for pid, patch_writer in writers.items():
         patch_writer.finalize()
         # compute and store metadata now so reopening the cache is cheap
-        _, data = read_patch_data(patch_writer.data_path)
+        # (from the in-memory patch data when available, avoiding a full
+        # disk re-read of the catalog)
+        if keep_data:
+            data = patch_arrays[pid]
+        else:
+            _, data = read_patch_data(patch_writer.data_path)
         meta = Metadata.compute(
             DataChunk.get_coords(data),
             weights=DataChunk.getattr(data, "weights"),
@@ -198,8 +235,9 @@ def write_patches_streaming(
         meta.to_file(patch_writer.cache_path / "meta.yml")
 
     logger.info(
-        "wrote %d patches (%s records) to cache",
-        len(writers),
+        "streamed %d patches (%s records)%s",
+        num_patches,
         reader.num_records,
+        " to cache" if cache is not None else " in memory",
     )
-    return len(writers)
+    return num_patches, assembled
