@@ -34,6 +34,21 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+WARM_RUNS = 3
+
+
+def timed_median(fn, runs: int = WARM_RUNS):
+    """Median + spread of `runs` warm wall-clock timings (the TPU tunnel's
+    warm timings swing; a single shot is not load-bearing)."""
+    times = []
+    result = None
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        result = fn()
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times)), min(times), max(times), result
+
+
 NUM_REFERENCE = 200_000
 NUM_UNKNOWN = 500_000
 NUM_RANDOMS = 1_000_000
@@ -97,11 +112,13 @@ def main() -> None:
     run_measurement()
     log(f"TPU measurement (cold, incl. compile): {time.perf_counter() - t0:.2f}s")
 
-    t0 = time.perf_counter()
-    nz = run_measurement()
-    t_tpu = time.perf_counter() - t0
-    log(f"TPU measurement (warm): {t_tpu:.2f}s")
+    t_tpu, t_lo, t_hi, nz = timed_median(run_measurement)
+    log(
+        f"TPU measurement (warm, median of {WARM_RUNS}): {t_tpu:.2f}s "
+        f"[{t_lo:.2f}, {t_hi:.2f}]"
+    )
     log(f"n(z) head: {np.round(nz.data[:4], 4)}")
+    warm_medians = {"wsp_jackknife": [round(t_tpu, 3), round(t_lo, 3), round(t_hi, 3)]}
 
     # covariance configurations (BASELINE config #3): jackknife is part of
     # the primary metric; bootstrap resampling timed separately
@@ -174,11 +191,11 @@ def main() -> None:
         return w_ss.sample()
 
     run_autocorr()
-    t0 = time.perf_counter()
-    w_ss_data = run_autocorr()
+    t_ss, lo, hi, w_ss_data = timed_median(run_autocorr)
+    warm_medians["wss_landy_szalay"] = [round(t_ss, 3), round(lo, 3), round(hi, 3)]
     log(
         f"secondary config w_ss (DD+DR+RR, Landy-Szalay): "
-        f"{time.perf_counter() - t0:.2f}s warm, "
+        f"{t_ss:.2f}s warm median [{lo:.2f}, {hi:.2f}], "
         f"mean amplitude {np.nanmean(w_ss_data.data):.4f}"
     )
 
@@ -197,11 +214,11 @@ def main() -> None:
         return [w.sample() for w in scales]
 
     run_multiscale()
-    t0 = time.perf_counter()
-    multi = run_multiscale()
+    t_ms, lo, hi, multi = timed_median(run_multiscale)
+    warm_medians["multiscale_rweight"] = [round(t_ms, 3), round(lo, 3), round(hi, 3)]
     log(
         f"secondary config multi-scale rweight ({len(multi)} scale ranges, "
-        f"theta^-1 weighting): {time.perf_counter() - t0:.2f}s warm, "
+        f"theta^-1 weighting): {t_ms:.2f}s warm median [{lo:.2f}, {hi:.2f}], "
         f"amplitudes {[round(float(np.nanmean(m.data)), 1) for m in multi]}"
     )
 
@@ -233,13 +250,52 @@ def main() -> None:
         return RedshiftData.from_corrfuncs(w_sp)
 
     run_healpix()
-    t0 = time.perf_counter()
-    nz_hp = run_healpix()
+    t_hp, lo, hi, nz_hp = timed_median(run_healpix)
+    warm_medians["healpix_randoms"] = [round(t_hp, 3), round(lo, 3), round(hi, 3)]
     log(
         f"secondary config HealPix-map randoms ({NUM_RANDOMS} drawn at "
-        f"nside={nside}): {time.perf_counter() - t0:.2f}s warm, "
+        f"nside={nside}): {t_hp:.2f}s warm median [{lo:.2f}, {hi:.2f}], "
         f"n(z) corr vs box-randoms "
         f"{np.corrcoef(nz_hp.data, nz.data)[0, 1]:.3f}"
+    )
+
+    # stress configuration: 256 patches (multi-segment kernel launches,
+    # 32k+ linked patch-pair slots) on the same mock
+    reference_256 = Catalog.from_arrays(
+        **mock["reference"], degrees=False, patch_num=256
+    )
+    centers_256 = reference_256.get_centers()
+    unknown_256 = Catalog.from_arrays(
+        **mock["unknown"], degrees=False, patch_centers=centers_256
+    )
+    randoms_256 = Catalog.from_arrays(
+        **mock["randoms"], degrees=False, patch_centers=centers_256
+    )
+
+    def run_stress():
+        (w_sp,) = crosscorrelate(
+            config, reference_256, unknown_256, ref_rand=randoms_256
+        )
+        return RedshiftData.from_corrfuncs(w_sp)
+
+    run_stress()
+    t_256, lo, hi, nz_256 = timed_median(run_stress)
+    warm_medians["stress_256_patches"] = [round(t_256, 3), round(lo, 3), round(hi, 3)]
+    links_256 = PatchLinkage.from_catalogs(
+        config, reference_256, unknown_256, randoms_256
+    )
+    stress_pairs = 0
+    for cat1, cat2 in ((reference_256, unknown_256), (randoms_256, unknown_256)):
+        ts1 = cat1.get_tiles(binning)
+        ts2 = cat2.get_tiles(None)
+        pairs = build_tile_pairs(ts1, ts2, links_256.linkage, auto=False)
+        stress_pairs += pairs.num_pairs * ts1.tile_size**2
+    stress_pairs_per_sec = stress_pairs / t_256
+    log(
+        f"stress config 256 patches: {t_256:.2f}s warm median "
+        f"[{lo:.2f}, {hi:.2f}], {stress_pairs:.3e} candidate pairs "
+        f"-> {stress_pairs_per_sec:.3e} pairs/s, "
+        f"n(z) corr vs 64-patch {np.corrcoef(nz_256.data, nz.data)[0, 1]:.3f}"
     )
 
     result = {
@@ -250,6 +306,10 @@ def main() -> None:
         "value": round(pairs_per_sec, 1),
         "unit": "candidate pairs/s",
         "vs_baseline": round(t_cpu / t_tpu, 2),
+        "warm_medians_s": warm_medians,
+        "warm_runs": WARM_RUNS,
+        "stress_256_pairs_per_s": round(stress_pairs_per_sec, 1),
+        "oracle_max_rel_err": float(f"{max_rel_err:.3e}"),
     }
     print(json.dumps(result), flush=True)
 
