@@ -58,9 +58,12 @@ def test_getting_started_measurement(example_files, tmp_path, monkeypatch):
 
 
 def test_remaining_python_blocks_compile():
-    """Every other python example must at least be valid syntax."""
+    """Every other python example must at least be valid syntax (the
+    generated API reference holds signature blocks, not code)."""
     count = 0
     for path in DOCS.rglob("*.md"):
+        if path.is_relative_to(DOCS / "api"):
+            continue
         for block in python_blocks(path):
             compile(block, str(path), "exec")
             count += 1
