@@ -449,3 +449,171 @@ class TestBoundaryAudit:
             count_pairs_tiles(
                 None, None, None, np.zeros((1, 2), np.float32), audit=True
             )
+
+
+class TestPerTileZPruning:
+    """Per-tile redshift-bin cutoff pruning in build_tile_pairs: pruned
+    tile pairs must contribute exactly zero, so counts are unchanged while
+    the pair list shrinks for redshift-dependent scales."""
+
+    def _setup(self, rng, *, cols_binned, num_bins=6):
+        xyz1, w1, z1 = random_cap_catalog(rng, 4000, num_bins)
+        xyz2, w2, z2 = random_cap_catalog(rng, 5000, num_bins)
+        patch1 = simple_patches(xyz1, 5, np.random.default_rng(3))
+        patch2 = simple_patches(xyz2, 5, np.random.default_rng(3))
+        ts1 = build_tile_set(
+            xyz1, patch1, 5, weights=w1, zbins=z1, num_bins=num_bins,
+            tile_size=64, layout="zmajor",
+        )
+        ts2 = build_tile_set(
+            xyz2, patch2, 5, weights=w2,
+            zbins=z2 if cols_binned else None,
+            num_bins=num_bins if cols_binned else 0,
+            tile_size=64, layout="zmajor" if cols_binned else "spatial",
+        )
+        # physical-scale-like edges: theta shrinks with the bin index
+        theta_max = np.deg2rad(2.0) / (1.0 + np.arange(num_bins))
+        edges = np.column_stack([0.1 * theta_max, theta_max])
+        centers, radii = patch_geometry(xyz1, patch1, 5)
+        linkage = build_linkage(centers, radii, edges.max() * 1.000001)
+        raw = (xyz1, w1, z1, patch1, xyz2, w2, z2, patch2)
+        return ts1, ts2, linkage, edges, raw
+
+    def test_tile_zranges_cover_points(self, rng):
+        ts1, _, _, _, _ = self._setup(rng, cols_binned=False)
+        zlane = ts1.lane_data[:, 7, :]
+        wlane = ts1.lane_data[:, 6, :]
+        for t in range(ts1.num_tiles):
+            zs = zlane[t][wlane[t] > 0].astype(int)
+            if len(zs):
+                assert zs.min() >= ts1.tile_zmin[t]
+                assert zs.max() <= ts1.tile_zmax[t]
+                # z-major sort keeps tiles bin-coherent (narrow ranges)
+                assert ts1.tile_zmax[t] - ts1.tile_zmin[t] <= 1 or (
+                    np.all(np.diff(zs) >= 0)
+                )
+
+    @pytest.mark.parametrize("cols_binned", [False, True])
+    def test_pruned_counts_identical(self, rng, cols_binned):
+        ts1, ts2, linkage, edges, raw = self._setup(
+            rng, cols_binned=cols_binned
+        )
+        chord2 = ((2 * np.sin(edges / 2)) ** 2).astype(np.float32)
+        unpruned = build_tile_pairs(ts1, ts2, linkage, auto=False)
+        pruned = build_tile_pairs(
+            ts1, ts2, linkage, auto=False,
+            bin_max_angles=edges.max(axis=1),
+        )
+        assert pruned.num_pairs < unpruned.num_pairs
+        a = count_pairs_tiles(ts1, ts2, unpruned, chord2, backend="xla")
+        b = count_pairs_tiles(ts1, ts2, pruned, chord2, backend="xla")
+        # identical patch-pair slots, so the tensors compare directly
+        np.testing.assert_array_equal(
+            np.asarray(a, np.float64).sum(), np.asarray(b, np.float64).sum()
+        )
+        assert_allclose(
+            np.asarray(a, np.float64), np.asarray(b, np.float64),
+            rtol=1e-6, atol=1e-9,
+        )
+
+    def test_pruned_matches_float64_oracle(self, rng):
+        ts1, ts2, linkage, edges, raw = self._setup(rng, cols_binned=True)
+        xyz1, w1, z1, patch1, xyz2, w2, z2, patch2 = raw
+        chord2 = ((2 * np.sin(edges / 2)) ** 2).astype(np.float32)
+        pruned = build_tile_pairs(
+            ts1, ts2, linkage, auto=False,
+            bin_max_angles=edges.max(axis=1),
+        )
+        result = count_pairs_tiles(ts1, ts2, pruned, chord2, backend="xla")
+        expect = count_pairs_oracle(
+            xyz1, w1, z1, patch1, xyz2, w2, z2, patch2,
+            pruned.slot_patches, edges,
+        )
+        assert_allclose(
+            np.asarray(result, np.float64), expect, rtol=1e-5, atol=1e-6
+        )
+
+    def test_disjoint_bins_dropped_for_binned_cols(self, rng):
+        ts1, ts2, linkage, edges, _ = self._setup(rng, cols_binned=True)
+        pruned = build_tile_pairs(
+            ts1, ts2, linkage, auto=False,
+            bin_max_angles=edges.max(axis=1),
+        )
+        lo = np.maximum(
+            ts1.tile_zmin[pruned.tile1], ts2.tile_zmin[pruned.tile2]
+        )
+        hi = np.minimum(
+            ts1.tile_zmax[pruned.tile1], ts2.tile_zmax[pruned.tile2]
+        )
+        assert np.all(lo <= hi)
+
+
+class TestLayoutChooser:
+    """The measurement picks the zmajor tile layout only when the angular
+    cutoff dominates the (inflated) tile cap radii."""
+
+    def _catalog(self, rng, n=20_000):
+        from yet_another_wizz_tpu.catalog import Catalog
+
+        ra = rng.uniform(0.2, 0.6, n)
+        dec = rng.uniform(-0.2, 0.2, n)
+        z = rng.uniform(0.1, 1.0, n)
+        return Catalog.from_arrays(ra, dec, redshifts=z, degrees=False,
+                                   patch_num=8)
+
+    def test_small_scales_stay_spatial(self, rng):
+        from yet_another_wizz_tpu.correlation.measurements import (
+            _preferred_tile_layout,
+        )
+
+        catalog = self._catalog(rng)
+        scales = new_scales(0.01, 0.05, unit="deg")
+        edges = build_angular_edges(scales, np.linspace(0.15, 0.95, 6))
+        assert _preferred_tile_layout(catalog, 6, edges) == "spatial"
+
+    def test_large_scales_go_zmajor(self, rng):
+        from yet_another_wizz_tpu.correlation.measurements import (
+            _preferred_tile_layout,
+        )
+
+        catalog = self._catalog(rng)
+        scales = new_scales(1.0, 10.0, unit="deg")
+        edges = build_angular_edges(scales, np.linspace(0.15, 0.95, 6))
+        assert _preferred_tile_layout(catalog, 6, edges) == "zmajor"
+
+    def test_unbinned_always_spatial(self, rng):
+        from yet_another_wizz_tpu.correlation.measurements import (
+            _preferred_tile_layout,
+        )
+
+        assert _preferred_tile_layout(None, 0, None) == "spatial"
+
+    def test_measurement_identical_across_layouts(self, rng):
+        """Same counts regardless of the layout the chooser picks."""
+        from yet_another_wizz_tpu.catalog import Catalog
+        from yet_another_wizz_tpu.config import Configuration
+        from yet_another_wizz_tpu.correlation.measurements import (
+            autocorrelate,
+        )
+
+        n = 6000
+        ra = rng.uniform(0.2, 0.5, n)
+        dec = rng.uniform(-0.15, 0.15, n)
+        z = rng.uniform(0.15, 0.9, n)
+        data = Catalog.from_arrays(ra, dec, redshifts=z, degrees=False,
+                                   patch_num=6)
+        rand = Catalog.from_arrays(
+            rng.uniform(0.2, 0.5, 2 * n), rng.uniform(-0.15, 0.15, 2 * n),
+            redshifts=rng.choice(z, 2 * n), degrees=False,
+            patch_centers=data.get_centers(),
+        )
+        # large angular scales: the chooser goes zmajor for these catalogs
+        config = Configuration.create(
+            rmin=0.5, rmax=2.0, unit="deg", zmin=0.15, zmax=0.9, num_bins=4,
+        )
+        (w_large,) = autocorrelate(config, data, rand, backend="xla")
+        oracle_large, = autocorrelate(config, data, rand, backend="oracle")
+        assert_allclose(
+            w_large.dd.counts.counts, oracle_large.dd.counts.counts,
+            rtol=1e-5, atol=1e-6,
+        )

@@ -722,6 +722,7 @@ class Catalog(Mapping):
         *,
         mode: str = "n",
         tile_size: int = DEFAULT_TILE_SIZE,
+        layout: str = "spatial",
     ) -> TileSet:
         """Tile set for the given binning and counting mode (cached).
 
@@ -730,15 +731,19 @@ class Catalog(Mapping):
             mode: ``"n"`` for number weights, ``"k"`` for scalar-field
                 weights (``kappa * weights``).
             tile_size: points per device tile.
+            layout: ``"spatial"`` (Morton within patch) or ``"zmajor"``
+                (Morton within (patch, bin); bin-coherent tiles for the
+                per-tile angular-cutoff pruning).
         """
         if binning is None:
-            key = (None, None, mode, tile_size)
+            key = (None, None, mode, tile_size, "spatial")
         else:
             key = (
                 binning.edges.tobytes(),
                 str(binning.closed),
                 mode,
                 tile_size,
+                layout,
             )
         if key in self._tile_cache:
             return self._tile_cache[key]
@@ -772,6 +777,7 @@ class Catalog(Mapping):
             kappa=self.kappa,
             tile_size=tile_size,
             mode_weights=mode_weights,
+            layout=layout if binning is not None else "spatial",
         )
         self._tile_cache[key] = tiles
         return tiles

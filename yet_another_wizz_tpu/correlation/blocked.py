@@ -167,7 +167,8 @@ def count_pairs_blocked(
             # enumerate tile pairs with LOCAL patch ids; auto-diagonal
             # handling was already applied to the linked matrix above
             pairs = build_tile_pairs(
-                tiles1, tiles2, local_linkage, auto=False
+                tiles1, tiles2, local_linkage, auto=False,
+                bin_max_angles=edges.edges.max(axis=1),
             )
             if pairs.num_pairs == 0:
                 continue

@@ -53,6 +53,30 @@ LINKAGE_SLACK = 1.0 + 1e-9
 angular scale are never pruned."""
 
 
+def _preferred_tile_layout(catalog, num_bins: int, edges) -> str:
+    """Choose the tile layout for a binned tile set of this measurement.
+
+    The ``zmajor`` layout (bin-coherent tiles) enables per-tile
+    angular-cutoff pruning and disjoint-bin dropping in
+    :func:`~yet_another_wizz_tpu.ops.linkage.build_tile_pairs`, but inflates
+    tile bounding-cap radii by ~sqrt(num_bins) because a redshift slice
+    spreads over the whole patch footprint. It pays off only when the
+    angular cutoff dominates the inflated cap radii (large scales, dense
+    catalogs, or many small patches); otherwise the spatially tight Morton
+    layout prunes more. The estimate compares the global maximum angle
+    against the expected zmajor tile radius.
+    """
+    if num_bins <= 0:
+        return "spatial"
+    from yet_another_wizz_tpu.ops.tiles import DEFAULT_TILE_SIZE
+
+    counts = np.asarray(catalog.get_num_records(), dtype=np.float64)
+    tiles_per_patch = np.maximum(1.0, counts / DEFAULT_TILE_SIZE)
+    radius_spatial = catalog.patch_radii / np.sqrt(tiles_per_patch)
+    radius_zmajor = np.median(radius_spatial) * np.sqrt(num_bins)
+    return "zmajor" if edges.max_angle >= radius_zmajor else "spatial"
+
+
 def check_patch_consistency(catalog: Catalog, *catalogs: Catalog, rtol: float = 0.5):
     """Verify that all catalogs share (approximately) the same patch
     centers, within ``rtol`` times the patch radius."""
@@ -305,12 +329,23 @@ class PatchLinkage:
         num_bins = len(binning)
         num_patches = catalog1.num_patches
 
-        tiles1 = catalog1.get_tiles(binning, mode=mode[0])
+        tiles1 = catalog1.get_tiles(
+            binning, mode=mode[0],
+            layout=_preferred_tile_layout(catalog1, num_bins, self.edges),
+        )
         tiles2 = catalog2.get_tiles(
-            binning if binned2 else None, mode=mode[1]
+            binning if binned2 else None, mode=mode[1],
+            layout=(
+                _preferred_tile_layout(catalog2, num_bins, self.edges)
+                if binned2
+                else "spatial"
+            ),
         )
 
-        pairs = build_tile_pairs(tiles1, tiles2, self.linkage, auto=auto)
+        pairs = build_tile_pairs(
+            tiles1, tiles2, self.linkage, auto=auto,
+            bin_max_angles=self.edges.edges.max(axis=1),
+        )
         logger.debug(
             "processing %d tile pairs in %d patch pairs",
             pairs.num_pairs,

@@ -120,12 +120,26 @@ class TilePairs:
         return len(self.slot_patches)
 
 
+def _bin_range_max(bin_max_angles: NDArray) -> NDArray:
+    """``(B, B)`` table of ``max(bin_max_angles[a..b])`` for bin ranges.
+
+    A small relative margin keeps pairs whose float32-rounded squared
+    chord could still classify into the outermost interval in the kernel.
+    """
+    num_bins = len(bin_max_angles)
+    table = np.zeros((num_bins, num_bins))
+    for a in range(num_bins):
+        table[a, a:] = np.maximum.accumulate(bin_max_angles[a:])
+    return table * (1.0 + 1e-5)
+
+
 def build_tile_pairs(
     tiles1: TileSet,
     tiles2: TileSet,
     linkage: Linkage,
     *,
     auto: bool,
+    bin_max_angles: NDArray | None = None,
 ) -> TilePairs:
     """Enumerate tile pairs for all linked patch pairs, pruned by tile caps.
 
@@ -133,21 +147,50 @@ def build_tile_pairs(
     generated; tile pairs within those patch pairs cover the full ordered
     tile grid (the double counting matches the reference's same-patch
     handling and is corrected downstream).
+
+    With ``bin_max_angles`` (per-redshift-bin maximum angular edge) and a
+    binned row tile set, the cutoff is evaluated per tile pair from the
+    tiles' bin ranges instead of the global maximum: physical/comoving
+    scales shrink with redshift, so high-redshift tiles link far fewer
+    neighbours. When both sides are binned (autocorrelation-style counting
+    requires equal bins) tile pairs with disjoint bin ranges are dropped
+    outright. This recovers the per-bin pruning the reference gets from
+    querying each redshift slice's kd-tree separately with its own radius
+    (/root/reference/src/yaw/catalog/trees.py:303-362).
     """
     pairs = linkage.patch_pairs(auto=auto)
     cutoff_angle = linkage.max_angle
+
+    per_tile_cutoff = bin_max_angles is not None and tiles1.binned
+    if per_tile_cutoff:
+        range_max = _bin_range_max(np.asarray(bin_max_angles, np.float64))
 
     t1_list, t2_list, slot_list = [], [], []
     for slot, (p1, p2) in enumerate(pairs):
         idx1 = tiles1.patch_tiles(p1)
         idx2 = tiles2.patch_tiles(p2)
         dist = _cap_distances(tiles1.tile_center[idx1], tiles2.tile_center[idx2])
-        limit = (
+        radii = (
             tiles1.tile_radius[idx1][:, None]
             + tiles2.tile_radius[idx2][None, :]
-            + cutoff_angle
         )
-        keep1, keep2 = np.nonzero(dist < limit)
+        if per_tile_cutoff:
+            zmin1 = tiles1.tile_zmin[idx1]
+            zmax1 = tiles1.tile_zmax[idx1]
+            if tiles2.binned:
+                # equal-bin counting: only the overlapping bin range matters
+                lo = np.maximum(zmin1[:, None], tiles2.tile_zmin[idx2][None, :])
+                hi = np.minimum(zmax1[:, None], tiles2.tile_zmax[idx2][None, :])
+                valid = lo <= hi
+                theta = range_max[lo.clip(max=hi), hi.clip(min=0)]
+            else:
+                valid = (zmax1 >= zmin1)[:, None]
+                theta = range_max[
+                    zmin1.clip(max=zmax1.clip(min=0)), zmax1.clip(min=0)
+                ][:, None]
+            keep1, keep2 = np.nonzero((dist < radii + theta) & valid)
+        else:
+            keep1, keep2 = np.nonzero(dist < radii + cutoff_angle)
         t1_list.append(idx1[keep1])
         t2_list.append(idx2[keep2])
         slot_list.append(np.full(len(keep1), slot, dtype=np.int32))

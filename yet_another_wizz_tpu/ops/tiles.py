@@ -125,6 +125,13 @@ class TileSet:
         sum_kappa:
             Per (bin, patch) weighted sum of the scalar field (None if the
             catalog has no kappa values).
+        tile_zmin / tile_zmax:
+            Per-tile redshift-bin index range (inclusive). Points are
+            sorted by bin within each patch, so tiles are bin-coherent and
+            the range enables per-tile angular-cutoff pruning in
+            :func:`~yet_another_wizz_tpu.ops.linkage.build_tile_pairs`.
+            Unbinned tile sets carry zeros; tiles without points carry the
+            empty range ``(0, -1)``.
         num_bins:
             Number of redshift bins (0 for an unbinned tile set).
         num_points:
@@ -139,6 +146,8 @@ class TileSet:
     patch_tile_stop: NDArray
     sum_weights: NDArray
     sum_kappa: NDArray | None
+    tile_zmin: NDArray
+    tile_zmax: NDArray
     num_bins: int
     num_points: int
     tile_size: int = DEFAULT_TILE_SIZE
@@ -197,6 +206,7 @@ def build_tile_set(
     kappa: NDArray | None = None,
     tile_size: int = DEFAULT_TILE_SIZE,
     mode_weights: NDArray | None = None,
+    layout: str = "spatial",
 ) -> TileSet:
     """Build a :class:`TileSet` from per-point arrays.
 
@@ -239,8 +249,20 @@ def build_tile_set(
         num_bins = 0
         zbins = np.zeros(len(xyz), dtype=np.float64)
 
-    # spatial sort: group by patch, Morton-order within each patch
-    order = np.lexsort((morton_codes(xyz), patch_ids))
+    # sort: group by patch, Morton-order within ("spatial"), optionally by
+    # redshift bin first ("zmajor": Morton within each (patch, bin)).
+    # zmajor makes tiles bin-coherent — enabling per-tile angular-cutoff
+    # pruning and disjoint-bin dropping in the linkage — at the cost of
+    # inflating tile bounding caps by ~sqrt(num_bins) (a redshift slice
+    # spreads over the whole patch footprint). Callers choose zmajor only
+    # when the angular cutoff dominates the cap radii (see
+    # correlation.measurements._prefer_zmajor_layout).
+    if layout not in ("spatial", "zmajor"):
+        raise ValueError(f"unknown tile layout '{layout}'")
+    if layout == "zmajor" and num_bins > 0:
+        order = np.lexsort((morton_codes(xyz), zbins, patch_ids))
+    else:
+        order = np.lexsort((morton_codes(xyz), patch_ids))
     xyz = np.ascontiguousarray(xyz[order])
     patch_ids = patch_ids[order]
     weights = weights[order]
@@ -287,6 +309,25 @@ def build_tile_set(
     for pid in np.nonzero(counts == 0)[0]:
         lane_data[patch_tile_start[pid], 0, :] = 1.0
 
+    # per-tile redshift-bin ranges: dest is nondecreasing row-wise, so each
+    # tile is a contiguous row segment; reduce bin min/max per segment
+    tile_zmin = np.zeros(num_tiles, dtype=np.int32)
+    tile_zmax = np.zeros(num_tiles, dtype=np.int32)
+    if num_bins > 0 and len(xyz) and num_tiles:
+        tile_idx = dest // tile_size
+        tile_range = np.arange(num_tiles)
+        starts = np.searchsorted(tile_idx, tile_range, side="left")
+        stops = np.searchsorted(tile_idx, tile_range, side="right")
+        zb = zbins.astype(np.int32)
+        has_rows = stops > starts
+        idx = np.minimum(starts, len(zb) - 1)
+        tile_zmin = np.where(
+            has_rows, np.minimum.reduceat(zb, idx), 0
+        ).astype(np.int32)
+        tile_zmax = np.where(
+            has_rows, np.maximum.reduceat(zb, idx), -1  # empty: never links
+        ).astype(np.int32)
+
     # per (bin, patch) normalisation sums in float64
     effective_bins = max(num_bins, 1)
     flat_idx = zbins.astype(np.int64) * num_patches + patch_ids
@@ -309,6 +350,8 @@ def build_tile_set(
         patch_tile_stop=patch_tile_stop,
         sum_weights=sum_weights,
         sum_kappa=sum_kappa,
+        tile_zmin=tile_zmin,
+        tile_zmax=tile_zmax,
         num_bins=num_bins,
         num_points=len(xyz),
         tile_size=tile_size,
