@@ -110,3 +110,19 @@ class TestConfigurationDictYaml:
     def test_modify_edges(self):
         changed = self.config.modify(edges=[0.2, 0.5, 0.9])
         assert changed.binning.num_bins == 2
+
+
+def test_get_paramspec():
+    """Parameter metadata is introspectable (reference API,
+    /root/reference/src/yaw/config/base.py:423-425)."""
+    from yet_another_wizz_tpu.config import Configuration
+    from yet_another_wizz_tpu.config.classes import BinningConfig, ScalesConfig
+
+    spec = Configuration.get_paramspec()
+    assert spec["scales"] is ScalesConfig
+    assert spec["binning"] is BinningConfig
+    assert "cosmology" in spec and "max_workers" in spec
+
+    scales_spec = ScalesConfig.get_paramspec()
+    assert {"rmin", "rmax", "unit", "rweight", "resolution"} <= set(scales_spec)
+    assert scales_spec["unit"].help  # parameters carry metadata

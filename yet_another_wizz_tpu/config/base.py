@@ -188,6 +188,15 @@ class BaseConfig(ABC):
         return parsed
 
     @classmethod
+    def get_paramspec(cls) -> dict[str, Any]:
+        """Mapping of parameter name to its metadata — scalar/sequence
+        parameters and nested config-section classes (reference:
+        /root/reference/src/yaw/config/base.py:423-425)."""
+        spec: dict[str, Any] = dict(cls._spec.params)
+        spec.update(cls._spec.sections)
+        return spec
+
+    @classmethod
     def from_dict(cls: type[Self], the_dict: dict[str, Any]) -> Self:
         """Create an instance from a (nested) dictionary of raw values."""
         return cls(**cls._parse_items(dict(the_dict)))

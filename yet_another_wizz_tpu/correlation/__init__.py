@@ -7,6 +7,12 @@ from yet_another_wizz_tpu.correlation.corrfunc import (
     ScalarCorrFunc,
     load_corrfunc,
 )
+from yet_another_wizz_tpu.correlation.measurements import (
+    autocorrelate,
+    autocorrelate_scalar,
+    crosscorrelate,
+    crosscorrelate_scalar,
+)
 from yet_another_wizz_tpu.correlation.paircounts import (
     NormalisedCounts,
     NormalisedScalarCounts,
@@ -23,5 +29,9 @@ __all__ = [
     "PatchedSumWeights",
     "SampledData",
     "ScalarCorrFunc",
+    "autocorrelate",
+    "autocorrelate_scalar",
+    "crosscorrelate",
+    "crosscorrelate_scalar",
     "load_corrfunc",
 ]
