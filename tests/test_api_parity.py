@@ -1,0 +1,137 @@
+"""Systematic public-API parity against the reference package.
+
+Imports the reference from /root/reference/src with minimal shims for its
+unavailable third-party dependencies and asserts that every public member
+of its main classes and every submodule export has a counterpart here.
+This is a surface check (names, not behaviour); behavioural parity is
+covered by tests/test_reference_parity.py.
+"""
+
+import enum
+import importlib
+import sys
+import types
+from pathlib import Path
+
+import pytest
+
+REFERENCE_SRC = Path("/root/reference/src")
+
+pytestmark = pytest.mark.skipif(
+    not REFERENCE_SRC.exists(), reason="reference source tree not available"
+)
+
+
+@pytest.fixture(scope="module")
+def yaw():
+    sys.path.insert(0, str(REFERENCE_SRC))
+    try:
+        for name in ("yaw._version", "treecorr"):
+            sys.modules.setdefault(name, types.ModuleType(name))
+        sys.modules["yaw._version"].__version__ = "3.1.0"
+        sys.modules["yaw._version"].__version_tuple__ = (3, 1, 0)
+        strenum = types.ModuleType("strenum")
+        strenum.StrEnum = enum.StrEnum
+        sys.modules.setdefault("strenum", strenum)
+
+        if "astropy" not in sys.modules:
+            astropy = types.ModuleType("astropy")
+            cosmo_mod = types.ModuleType("astropy.cosmology")
+
+            class FLRW:
+                name = "shim"
+
+            class _Planck15(FLRW):
+                name = "Planck15"
+
+            cosmo_mod.FLRW = FLRW
+            cosmo_mod.Planck15 = _Planck15()
+            cosmo_mod.available = ("Planck15",)
+            cosmo_mod.cosmology_equal = lambda a, b: a is b
+            cosmo_mod.z_at_value = lambda f, v, **k: v
+            units = types.ModuleType("astropy.units")
+            units.Quantity = type("Quantity", (), {})
+            for unit in ("kpc", "Mpc", "rad", "deg", "arcmin", "arcsec"):
+                setattr(units, unit, unit)
+            io_mod = types.ModuleType("astropy.io")
+            fits_mod = types.ModuleType("astropy.io.fits")
+            astropy.cosmology = cosmo_mod
+            astropy.units = units
+            astropy.io = io_mod
+            io_mod.fits = fits_mod
+            for mod in (astropy, cosmo_mod, units, io_mod, fits_mod):
+                sys.modules[mod.__name__] = mod
+
+        import yaw
+
+        return yaw
+    finally:
+        sys.path.remove(str(REFERENCE_SRC))
+
+
+def public(obj):
+    return {name for name in dir(obj) if not name.startswith("_")}
+
+
+TOP_LEVEL_CLASSES = [
+    "AngularCoordinates", "AngularDistances", "Binning", "Catalog",
+    "Configuration", "CorrData", "CorrFunc", "ScalarCorrFunc",
+    "HistData", "RedshiftData",
+]
+
+
+def test_top_level_exports(yaw):
+    import yet_another_wizz_tpu as yawt
+
+    assert set(yaw.__all__) <= set(yawt.__all__)
+
+
+@pytest.mark.parametrize("name", TOP_LEVEL_CLASSES)
+def test_class_members(yaw, name):
+    import yet_another_wizz_tpu as yawt
+
+    missing = public(getattr(yaw, name)) - public(getattr(yawt, name))
+    assert not missing, f"{name} missing members: {sorted(missing)}"
+
+
+MODULE_PAIRS = [
+    ("yaw.config", "yet_another_wizz_tpu.config"),
+    ("yaw.correlation", "yet_another_wizz_tpu.correlation"),
+    ("yaw.catalog", "yet_another_wizz_tpu.catalog"),
+    ("yaw.options", "yet_another_wizz_tpu.options"),
+    ("yaw.utils.plotting", "yet_another_wizz_tpu.utils.plotting"),
+    ("yaw.randoms", "yet_another_wizz_tpu.randoms"),
+    ("yaw.correlation.paircounts", "yet_another_wizz_tpu.correlation.paircounts"),
+    ("yaw.cosmology", "yet_another_wizz_tpu.cosmology"),
+    ("yaw.coordinates", "yet_another_wizz_tpu.coordinates"),
+    ("yaw.binning", "yet_another_wizz_tpu.binning"),
+    ("yaw.datachunk", "yet_another_wizz_tpu.datachunk"),
+    ("yaw.redshifts", "yet_another_wizz_tpu.redshifts"),
+]
+
+
+@pytest.mark.parametrize("ref_mod,our_mod", MODULE_PAIRS)
+def test_module_exports(yaw, ref_mod, our_mod):
+    def exports(module):
+        names = set(getattr(module, "__all__", ()))
+        return names or public(module)
+
+    ref = importlib.import_module(ref_mod)
+    ours = importlib.import_module(our_mod)
+    missing = exports(ref) - exports(ours)
+    assert not missing, f"{ref_mod} missing exports: {sorted(missing)}"
+
+
+def test_paircount_container_members(yaw):
+    from yaw.correlation import paircounts as ref
+    from yaw.correlation.corrdata import SampledData as RefSampled
+
+    from yet_another_wizz_tpu.correlation import paircounts as ours
+    from yet_another_wizz_tpu.correlation.corrdata import (
+        SampledData as OurSampled,
+    )
+
+    for name in ("PatchedCounts", "PatchedSumWeights", "NormalisedCounts"):
+        missing = public(getattr(ref, name)) - public(getattr(ours, name))
+        assert not missing, f"{name} missing members: {sorted(missing)}"
+    assert not public(RefSampled) - public(OurSampled)
