@@ -569,7 +569,13 @@ class TestLayoutChooser:
         catalog = self._catalog(rng)
         scales = new_scales(0.01, 0.05, unit="deg")
         edges = build_angular_edges(scales, np.linspace(0.15, 0.95, 6))
-        assert _preferred_tile_layout(catalog, 6, edges) == "spatial"
+        assert _preferred_tile_layout(
+            catalog, 6, edges, equal_bin_counting=False
+        ) == "spatial"
+        # equal-bin counting always benefits from disjoint-bin drops
+        assert _preferred_tile_layout(
+            catalog, 6, edges, equal_bin_counting=True
+        ) == "zmajor"
 
     def test_large_scales_go_zmajor(self, rng):
         from yet_another_wizz_tpu.correlation.measurements import (
@@ -579,14 +585,18 @@ class TestLayoutChooser:
         catalog = self._catalog(rng)
         scales = new_scales(1.0, 10.0, unit="deg")
         edges = build_angular_edges(scales, np.linspace(0.15, 0.95, 6))
-        assert _preferred_tile_layout(catalog, 6, edges) == "zmajor"
+        assert _preferred_tile_layout(
+            catalog, 6, edges, equal_bin_counting=False
+        ) == "zmajor"
 
     def test_unbinned_always_spatial(self, rng):
         from yet_another_wizz_tpu.correlation.measurements import (
             _preferred_tile_layout,
         )
 
-        assert _preferred_tile_layout(None, 0, None) == "spatial"
+        assert _preferred_tile_layout(
+            None, 0, None, equal_bin_counting=False
+        ) == "spatial"
 
     def test_measurement_identical_across_layouts(self, rng):
         """Same counts regardless of the layout the chooser picks."""

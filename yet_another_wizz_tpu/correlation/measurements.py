@@ -53,21 +53,29 @@ LINKAGE_SLACK = 1.0 + 1e-9
 angular scale are never pruned."""
 
 
-def _preferred_tile_layout(catalog, num_bins: int, edges) -> str:
+def _preferred_tile_layout(
+    catalog, num_bins: int, edges, *, equal_bin_counting: bool
+) -> str:
     """Choose the tile layout for a binned tile set of this measurement.
 
     The ``zmajor`` layout (bin-coherent tiles) enables per-tile
     angular-cutoff pruning and disjoint-bin dropping in
     :func:`~yet_another_wizz_tpu.ops.linkage.build_tile_pairs`, but inflates
     tile bounding-cap radii by ~sqrt(num_bins) because a redshift slice
-    spreads over the whole patch footprint. It pays off only when the
-    angular cutoff dominates the inflated cap radii (large scales, dense
-    catalogs, or many small patches); otherwise the spatially tight Morton
-    layout prunes more. The estimate compares the global maximum angle
-    against the expected zmajor tile radius.
+    spreads over the whole patch footprint.
+
+    For equal-bin counting (both sides binned, autocorrelation style) the
+    disjoint-bin drop divides the pair grid by ~num_bins, cancelling the
+    radius inflation in the worst case and winning outright whenever the
+    angular cutoff contributes — so zmajor is used unconditionally. For
+    binned-rows/unbinned-columns counting there is no disjoint drop, so
+    zmajor pays off only when the angular cutoff dominates the inflated cap
+    radii (large scales, dense catalogs, or many small patches).
     """
     if num_bins <= 0:
         return "spatial"
+    if equal_bin_counting:
+        return "zmajor"
     from yet_another_wizz_tpu.ops.tiles import DEFAULT_TILE_SIZE
 
     counts = np.asarray(catalog.get_num_records(), dtype=np.float64)
@@ -331,12 +339,16 @@ class PatchLinkage:
 
         tiles1 = catalog1.get_tiles(
             binning, mode=mode[0],
-            layout=_preferred_tile_layout(catalog1, num_bins, self.edges),
+            layout=_preferred_tile_layout(
+                catalog1, num_bins, self.edges, equal_bin_counting=binned2
+            ),
         )
         tiles2 = catalog2.get_tiles(
             binning if binned2 else None, mode=mode[1],
             layout=(
-                _preferred_tile_layout(catalog2, num_bins, self.edges)
+                _preferred_tile_layout(
+                    catalog2, num_bins, self.edges, equal_bin_counting=True
+                )
                 if binned2
                 else "spatial"
             ),
