@@ -627,3 +627,49 @@ class TestLayoutChooser:
             w_large.dd.counts.counts, oracle_large.dd.counts.counts,
             rtol=1e-5, atol=1e-6,
         )
+
+
+class TestShapeBucketing:
+    """Dynamic sizes are padded to a quarter-octave grid so engine
+    programs are reused across catalogs/linkages (remote compiles cost
+    minutes at survey scale)."""
+
+    def test_bucket_size_grid(self):
+        from yet_another_wizz_tpu.ops.tiles import bucket_size
+
+        assert bucket_size(1) == 512
+        assert bucket_size(512) == 512
+        assert bucket_size(513) == 640
+        assert bucket_size(5873) == 6144
+        assert bucket_size(1024) == 1024
+        for n in (3, 97, 1000, 4097, 123456):
+            b = bucket_size(n)
+            assert b >= n
+            assert b <= max(512, int(1.25 * n) + 1)  # <= 25% waste
+
+    def test_device_data_padded_to_bucket(self, rng):
+        from yet_another_wizz_tpu.ops.tiles import bucket_size
+
+        xyz, w, z = random_cap_catalog(rng, 2000, 3)
+        patches = simple_patches(xyz, 5, rng)
+        ts = build_tile_set(
+            xyz, patches, 5, weights=w, zbins=z, num_bins=3, tile_size=64
+        )
+        dev = ts.device_data()
+        assert dev.shape[0] == bucket_size(ts.num_tiles)
+        # pad tiles carry zero weights
+        assert float(dev[ts.num_tiles:, 6, :].sum()) == 0.0
+
+    def test_xla_program_reused_across_slot_counts(self, rng):
+        """Two measurements with different slot/pair counts in the same
+        buckets must not trigger a fresh compile (trace-cache hit)."""
+        from yet_another_wizz_tpu.ops.paircount import _count_pairs_xla
+
+        misses_before = _count_pairs_xla._cache_size()
+        for n2, num_patches in ((4000, 5), (4100, 5)):
+            result, expect = run_engine_vs_oracle(
+                rng, n2=n2, num_patches=num_patches
+            )
+            assert_allclose(result, expect, rtol=1e-4, atol=10.0)
+        misses_after = _count_pairs_xla._cache_size()
+        assert misses_after - misses_before <= 1

@@ -136,7 +136,7 @@ def pair_block_counts(
 
 @partial(
     jax.jit,
-    static_argnames=("cols_binned", "num_slots", "chunk_size"),
+    static_argnames=("cols_binned", "num_slots_out", "chunk_size"),
 )
 def _count_pairs_xla(
     lane1: jnp.ndarray,
@@ -147,12 +147,14 @@ def _count_pairs_xla(
     chord2_table: jnp.ndarray,
     *,
     cols_binned: bool,
-    num_slots: int,
+    num_slots_out: int,
     chunk_size: int,
 ) -> jnp.ndarray:
     """Scan over chunks of tile pairs, vmap within a chunk, scatter-add into
     patch-pair slots. Expects the pair list padded to a chunk multiple with
-    pad entries pointing at the trailing dump slot ``num_slots``."""
+    pad entries pointing at a dump slot ``>= num real slots``; the output
+    slot axis is padded to ``num_slots_out`` (bucketed, so the compiled
+    program is reused across pair lists) and sliced by the caller."""
     num_chunks = len(tile1) // chunk_size
     shape = (num_chunks, chunk_size)
 
@@ -167,14 +169,14 @@ def _count_pairs_xla(
         return acc.at[slot].add(blocks), None
 
     init = jnp.zeros(
-        (num_slots + 1, *chord2_table.shape), dtype=jnp.float32
+        (num_slots_out, *chord2_table.shape), dtype=jnp.float32
     )
     acc, _ = jax.lax.scan(
         body,
         init,
         (tile1.reshape(shape), tile2.reshape(shape), slots.reshape(shape)),
     )
-    return acc[:-1]
+    return acc
 
 
 def _pair_block_boundary(
@@ -286,8 +288,12 @@ def audit_boundary_counts(
     band_table = jnp.asarray(band, dtype=jnp.float32)
     table = jnp.asarray(chord2_table, dtype=jnp.float32)
 
+    from yet_another_wizz_tpu.ops.tiles import bucket_size
+
     num_pairs = pairs.num_pairs
-    padded = -(-num_pairs // chunk_size) * chunk_size
+    padded = bucket_size(
+        -(-num_pairs // chunk_size) * chunk_size, base=16 * chunk_size
+    )
     tile1 = np.zeros(padded, dtype=np.int32)
     tile2 = np.zeros(padded, dtype=np.int32)
     tile1[:num_pairs] = pairs.tile1
@@ -453,9 +459,17 @@ def count_pairs_tiles(
             cols_binned=cols_binned,
         )
     elif backend == "xla":
-        # pad the pair list to a chunk multiple; padding goes to a dump slot
+        # pad the pair list to a bucketed chunk multiple and the slot axis
+        # to a bucketed size; padding pairs go to a dump slot. Bucketing
+        # keeps the compiled program reusable across pair lists and patch
+        # linkages of different sizes.
+        from yet_another_wizz_tpu.ops.tiles import bucket_size
+
         num_pairs = pairs.num_pairs
-        padded = -(-num_pairs // chunk_size) * chunk_size
+        num_slots_out = bucket_size(num_slots + 1, base=64)
+        padded = bucket_size(
+            -(-num_pairs // chunk_size) * chunk_size, base=16 * chunk_size
+        )
         tile1 = np.zeros(padded, dtype=np.int32)
         tile2 = np.zeros(padded, dtype=np.int32)
         slots = np.full(padded, num_slots, dtype=np.int32)
@@ -471,9 +485,9 @@ def count_pairs_tiles(
             jnp.asarray(slots),
             table,
             cols_binned=cols_binned,
-            num_slots=num_slots,
+            num_slots_out=num_slots_out,
             chunk_size=chunk_size,
-        )
+        )[:num_slots]
     else:
         raise ValueError(f"unknown backend '{backend}'")
 

@@ -31,6 +31,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from yet_another_wizz_tpu.ops.tiles import bucket_size
+
 if TYPE_CHECKING:
     from yet_another_wizz_tpu.ops.linkage import TilePairs
 
@@ -157,7 +159,7 @@ def _grid_size(num_pairs: int, maximum: int) -> int:
 def _build_kernel_call(
     segment: int,
     tile_shape: tuple,
-    num_slots: int,
+    num_slots_out: int,
     num_bins: int,
     num_edges: int,
     cols_binned: bool,
@@ -204,7 +206,7 @@ def _build_kernel_call(
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (num_slots + 1, num_bins, num_edges), jnp.float32
+            (num_slots_out, num_bins, num_edges), jnp.float32
         ),
         interpret=interpret,
     )
@@ -234,7 +236,10 @@ def count_pairs_pallas(
 
     # fixed-size segments: pad with entries pointing at tile 0 and the
     # trailing dump slot (sorted order is preserved, the dump slot id is
-    # larger than any real slot)
+    # larger than any real slot). The slot axis of the output is padded to
+    # a bucketed size so the compiled program is reused across
+    # measurements with different patch linkages.
+    num_slots_out = bucket_size(num_slots + 1, base=64)
     segment = _grid_size(pairs.num_pairs, max_pairs_per_call)
     padded = -(-pairs.num_pairs // segment) * segment
     tile1 = np.zeros(padded, dtype=np.int32)
@@ -248,7 +253,7 @@ def count_pairs_pallas(
     kernel = _build_kernel_call(
         segment,
         tile_shape,
-        num_slots,
+        num_slots_out,
         num_bins,
         num_edges,
         cols_binned,
@@ -278,7 +283,7 @@ def count_pairs_pallas(
         # output blocks of slots not visited by THIS segment's grid keep
         # whatever memory XLA handed out (which may alias a previous
         # segment's output!) — mask them to zero before accumulating
-        visited = np.zeros(num_slots + 1, dtype=bool)
+        visited = np.zeros(num_slots_out, dtype=bool)
         visited[np.unique(slots[lo:hi])] = True
         if not visited.all():
             # a multiply would propagate NaN from uninitialised memory in
@@ -287,4 +292,4 @@ def count_pairs_pallas(
                 jnp.asarray(visited)[:, None, None], part, 0.0
             )
         total = part if total is None else total + part
-    return total[:-1]
+    return total[:num_slots]

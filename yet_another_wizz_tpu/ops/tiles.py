@@ -36,6 +36,7 @@ if TYPE_CHECKING:
 
 __all__ = [
     "TileSet",
+    "bucket_size",
     "build_tile_set",
     "morton_codes",
 ]
@@ -47,6 +48,28 @@ CHANNEL_ZBIN = 7
 NUM_CHANNELS = 8
 
 DEFAULT_TILE_SIZE = 512
+
+
+def bucket_size(n: int, base: int = 512) -> int:
+    """Smallest allowed size ``>= n`` from a quarter-octave geometric grid
+    (powers of two and their 1.25x / 1.5x / 1.75x multiples, floored at
+    ``base``).
+
+    Device programs are compiled against array shapes; padding dynamic
+    sizes (tile counts, patch-pair slots, pair-list lengths) to this grid
+    bounds the number of distinct compiled programs (four per octave)
+    while wasting at most 25% padding. Compiles go through a remote
+    service and cost minutes at survey scale, so shape reuse dominates the
+    padding overhead.
+    """
+    if n <= base:
+        return base
+    octave = 1 << ((int(n) - 1).bit_length() - 1)  # largest power of 2 < n
+    for mult in (1.0, 1.25, 1.5, 1.75, 2.0):
+        size = int(octave * mult)
+        if size >= n:
+            return size
+    return 2 * octave  # unreachable
 
 
 def morton_codes(xyz: NDArray, bits: int = 10) -> NDArray:
@@ -156,13 +179,31 @@ class TileSet:
     def device_data(self):
         """The lane data as a device-resident array (uploaded once and
         cached; repeated engine calls must not re-transfer the catalog
-        through the host-device link)."""
+        through the host-device link).
+
+        The tile axis is padded with zero tiles to a bucketed size
+        (:func:`bucket_size`): the engine programs are compiled against the
+        array shape, and unbucketed tile counts would force a fresh XLA
+        compile (minutes through a remote compile service) for every
+        catalog size. Pad tiles are never referenced by a tile-pair list
+        and carry zero weights.
+        """
         if self._cache_token is None:
             import jax.numpy as jnp
 
-            object.__setattr__(
-                self, "_cache_token", jnp.asarray(self.lane_data)
-            )
+            padded_tiles = bucket_size(self.num_tiles)
+            lanes = self.lane_data
+            if padded_tiles > self.num_tiles:
+                lanes = np.concatenate(
+                    [
+                        lanes,
+                        np.zeros(
+                            (padded_tiles - self.num_tiles, *lanes.shape[1:]),
+                            dtype=lanes.dtype,
+                        ),
+                    ]
+                )
+            object.__setattr__(self, "_cache_token", jnp.asarray(lanes))
         return self._cache_token
 
     @property
