@@ -31,6 +31,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from yet_another_wizz_tpu.ops.paircount import pair_block_counts
+from yet_another_wizz_tpu.ops.tiles import bucket_size
 
 if TYPE_CHECKING:
     from numpy.typing import NDArray
@@ -82,10 +83,14 @@ def _partial_counts(
     lane1, lane2, tile1, tile2, slots, table,
     *,
     cols_binned: bool,
-    num_slots: int,
+    num_slots_out: int,
     chunk_size: int,
 ):
-    """Per-device scatter-add over the local chunk of the pair list."""
+    """Per-device scatter-add over the local chunk of the pair list.
+
+    The output slot axis is padded to ``num_slots_out`` (bucketed) so the
+    compiled program is reused across patch linkages; dump/pad slots are
+    sliced off by the caller."""
     num_chunks = tile1.shape[0] // chunk_size
     shape = (num_chunks, chunk_size)
 
@@ -99,7 +104,7 @@ def _partial_counts(
         blocks = pair_fn(lane1[idx1], lane2[idx2], table)
         return acc.at[slot].add(blocks), None
 
-    init = jnp.zeros((num_slots + 1, *table.shape), dtype=jnp.float32)
+    init = jnp.zeros((num_slots_out, *table.shape), dtype=jnp.float32)
     # the carry must carry the same device-varying type as the sharded
     # chunk data it accumulates (jax >= 0.8 shard_map axis tracking)
     if hasattr(jax.lax, "pcast"):
@@ -149,6 +154,7 @@ def count_pairs_sharded(
     mesh = mesh or default_mesh()
     num_devices = mesh.devices.size
     num_slots = pairs.num_slots
+    num_slots_out = bucket_size(num_slots + 1, base=64)
     cols_binned = tiles2.binned
 
     table = jnp.asarray(chord2_table, dtype=jnp.float32)
@@ -159,17 +165,20 @@ def count_pairs_sharded(
     sharded = NamedSharding(mesh, P(MESH_AXIS))
 
     if data_sharding == "columns":
-        # device d owns column tiles [d * shard, (d + 1) * shard)
+        # device d owns column tiles [d * shard, (d + 1) * shard);
+        # the shard size is bucketed for shape-stable compiles
         num_tiles2 = len(tiles2.lane_data)
-        shard = -(-num_tiles2 // num_devices)
-        owner = pairs.tile2 // shard
+        shard = bucket_size(-(-num_tiles2 // num_devices), base=64)
+        owner = np.minimum(pairs.tile2 // shard, num_devices - 1)
 
         # partition the pair list by owner, keep slot-sorted order within
         # each partition, pad every partition to the common chunked length
         order = np.argsort(owner, kind="stable")
         counts = np.bincount(owner, minlength=num_devices)
-        longest = -(-int(counts.max()) // chunk_size) * chunk_size
-        longest = max(longest, chunk_size)
+        longest = bucket_size(
+            -(-int(counts.max()) // chunk_size) * chunk_size,
+            base=16 * chunk_size,
+        )
 
         tile1 = np.zeros(num_devices * longest, dtype=np.int32)
         tile2 = np.zeros(num_devices * longest, dtype=np.int32)
@@ -202,9 +211,13 @@ def count_pairs_sharded(
             cols_binned=cols_binned, num_slots=num_slots,
         )
     elif data_sharding == "replicated":
-        # equal contiguous chunks of the slot-sorted pair list
-        quantum = num_devices * chunk_size
-        padded = -(-pairs.num_pairs // quantum) * quantum
+        # equal contiguous chunks of the slot-sorted pair list; the
+        # per-device length is bucketed for shape-stable compiles
+        per_device = bucket_size(
+            -(-pairs.num_pairs // (num_devices * chunk_size)) * chunk_size,
+            base=16 * chunk_size,
+        )
+        padded = num_devices * per_device
         tile1 = np.zeros(padded, dtype=np.int32)
         tile2 = np.zeros(padded, dtype=np.int32)
         slots = np.full(padded, num_slots, dtype=np.int32)
@@ -236,19 +249,20 @@ def count_pairs_sharded(
         local = _partial_counts(
             lane1, lane2, tile1, tile2, slots, table,
             cols_binned=cols_binned,
-            num_slots=num_slots,
+            num_slots_out=num_slots_out,
             chunk_size=chunk_size,
         )
         return jax.lax.psum(local, MESH_AXIS)
 
     result = sharded_counts(lane1, lane2, tile1, tile2, slots, table)
-    return _fetch_replicated(result).astype(np.float64)[:-1]
+    return _fetch_replicated(result).astype(np.float64)[:num_slots]
 
 
 def _pad_tiles_to_shards(lane_data, num_devices):
-    """Pad a tile array so it splits into equal per-device shards."""
+    """Pad a tile array so it splits into equal, bucketed per-device
+    shards (shape-stable compiles across catalog sizes)."""
     num_tiles = len(lane_data)
-    shard = max(1, -(-num_tiles // num_devices))
+    shard = bucket_size(max(1, -(-num_tiles // num_devices)), base=64)
     total = num_devices * shard
     if total != num_tiles:
         pad = np.zeros(
@@ -269,6 +283,7 @@ def _count_pairs_ring(
     currently resident, i.e. shard ``(d - s) mod N``."""
     num_devices = mesh.devices.size
 
+    num_slots_out = bucket_size(num_slots + 1, base=64)
     lane1_padded, shard1 = _pad_tiles_to_shards(
         tiles1.lane_data, num_devices
     )
@@ -276,8 +291,8 @@ def _count_pairs_ring(
         tiles2.lane_data, num_devices
     )
 
-    owner1 = pairs.tile1 // shard1
-    owner2 = pairs.tile2 // shard2
+    owner1 = np.minimum(pairs.tile1 // shard1, num_devices - 1)
+    owner2 = np.minimum(pairs.tile2 // shard2, num_devices - 1)
     step_of_pair = (owner2 - owner1) % num_devices  # met at this ring step
 
     # bucket pairs by (device, step); pad all buckets to a common chunked
@@ -285,7 +300,10 @@ def _count_pairs_ring(
     key = owner2 * num_devices + step_of_pair
     order = np.argsort(key, kind="stable")
     counts = np.bincount(key, minlength=num_devices * num_devices)
-    longest = -(-max(int(counts.max()), 1) // chunk_size) * chunk_size
+    longest = bucket_size(
+        -(-max(int(counts.max()), 1) // chunk_size) * chunk_size,
+        base=16 * chunk_size,
+    )
 
     shape = (num_devices, num_devices, longest)
     tile1 = np.zeros(shape, dtype=np.int32)
@@ -341,7 +359,7 @@ def _count_pairs_ring(
             partial_acc = _partial_counts(
                 resident, lane2_local, idx1, idx2, slot, table,
                 cols_binned=cols_binned,
-                num_slots=num_slots,
+                num_slots_out=num_slots_out,
                 chunk_size=chunk_size,
             )
             acc = acc + partial_acc
@@ -350,7 +368,7 @@ def _count_pairs_ring(
             return (resident, acc), None
 
         init_acc = jnp.zeros(
-            (num_slots + 1, *table.shape), dtype=jnp.float32
+            (num_slots_out, *table.shape), dtype=jnp.float32
         )
         if hasattr(jax.lax, "pcast"):
             init_acc = jax.lax.pcast(
@@ -368,4 +386,4 @@ def _count_pairs_ring(
         return jax.lax.psum(acc, MESH_AXIS)
 
     result = ring_counts(lane1, lane2, tile1, tile2, slots, table)
-    return _fetch_replicated(result).astype(np.float64)[:-1]
+    return _fetch_replicated(result).astype(np.float64)[:num_slots]
