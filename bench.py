@@ -136,18 +136,15 @@ def main() -> None:
         f"{np.nanmedian(nz_boot.error / nz.error):.2f}"
     )
 
-    # work statistics: candidate pairs actually evaluated by the engine
+    # work statistics: candidate pairs actually evaluated by the engine —
+    # the SAME pruned tile-pair lists the timed measurement processes
+    # (tile layout choice and per-tile redshift pruning included)
     links = PatchLinkage.from_catalogs(config, reference, unknown, randoms)
     binning = config.binning.binning
-    stats_pairs = 0
-    for cat1, cat2, binned2 in (
-        (reference, unknown, False),
-        (randoms, unknown, False),
-    ):
-        ts1 = cat1.get_tiles(binning)
-        ts2 = cat2.get_tiles(None)
-        pairs = build_tile_pairs(ts1, ts2, links.linkage, auto=False)
-        stats_pairs += pairs.num_pairs * ts1.tile_size**2
+    stats_pairs = sum(
+        links.num_candidate_pairs(cat1, cat2, binned2=False)
+        for cat1, cat2 in ((reference, unknown), (randoms, unknown))
+    )
     pairs_per_sec = stats_pairs / t_tpu
     log(f"candidate pairs: {stats_pairs:.3e} -> {pairs_per_sec:.3e} pairs/s")
 
@@ -284,12 +281,12 @@ def main() -> None:
     links_256 = PatchLinkage.from_catalogs(
         config, reference_256, unknown_256, randoms_256
     )
-    stress_pairs = 0
-    for cat1, cat2 in ((reference_256, unknown_256), (randoms_256, unknown_256)):
-        ts1 = cat1.get_tiles(binning)
-        ts2 = cat2.get_tiles(None)
-        pairs = build_tile_pairs(ts1, ts2, links_256.linkage, auto=False)
-        stress_pairs += pairs.num_pairs * ts1.tile_size**2
+    stress_pairs = sum(
+        links_256.num_candidate_pairs(cat1, cat2, binned2=False)
+        for cat1, cat2 in (
+            (reference_256, unknown_256), (randoms_256, unknown_256)
+        )
+    )
     stress_pairs_per_sec = stress_pairs / t_256
     log(
         f"stress config 256 patches: {t_256:.2f}s warm median "

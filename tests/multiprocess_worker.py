@@ -105,12 +105,37 @@ def run_pipeline(workdir: Path) -> None:
     print(f"PIPELINE OK rank={parallel.process_index()}")
 
 
+def run_root_error(workdir: Path) -> None:
+    """Root-side failures must propagate to every process (collective
+    re-raise) instead of deadlocking non-root ranks at a barrier."""
+    from yet_another_wizz_tpu.cli.pipeline import LockFile
+
+    check_cluster()
+    rank = parallel.process_index()
+
+    # outcome propagation: non-root receives root's return value
+    value = parallel.run_on_root(lambda: {"rank": rank})
+    assert value == {"rank": 0}, value
+
+    lock = LockFile(workdir / "stale.lock")
+    try:
+        lock.acquire("test")
+    except RuntimeError as err:
+        assert "remove the lock file" in str(err), err
+        parallel.barrier("root_error_done")
+        print(f"ROOT ERROR PROPAGATED rank={rank}")
+        return
+    raise AssertionError(f"rank {rank}: stale lock not detected")
+
+
 def main() -> None:
     mode, workdir = sys.argv[1], Path(sys.argv[2])
     if mode == "engine":
         run_engine(workdir)
     elif mode == "pipeline":
         run_pipeline(workdir)
+    elif mode == "root_error":
+        run_root_error(workdir)
     else:
         raise SystemExit(f"unknown mode: {mode}")
 

@@ -629,6 +629,63 @@ class TestLayoutChooser:
         )
 
 
+    def test_build_trees_warms_measurement_layouts(self, rng):
+        """`build_trees` pre-builds the tile sets a measurement will
+        request (zmajor for equal-bin counting; with `max_angle` also the
+        cross-correlation row layout) instead of a layout nothing uses."""
+        from yet_another_wizz_tpu.binning import Binning
+        from yet_another_wizz_tpu.ops.tiles import preferred_tile_layout
+
+        catalog = self._catalog(rng, n=5000)
+        binning = Binning(np.linspace(0.1, 1.0, 7))
+        catalog.build_trees(binning.edges)
+        layouts = {key[4] for key in catalog._tile_cache}
+        assert "zmajor" in layouts
+
+        # tiny angular scale: a cross measurement's row side goes spatial
+        catalog.drop_tile_cache()
+        max_angle = 1e-4
+        assert preferred_tile_layout(
+            catalog, 6, max_angle, equal_bin_counting=False
+        ) == "spatial"
+        catalog.build_trees(binning.edges, max_angle=max_angle)
+        layouts = {key[4] for key in catalog._tile_cache}
+        assert {"zmajor", "spatial"} <= layouts
+
+    def test_num_candidate_pairs_matches_engine(self, rng):
+        """The public work statistic equals the pruned pair list the
+        engine processes (not the unpruned spatial pair grid)."""
+        from yet_another_wizz_tpu.config import Configuration
+        from yet_another_wizz_tpu.correlation.measurements import (
+            PatchLinkage,
+        )
+
+        from yet_another_wizz_tpu.catalog import Catalog
+
+        data = self._catalog(rng, n=8000)
+        rng2 = np.random.default_rng(5)
+        rand = Catalog.from_arrays(
+            rng2.uniform(0.2, 0.6, 8000), rng2.uniform(-0.2, 0.2, 8000),
+            redshifts=rng2.uniform(0.1, 1.0, 8000), degrees=False,
+            patch_centers=data.get_centers(),
+        )
+        config = Configuration.create(
+            rmin=0.5, rmax=2.0, unit="deg", zmin=0.1, zmax=1.0, num_bins=4,
+        )
+        links = PatchLinkage.from_catalogs(config, data, rand)
+        num = links.num_candidate_pairs(data)  # auto: equal-bin counting
+        tiles1, _, pairs = links._build_engine_inputs(
+            data, data, auto=True, binned2=True, mode="nn"
+        )
+        assert num == pairs.num_pairs * tiles1.tile_size**2
+        # cross against the unpruned grid: pruning may only shrink it
+        cross = links.num_candidate_pairs(data, rand, binned2=False)
+        ts1 = data.get_tiles(config.binning.binning)
+        ts2 = rand.get_tiles(None)
+        unpruned = build_tile_pairs(ts1, ts2, links.linkage, auto=False)
+        assert cross <= unpruned.num_pairs * ts1.tile_size**2
+
+
 class TestShapeBucketing:
     """Dynamic sizes are padded to a quarter-octave grid so engine
     programs are reused across catalogs/linkages (remote compiles cost
@@ -646,6 +703,16 @@ class TestShapeBucketing:
             b = bucket_size(n)
             assert b >= n
             assert b <= max(512, int(1.25 * n) + 1)  # <= 25% waste
+
+    def test_bucket_size_multiple_of(self):
+        """Chunked callers need the bucketed size to stay reshapeable for
+        chunk sizes that do not divide the quarter-octave grid points."""
+        from yet_another_wizz_tpu.ops.tiles import bucket_size
+
+        for chunk in (3, 8, 24, 48):
+            for n in (1, 100, 390, 408, 5873):
+                b = bucket_size(n, base=16 * chunk, multiple_of=chunk)
+                assert b >= n and b % chunk == 0
 
     def test_device_data_padded_to_bucket(self, rng):
         from yet_another_wizz_tpu.ops.tiles import bucket_size

@@ -117,6 +117,14 @@ def test_two_process_engine(tmp_path):
         assert int(f["value"][()]) == 0
 
 
+def test_two_process_root_error_propagates(tmp_path):
+    """A root-only exception (stale lock file) is re-raised on every
+    process via the collective outcome broadcast; previously the non-root
+    rank deadlocked at the post-acquire barrier."""
+    (tmp_path / "stale.lock").write_text("123:crashed")
+    _launch_pair("root_error", tmp_path, timeout=180.0)
+
+
 @pytest.mark.slow
 def test_two_process_pipeline(tmp_path):
     """The full CLI pipeline, run collectively by two processes, produces

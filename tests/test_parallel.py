@@ -90,6 +90,52 @@ def test_ring_sharding_auto_binned(problem):
         assert_allclose(ring, single, rtol=1e-5, atol=1e-2)
 
 
+def test_shard_ownership_balanced(problem):
+    """Ownership follows the logical (unbucketed) tile split: with more
+    tiles than devices, every device owns tiles — bucketing the ownership
+    stride would concentrate all tiles on the first devices and idle the
+    rest (regression test for exactly that bug)."""
+    from yet_another_wizz_tpu.parallel.sharded import _shard_tiles
+
+    ts1, ts2, pairs, chord2 = problem
+    num_tiles2 = len(ts2.lane_data)
+    assert num_tiles2 >= 8  # fixture sanity: enough tiles to spread
+    blocks, logical, shard = _shard_tiles(ts2.lane_data, 8)
+    assert logical == -(-num_tiles2 // 8)
+    assert shard >= logical and len(blocks) == 8 * shard
+    # every device's block holds its logical tile range at offset 0
+    for device in range(8):
+        chunk = ts2.lane_data[device * logical : (device + 1) * logical]
+        np.testing.assert_array_equal(
+            blocks[device * shard : device * shard + len(chunk)], chunk
+        )
+    owner = np.minimum(pairs.tile2 // logical, 7)
+    assert len(np.unique(owner)) == 8
+
+
+def test_sharded_odd_chunk_size(problem):
+    """Bucketed pair-list padding stays reshapeable for chunk sizes that
+    do not divide the quarter-octave grid points."""
+    ts1, ts2, pairs, chord2 = problem
+    single = count_pairs_tiles(ts1, ts2, pairs, chord2, backend="xla")
+    mesh = default_mesh(4)
+    for data_sharding in ("replicated", "columns", "ring"):
+        sharded = count_pairs_sharded(
+            ts1, ts2, pairs, chord2, mesh=mesh,
+            data_sharding=data_sharding, chunk_size=24,
+        )
+        assert_allclose(sharded, single, rtol=1e-5, atol=1e-2)
+
+
+def test_xla_backend_odd_chunk_size(problem):
+    ts1, ts2, pairs, chord2 = problem
+    single = count_pairs_tiles(ts1, ts2, pairs, chord2, backend="xla")
+    odd = count_pairs_tiles(
+        ts1, ts2, pairs, chord2, backend="xla", chunk_size=24
+    )
+    assert_allclose(odd, single, rtol=1e-6, atol=1e-2)
+
+
 def test_graft_entry_contract():
     import sys
     from pathlib import Path

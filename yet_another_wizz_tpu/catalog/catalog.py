@@ -357,15 +357,14 @@ class Catalog(Mapping):
         """Write the catalog to a reference-compatible patch cache.
 
         Root-only in multi-process jobs (every process holds the same
-        in-memory catalog); a barrier afterwards makes the cache visible
-        to all processes via the shared filesystem."""
-        from yet_another_wizz_tpu.parallel.distributed import (
-            barrier,
-            on_root,
-        )
+        in-memory catalog); the collective outcome broadcast makes the
+        cache visible to all processes via the shared filesystem and
+        re-raises any root-side error on every process."""
+        from yet_another_wizz_tpu.parallel.distributed import run_on_root
 
         cache = Path(cache_directory)
-        if on_root():
+
+        def write_on_root() -> None:
             if cache.exists():
                 if not overwrite and any(cache.iterdir()):
                     raise FileExistsError(
@@ -390,7 +389,8 @@ class Catalog(Mapping):
                     weights=DataChunk.getattr(self._chunk[sel], "weights"),
                 )
                 meta.to_file(patch_dir / "meta.yml")
-        barrier("to_cache")
+
+        run_on_root(write_on_root)
         self.cache_directory = cache
 
     @classmethod
@@ -485,9 +485,9 @@ class Catalog(Mapping):
                     write_patches_streaming,
                 )
                 from yet_another_wizz_tpu.parallel.distributed import (
-                    barrier,
                     num_processes,
                     on_root,
+                    run_on_root,
                 )
 
                 if cache_directory is None and num_processes() > 1:
@@ -512,10 +512,13 @@ class Catalog(Mapping):
                 # root streams the file through patch assignment, keeping
                 # the assembled data so the catalog is constructed directly
                 # (no cache read-back); other processes attach to the cache
-                # after the barrier (the analogue of the reference's
-                # reader/writer rank split,
+                # once the collective outcome broadcast confirms the write
+                # (and re-raises any root-side error everywhere — the
+                # analogue of the reference's reader/writer rank split,
                 # /root/reference/src/yaw/catalog/catalog.py:587-908)
-                if on_root():
+                root_local: dict = {}
+
+                def stream_on_root() -> int:
                     num_patches, assembled = write_patches_streaming(
                         reader,
                         cache_directory,
@@ -524,12 +527,17 @@ class Catalog(Mapping):
                         progress=progress,
                         keep_data=True,
                     )
-                    barrier("write_patches_streaming")
-                    chunk, patch_ids = assembled
+                    # the assembled arrays stay root-local; only the patch
+                    # count travels through the outcome broadcast
+                    root_local["assembled"] = assembled
+                    return num_patches
+
+                num_patches = run_on_root(stream_on_root)
+                if on_root():
+                    chunk, patch_ids = root_local["assembled"]
                     return cls._from_streamed(
                         chunk, patch_ids, num_patches, cache_directory
                     )
-                barrier("write_patches_streaming")
                 return cls(cache_directory)
 
             chunks = [chunk for chunk in reader]
@@ -700,16 +708,38 @@ class Catalog(Mapping):
         force: bool = False,
         progress: bool = False,
         max_workers: int | None = None,
+        max_angle: float | None = None,
     ) -> None:
         """Pre-build the device tiles for a given redshift binning
         (API-compatible with the reference's kd-tree building entry point;
-        ``leafsize`` maps onto the device tile size)."""
+        ``leafsize`` maps onto the device tile size).
+
+        Binned tile sets are warmed in the ``zmajor`` layout, the one
+        equal-bin counting (autocorrelations, binned data-random counts)
+        always requests. Pass ``max_angle`` (the maximum angular scale of
+        the upcoming measurement, in radians) to additionally warm the
+        layout a binned-rows/unbinned-columns cross-correlation will pick
+        for this catalog; without it that choice cannot be made here and
+        the measurement may build one more tile set on demand."""
         binning = (
             None if binning is None else Binning(binning, closed=closed)
         )
         if force:
             self._tile_cache.clear()
-        self.get_tiles(binning)
+        if binning is None:
+            self.get_tiles(None, tile_size=leafsize)
+            return
+        layouts = {"zmajor"}
+        if max_angle is not None:
+            from yet_another_wizz_tpu.ops.tiles import preferred_tile_layout
+
+            layouts.add(
+                preferred_tile_layout(
+                    self, len(binning), max_angle, equal_bin_counting=False
+                )
+            )
+        for layout in sorted(layouts):
+            self.get_tiles(binning, tile_size=leafsize, layout=layout)
 
     def drop_tile_cache(self) -> None:
         """Release all cached tile sets (and their device-resident

@@ -292,9 +292,11 @@ class FitsReader(BaseReader):
     them for the reference (/root/reference/src/yaw/catalog/readers.py:481-560):
     ``TSCALn``/``TZEROn`` linear scaling is applied to produce physical
     values (including the unsigned-integer convention TZERO=2^(bits-1)),
-    integer ``TNULLn`` sentinels become NaN, and logical columns decode
-    'T'/'F' bytes. Selected columns must be scalar (repeat count 1); array
-    columns and unsupported TFORM codes raise instead of being misread.
+    and logical columns decode 'T'/'F' bytes. Rows matching an integer
+    ``TNULLn`` sentinel are rejected loudly (catalog coordinates admit no
+    missing values; filter nulls before ingestion). Selected columns must
+    be scalar (repeat count 1); array columns and unsupported TFORM codes
+    raise instead of being misread.
     """
 
     _TFORM_DTYPES = {

@@ -187,18 +187,18 @@ class CacheDirectory(_Subdirectory):
 
     def set_patch_centers(self, centers: AngularCoordinates) -> None:
         """Store the shared patch centers; they may only be written once."""
-        from yet_another_wizz_tpu.parallel.distributed import (
-            barrier,
-            on_root,
-        )
+        from yet_another_wizz_tpu.parallel.distributed import run_on_root
 
-        if self.patch_center_file.exists():
-            raise RuntimeError(
-                "overwriting existing patch centers not permitted"
-            )
-        if on_root():
+        def write_on_root() -> None:
+            if self.patch_center_file.exists():
+                raise RuntimeError(
+                    "overwriting existing patch centers not permitted"
+                )
             np.save(self.patch_center_file, centers.data)
-        barrier("set_patch_centers")
+
+        # the collective outcome broadcast synchronises the processes and
+        # re-raises a root-side error everywhere instead of deadlocking
+        run_on_root(write_on_root)
 
     def ensure_patch_centers(self, centers: AngularCoordinates) -> None:
         """Store the shared patch centers unless already present.
@@ -207,16 +207,13 @@ class CacheDirectory(_Subdirectory):
         broadcast so every process takes the same path (a local ``exists``
         check would race against root's in-flight write)."""
         from yet_another_wizz_tpu.parallel.distributed import (
-            barrier,
             broadcast,
-            on_root,
+            run_on_root,
         )
 
         if broadcast(self.patch_center_file.exists()):
             return
-        if on_root():
-            np.save(self.patch_center_file, centers.data)
-        barrier("ensure_patch_centers_written")
+        run_on_root(np.save, self.patch_center_file, centers.data)
 
 
 class PaircountsDirectory(_Subdirectory):
@@ -273,19 +270,15 @@ class ProjectDirectory:
     """The root project directory with its subdirectory accessors."""
 
     def __init__(self, path: Path | str, bin_indices) -> None:
-        from yet_another_wizz_tpu.parallel.distributed import (
-            barrier,
-            on_root,
-        )
+        from yet_another_wizz_tpu.parallel.distributed import run_on_root
 
         self.path = Path(path)
         self.indices = tuple(bin_indices)
         self.path.mkdir(parents=True, exist_ok=True)
-        if on_root():
-            self.indices_file.write_text(
-                ",".join(str(i) for i in self.indices)
-            )
-        barrier("project_directory")
+        run_on_root(
+            self.indices_file.write_text,
+            ",".join(str(i) for i in self.indices),
+        )
 
     @classmethod
     def open(cls, path: Path | str) -> ProjectDirectory:

@@ -47,12 +47,9 @@ class LockFile:
         self.path = Path(path)
 
     def acquire(self, content: str = "") -> None:
-        from yet_another_wizz_tpu.parallel.distributed import (
-            barrier,
-            on_root,
-        )
+        from yet_another_wizz_tpu.parallel.distributed import run_on_root
 
-        if on_root():
+        def acquire_on_root() -> None:
             if self.path.exists():
                 raise RuntimeError(
                     f"a pipeline run appears to be in progress (or "
@@ -60,7 +57,10 @@ class LockFile:
                     f"{self.path}"
                 )
             self.path.write_text(f"{os.getpid()}:{content}")
-        barrier("lock_acquire")
+
+        # outcome broadcast doubles as the barrier: a root-side error is
+        # re-raised on every process instead of deadlocking the others
+        run_on_root(acquire_on_root)
 
     def update(self, content: str) -> None:
         from yet_another_wizz_tpu.parallel.distributed import on_root
@@ -125,7 +125,7 @@ class Pipeline:
 
         from yet_another_wizz_tpu.parallel.distributed import (
             barrier,
-            on_root,
+            run_on_root,
         )
 
         if wdir.exists() and any(wdir.iterdir()) and not (
@@ -134,15 +134,18 @@ class Pipeline:
             raise FileExistsError(f"project directory not empty: {wdir}")
         if overwrite and wdir.exists():
             barrier("pre_overwrite")  # nobody may still be reading it
-            if on_root():
+
+            def remove_project() -> None:
                 import shutil
 
                 shutil.rmtree(wdir)
-            barrier("post_overwrite")
+
+            run_on_root(remove_project)
 
         indices = config.bin_indices
         project = ProjectDirectory(wdir, indices)
-        if on_root():
+
+        def create_on_root() -> None:
             config.to_file(project.config_path)
             init_file_logging(project.log_path)
 
@@ -152,7 +155,8 @@ class Pipeline:
                 if not internal.exists():
                     external.mkdir(parents=True, exist_ok=True)
                     internal.symlink_to(external.resolve())
-        barrier("project_created")
+
+        run_on_root(create_on_root)
 
         tasks = TaskList(
             project, config,
@@ -183,11 +187,12 @@ class Pipeline:
         """Remove the cached catalogs (the reference's ``--drop`` flag)."""
         from yet_another_wizz_tpu.parallel.distributed import (
             barrier,
-            on_root,
+            run_on_root,
         )
 
         barrier("pre_drop_cache")  # nobody may still be reading it
-        if on_root():
+
+        def drop_on_root() -> None:
             import shutil
 
             cache = self.project.path / "cache"
@@ -197,7 +202,8 @@ class Pipeline:
             elif cache.exists():
                 shutil.rmtree(cache)
             logger.info("dropped cached catalogs")
-        barrier("post_drop_cache")
+
+        run_on_root(drop_on_root)
 
 
 def run_setup(

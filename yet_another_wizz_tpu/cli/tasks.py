@@ -390,16 +390,16 @@ class PlotTask(Task):
         return False  # cheap; always regenerated
 
     def run(self) -> None:
-        from yet_another_wizz_tpu.parallel.distributed import (
-            barrier,
-            on_root,
-        )
+        from yet_another_wizz_tpu.parallel.distributed import run_on_root
 
-        if on_root():
+        def plot_on_root() -> None:
             from yet_another_wizz_tpu.cli import plotting
 
             plotting.make_checkplots(self.project)
-        barrier("checkplots")
+
+        # outcome broadcast doubles as the barrier; root-side plot errors
+        # are re-raised on every process instead of deadlocking the pod
+        run_on_root(plot_on_root)
 
 
 class TaskList:

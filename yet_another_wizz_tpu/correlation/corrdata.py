@@ -341,46 +341,44 @@ class CorrData(AsciiSerializable, SampledData):
         ``.cov`` (covariance matrix, informational).
 
         Root-only in multi-process jobs (all processes hold identical
-        replicated results), followed by a barrier."""
-        from yet_another_wizz_tpu.parallel.distributed import (
-            barrier,
-            on_root,
-        )
+        replicated results); the collective outcome broadcast synchronises
+        the processes and re-raises a root-side write error everywhere."""
+        from yet_another_wizz_tpu.parallel.distributed import run_on_root
 
-        if not on_root():
-            barrier("to_files")
-            return
-        logger.info(
-            "writing %s to: %s.{dat,smp,cov}", type(self).__name__, path_prefix
-        )
-        path_prefix = Path(path_prefix)
-        closed = str(self.binning.closed)
+        def write_on_root() -> None:
+            logger.info(
+                "writing %s to: %s.{dat,smp,cov}",
+                type(self).__name__, path_prefix,
+            )
+            prefix = Path(path_prefix)
+            closed = str(self.binning.closed)
 
-        _write_data_file(
-            path_prefix.with_suffix(".dat"),
-            self._description_data,
-            self.binning.left,
-            self.binning.right,
-            self.data,
-            self.error,
-            closed,
-        )
-        _write_samples_file(
-            path_prefix.with_suffix(".smp"),
-            self._description_samples,
-            self.binning.left,
-            self.binning.right,
-            self.samples,
-            closed,
-            label="jack" if self.method == ResamplingMethod.jackknife
-            else "boot",
-        )
-        _write_covariance_file(
-            path_prefix.with_suffix(".cov"),
-            self._description_covariance,
-            self.covariance,
-        )
-        barrier("to_files")
+            _write_data_file(
+                prefix.with_suffix(".dat"),
+                self._description_data,
+                self.binning.left,
+                self.binning.right,
+                self.data,
+                self.error,
+                closed,
+            )
+            _write_samples_file(
+                prefix.with_suffix(".smp"),
+                self._description_samples,
+                self.binning.left,
+                self.binning.right,
+                self.samples,
+                closed,
+                label="jack" if self.method == ResamplingMethod.jackknife
+                else "boot",
+            )
+            _write_covariance_file(
+                prefix.with_suffix(".cov"),
+                self._description_covariance,
+                self.covariance,
+            )
+
+        run_on_root(write_on_root)
 
 
 # ASCII format helpers (format identical to the reference implementation,

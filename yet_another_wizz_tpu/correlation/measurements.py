@@ -72,17 +72,12 @@ def _preferred_tile_layout(
     zmajor pays off only when the angular cutoff dominates the inflated cap
     radii (large scales, dense catalogs, or many small patches).
     """
-    if num_bins <= 0:
-        return "spatial"
-    if equal_bin_counting:
-        return "zmajor"
-    from yet_another_wizz_tpu.ops.tiles import DEFAULT_TILE_SIZE
+    from yet_another_wizz_tpu.ops.tiles import preferred_tile_layout
 
-    counts = np.asarray(catalog.get_num_records(), dtype=np.float64)
-    tiles_per_patch = np.maximum(1.0, counts / DEFAULT_TILE_SIZE)
-    radius_spatial = catalog.patch_radii / np.sqrt(tiles_per_patch)
-    radius_zmajor = np.median(radius_spatial) * np.sqrt(num_bins)
-    return "zmajor" if edges.max_angle >= radius_zmajor else "spatial"
+    return preferred_tile_layout(
+        catalog, num_bins, edges.max_angle if num_bins > 0 else 0.0,
+        equal_bin_counting=equal_bin_counting,
+    )
 
 
 def check_patch_consistency(catalog: Catalog, *catalogs: Catalog, rtol: float = 0.5):
@@ -329,13 +324,11 @@ class PatchLinkage:
         )
         return counts, sum_weights
 
-    def _run_engine(
-        self, catalog1, catalog2, *, auto, binned2, mode, backend="auto",
-        audit=False, mesh=None, data_sharding="replicated", defer=False,
-    ):
+    def _build_engine_inputs(self, catalog1, catalog2, *, auto, binned2, mode):
+        """The tile sets and pruned tile-pair list exactly as the engine
+        will process them (layout choice and per-tile pruning included)."""
         binning = self.config.binning.binning
         num_bins = len(binning)
-        num_patches = catalog1.num_patches
 
         tiles1 = catalog1.get_tiles(
             binning, mode=mode[0],
@@ -357,6 +350,41 @@ class PatchLinkage:
         pairs = build_tile_pairs(
             tiles1, tiles2, self.linkage, auto=auto,
             bin_max_angles=self.edges.edges.max(axis=1),
+        )
+        return tiles1, tiles2, pairs
+
+    def num_candidate_pairs(
+        self,
+        catalog1: Catalog,
+        catalog2: Catalog | None = None,
+        *,
+        binned2: bool | None = None,
+        mode: str = "nn",
+    ) -> int:
+        """Candidate pairs the engine actually evaluates for this count:
+        ``num_tile_pairs * tile_size**2`` of the SAME pruned tile-pair list
+        the measurement processes (tile layout choice and per-tile
+        redshift-bin pruning included) — the honest work statistic for
+        throughput reporting."""
+        auto = catalog2 is None
+        if binned2 is None:
+            binned2 = auto
+        tiles1, _, pairs = self._build_engine_inputs(
+            catalog1, catalog1 if auto else catalog2,
+            auto=auto, binned2=binned2, mode=mode,
+        )
+        return int(pairs.num_pairs) * tiles1.tile_size ** 2
+
+    def _run_engine(
+        self, catalog1, catalog2, *, auto, binned2, mode, backend="auto",
+        audit=False, mesh=None, data_sharding="replicated", defer=False,
+    ):
+        binning = self.config.binning.binning
+        num_bins = len(binning)
+        num_patches = catalog1.num_patches
+
+        tiles1, tiles2, pairs = self._build_engine_inputs(
+            catalog1, catalog2, auto=auto, binned2=binned2, mode=mode
         )
         logger.debug(
             "processing %d tile pairs in %d patch pairs",

@@ -32,6 +32,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from yet_another_wizz_tpu.ops.tiles import bucket_size
+
 if TYPE_CHECKING:
     from numpy.typing import NDArray
 
@@ -288,11 +290,9 @@ def audit_boundary_counts(
     band_table = jnp.asarray(band, dtype=jnp.float32)
     table = jnp.asarray(chord2_table, dtype=jnp.float32)
 
-    from yet_another_wizz_tpu.ops.tiles import bucket_size
-
     num_pairs = pairs.num_pairs
     padded = bucket_size(
-        -(-num_pairs // chunk_size) * chunk_size, base=16 * chunk_size
+        num_pairs, base=16 * chunk_size, multiple_of=chunk_size
     )
     tile1 = np.zeros(padded, dtype=np.int32)
     tile2 = np.zeros(padded, dtype=np.int32)
@@ -463,12 +463,10 @@ def count_pairs_tiles(
         # to a bucketed size; padding pairs go to a dump slot. Bucketing
         # keeps the compiled program reusable across pair lists and patch
         # linkages of different sizes.
-        from yet_another_wizz_tpu.ops.tiles import bucket_size
-
         num_pairs = pairs.num_pairs
         num_slots_out = bucket_size(num_slots + 1, base=64)
         padded = bucket_size(
-            -(-num_pairs // chunk_size) * chunk_size, base=16 * chunk_size
+            num_pairs, base=16 * chunk_size, multiple_of=chunk_size
         )
         tile1 = np.zeros(padded, dtype=np.int32)
         tile2 = np.zeros(padded, dtype=np.int32)

@@ -39,6 +39,7 @@ __all__ = [
     "bucket_size",
     "build_tile_set",
     "morton_codes",
+    "preferred_tile_layout",
 ]
 
 CHANNEL_XYZ_HI = slice(0, 3)
@@ -50,10 +51,10 @@ NUM_CHANNELS = 8
 DEFAULT_TILE_SIZE = 512
 
 
-def bucket_size(n: int, base: int = 512) -> int:
+def bucket_size(n: int, base: int = 512, multiple_of: int = 1) -> int:
     """Smallest allowed size ``>= n`` from a quarter-octave geometric grid
     (powers of two and their 1.25x / 1.5x / 1.75x multiples, floored at
-    ``base``).
+    ``base``), rounded up to a multiple of ``multiple_of``.
 
     Device programs are compiled against array shapes; padding dynamic
     sizes (tile counts, patch-pair slots, pair-list lengths) to this grid
@@ -61,15 +62,53 @@ def bucket_size(n: int, base: int = 512) -> int:
     while wasting at most 25% padding. Compiles go through a remote
     service and cost minutes at survey scale, so shape reuse dominates the
     padding overhead.
+
+    ``multiple_of`` keeps callers that reshape into fixed-size chunks safe
+    for chunk sizes that do not divide the quarter-octave grid points (the
+    grid itself only guarantees divisibility by powers of two up to 4).
     """
+
+    def round_up(size: int) -> int:
+        return -(-size // multiple_of) * multiple_of
+
     if n <= base:
-        return base
+        return round_up(base)
     octave = 1 << ((int(n) - 1).bit_length() - 1)  # largest power of 2 < n
     for mult in (1.0, 1.25, 1.5, 1.75, 2.0):
         size = int(octave * mult)
         if size >= n:
-            return size
-    return 2 * octave  # unreachable
+            return round_up(size)
+    return round_up(2 * octave)  # unreachable
+
+
+def preferred_tile_layout(
+    catalog, num_bins: int, max_angle: float, *, equal_bin_counting: bool
+) -> str:
+    """Choose the tile layout for a binned tile set of a measurement.
+
+    The ``zmajor`` layout (bin-coherent tiles) enables per-tile
+    angular-cutoff pruning and disjoint-bin dropping in
+    :func:`~yet_another_wizz_tpu.ops.linkage.build_tile_pairs`, but inflates
+    tile bounding-cap radii by ~sqrt(num_bins) because a redshift slice
+    spreads over the whole patch footprint.
+
+    For equal-bin counting (both sides binned, autocorrelation style) the
+    disjoint-bin drop divides the pair grid by ~num_bins, cancelling the
+    radius inflation in the worst case and winning outright whenever the
+    angular cutoff contributes — so zmajor is used unconditionally. For
+    binned-rows/unbinned-columns counting there is no disjoint drop, so
+    zmajor pays off only when the angular cutoff dominates the inflated cap
+    radii (large scales, dense catalogs, or many small patches).
+    """
+    if num_bins <= 0:
+        return "spatial"
+    if equal_bin_counting:
+        return "zmajor"
+    counts = np.asarray(catalog.get_num_records(), dtype=np.float64)
+    tiles_per_patch = np.maximum(1.0, counts / DEFAULT_TILE_SIZE)
+    radius_spatial = catalog.patch_radii / np.sqrt(tiles_per_patch)
+    radius_zmajor = np.median(radius_spatial) * np.sqrt(num_bins)
+    return "zmajor" if max_angle >= radius_zmajor else "spatial"
 
 
 def morton_codes(xyz: NDArray, bits: int = 10) -> NDArray:

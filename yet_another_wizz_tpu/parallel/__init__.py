@@ -17,6 +17,7 @@ from yet_another_wizz_tpu.parallel.distributed import (
     num_processes,
     on_root,
     process_index,
+    run_on_root,
 )
 from yet_another_wizz_tpu.parallel.sharded import (
     count_pairs_sharded,
@@ -33,4 +34,5 @@ __all__ = [
     "num_processes",
     "on_root",
     "process_index",
+    "run_on_root",
 ]

@@ -33,6 +33,7 @@ __all__ = [
     "num_processes",
     "on_root",
     "process_index",
+    "run_on_root",
 ]
 
 logger = logging.getLogger(__name__)
@@ -175,16 +176,41 @@ def broadcast(value: Any, *, is_source: bool | None = None) -> Any:
     return pickle.loads(result.tobytes())
 
 
+def run_on_root(func: Callable, *args: Any, **kwargs: Any) -> Any:
+    """Execute ``func(*args, **kwargs)`` on the root process only and
+    propagate its outcome — return value or exception — to every process.
+
+    Unlike a bare ``if on_root(): func(); barrier()``, a root-side
+    exception cannot deadlock the non-root processes at the barrier: the
+    broadcast outcome itself is the synchronisation point, and a root
+    failure is re-raised collectively on all processes so the whole job
+    terminates with the real error."""
+    if num_processes() == 1:
+        return func(*args, **kwargs)
+    outcome = None
+    if on_root():
+        try:
+            outcome = ("ok", func(*args, **kwargs))
+        except BaseException as exc:
+            try:  # the exception must survive the pickled broadcast
+                pickle.dumps(exc)
+            except Exception:
+                exc = RuntimeError(f"root process failed: {exc!r}")
+            outcome = ("error", exc)
+    status, payload = broadcast(outcome)
+    if status == "error":
+        raise payload
+    return payload
+
+
 def broadcasted(func: Callable) -> Callable:
     """Decorator: run ``func`` only on the root process and broadcast its
-    return value to all processes (the analogue of the reference's
-    ``@broadcasted``, /root/reference/src/yaw/utils/parallel.py:189-208)."""
+    outcome (return value or collective re-raise of an exception) to all
+    processes (the analogue of the reference's ``@broadcasted``,
+    /root/reference/src/yaw/utils/parallel.py:189-208)."""
 
     @functools.wraps(func)
     def wrapper(*args, **kwargs):
-        if num_processes() == 1:
-            return func(*args, **kwargs)
-        result = func(*args, **kwargs) if on_root() else None
-        return broadcast(result)
+        return run_on_root(func, *args, **kwargs)
 
     return wrapper

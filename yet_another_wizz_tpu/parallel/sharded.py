@@ -165,19 +165,23 @@ def count_pairs_sharded(
     sharded = NamedSharding(mesh, P(MESH_AXIS))
 
     if data_sharding == "columns":
-        # device d owns column tiles [d * shard, (d + 1) * shard);
-        # the shard size is bucketed for shape-stable compiles
+        # device d owns the logical column-tile range
+        # [d * logical, (d + 1) * logical); its lane block is padded to the
+        # bucketed shard size for shape-stable compiles. Ownership uses the
+        # LOGICAL split so work stays balanced over all devices (bucketed
+        # ownership would concentrate tiles on the first devices).
         num_tiles2 = len(tiles2.lane_data)
-        shard = bucket_size(-(-num_tiles2 // num_devices), base=64)
-        owner = np.minimum(pairs.tile2 // shard, num_devices - 1)
+        logical = max(1, -(-num_tiles2 // num_devices))
+        shard = bucket_size(logical, base=64)
+        owner = np.minimum(pairs.tile2 // logical, num_devices - 1)
 
         # partition the pair list by owner, keep slot-sorted order within
         # each partition, pad every partition to the common chunked length
         order = np.argsort(owner, kind="stable")
         counts = np.bincount(owner, minlength=num_devices)
         longest = bucket_size(
-            -(-int(counts.max()) // chunk_size) * chunk_size,
-            base=16 * chunk_size,
+            int(counts.max()), base=16 * chunk_size,
+            multiple_of=chunk_size,
         )
 
         tile1 = np.zeros(num_devices * longest, dtype=np.int32)
@@ -188,19 +192,14 @@ def count_pairs_sharded(
             sel = order[bounds[device] : bounds[device + 1]]
             base = device * longest
             tile1[base : base + len(sel)] = pairs.tile1[sel]
-            # local column-tile indices within the device's shard
-            tile2[base : base + len(sel)] = pairs.tile2[sel] - device * shard
+            # local column-tile indices within the device's logical range
+            tile2[base : base + len(sel)] = (
+                pairs.tile2[sel] - device * logical
+            )
             slots[base : base + len(sel)] = pairs.slot[sel]
         # padding entries index tile 0 of the local shard
 
-        lane2_padded = tiles2.lane_data
-        if num_devices * shard != num_tiles2:
-            pad = np.zeros(
-                (num_devices * shard - num_tiles2,
-                 *tiles2.lane_data.shape[1:]),
-                dtype=tiles2.lane_data.dtype,
-            )
-            lane2_padded = np.concatenate([tiles2.lane_data, pad])
+        lane2_padded, _, _ = _shard_tiles(tiles2.lane_data, num_devices)
 
         lane1 = _put_global(tiles1.lane_data, replicated)
         lane2 = _put_global(lane2_padded, sharded)
@@ -214,8 +213,8 @@ def count_pairs_sharded(
         # equal contiguous chunks of the slot-sorted pair list; the
         # per-device length is bucketed for shape-stable compiles
         per_device = bucket_size(
-            -(-pairs.num_pairs // (num_devices * chunk_size)) * chunk_size,
-            base=16 * chunk_size,
+            -(-pairs.num_pairs // num_devices), base=16 * chunk_size,
+            multiple_of=chunk_size,
         )
         padded = num_devices * per_device
         tile1 = np.zeros(padded, dtype=np.int32)
@@ -258,18 +257,25 @@ def count_pairs_sharded(
     return _fetch_replicated(result).astype(np.float64)[:num_slots]
 
 
-def _pad_tiles_to_shards(lane_data, num_devices):
-    """Pad a tile array so it splits into equal, bucketed per-device
-    shards (shape-stable compiles across catalog sizes)."""
+def _shard_tiles(lane_data, num_devices):
+    """Split tiles into equal LOGICAL per-device ranges and pad each
+    device's lane block to a common bucketed size.
+
+    Device ``d`` owns tiles ``[d * logical, (d + 1) * logical)`` at local
+    offsets ``0..`` of its block; the block size is bucketed for
+    shape-stable compiles without skewing ownership (bucketing the
+    ownership stride itself would put all tiles on the first devices and
+    idle the rest)."""
     num_tiles = len(lane_data)
-    shard = bucket_size(max(1, -(-num_tiles // num_devices)), base=64)
-    total = num_devices * shard
-    if total != num_tiles:
-        pad = np.zeros(
-            (total - num_tiles, *lane_data.shape[1:]), dtype=lane_data.dtype
-        )
-        lane_data = np.concatenate([lane_data, pad])
-    return lane_data, shard
+    logical = max(1, -(-num_tiles // num_devices))
+    shard = bucket_size(logical, base=64)
+    blocks = np.zeros(
+        (num_devices * shard, *lane_data.shape[1:]), dtype=lane_data.dtype
+    )
+    for device in range(num_devices):
+        chunk = lane_data[device * logical : (device + 1) * logical]
+        blocks[device * shard : device * shard + len(chunk)] = chunk
+    return blocks, logical, shard
 
 
 def _count_pairs_ring(
@@ -284,15 +290,15 @@ def _count_pairs_ring(
     num_devices = mesh.devices.size
 
     num_slots_out = bucket_size(num_slots + 1, base=64)
-    lane1_padded, shard1 = _pad_tiles_to_shards(
+    lane1_padded, logical1, shard1 = _shard_tiles(
         tiles1.lane_data, num_devices
     )
-    lane2_padded, shard2 = _pad_tiles_to_shards(
+    lane2_padded, logical2, shard2 = _shard_tiles(
         tiles2.lane_data, num_devices
     )
 
-    owner1 = np.minimum(pairs.tile1 // shard1, num_devices - 1)
-    owner2 = np.minimum(pairs.tile2 // shard2, num_devices - 1)
+    owner1 = np.minimum(pairs.tile1 // logical1, num_devices - 1)
+    owner2 = np.minimum(pairs.tile2 // logical2, num_devices - 1)
     step_of_pair = (owner2 - owner1) % num_devices  # met at this ring step
 
     # bucket pairs by (device, step); pad all buckets to a common chunked
@@ -301,8 +307,8 @@ def _count_pairs_ring(
     order = np.argsort(key, kind="stable")
     counts = np.bincount(key, minlength=num_devices * num_devices)
     longest = bucket_size(
-        -(-max(int(counts.max()), 1) // chunk_size) * chunk_size,
-        base=16 * chunk_size,
+        max(int(counts.max()), 1), base=16 * chunk_size,
+        multiple_of=chunk_size,
     )
 
     shape = (num_devices, num_devices, longest)
@@ -317,8 +323,12 @@ def _count_pairs_ring(
             n = len(sel)
             # local indices within the resident row shard / owned col shard
             row_shard = (device - step) % num_devices
-            tile1[device, step, :n] = pairs.tile1[sel] - row_shard * shard1
-            tile2[device, step, :n] = pairs.tile2[sel] - device * shard2
+            tile1[device, step, :n] = (
+                pairs.tile1[sel] - row_shard * logical1
+            )
+            tile2[device, step, :n] = (
+                pairs.tile2[sel] - device * logical2
+            )
             slots[device, step, :n] = pairs.slot[sel]
 
     replicated = NamedSharding(mesh, P())

@@ -74,21 +74,21 @@ class HdfSerializable(ABC):
         """Serialise this instance into a new HDF5 file.
 
         In multi-process jobs only the root process writes (all processes
-        hold identical replicated results); a barrier afterwards makes the
-        file visible to every process. Mirrors the reference's root-guarded
-        I/O (/root/reference/src/yaw/correlation/corrfunc.py:183-197).
+        hold identical replicated results); the collective outcome
+        broadcast makes the file visible to every process and re-raises a
+        root-side write error everywhere instead of deadlocking. Mirrors
+        the reference's root-guarded I/O
+        (/root/reference/src/yaw/correlation/corrfunc.py:183-197).
         """
-        from yet_another_wizz_tpu.parallel.distributed import (
-            barrier,
-            on_root,
-        )
+        from yet_another_wizz_tpu.parallel.distributed import run_on_root
 
-        if on_root():
+        def write_on_root() -> None:
             import h5py
 
             with h5py.File(str(path), mode="w") as f:
                 self.to_hdf(f)
-        barrier("to_file")
+
+        run_on_root(write_on_root)
 
 
 class AsciiSerializable(ABC):
