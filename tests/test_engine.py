@@ -479,6 +479,19 @@ class TestPerTileZPruning:
         raw = (xyz1, w1, z1, patch1, xyz2, w2, z2, patch2)
         return ts1, ts2, linkage, edges, raw
 
+    def test_trailing_empty_patch_keeps_last_bin(self):
+        """Regression: a trailing EMPTY patch used to clip the reduceat
+        index of its (empty) tile into range, truncating the previous
+        tile's segment and dropping its last point's bin — the maximum bin
+        under the zmajor sort, silently undercounting high-z pairs."""
+        xyz = np.array([[1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0]])
+        ts = build_tile_set(
+            xyz, np.array([0, 0, 0], np.int16), 2,
+            zbins=np.array([0, 0, 5]), num_bins=6, layout="zmajor",
+        )
+        assert ts.tile_zmax[0] == 5  # was 0 before the fix
+        assert ts.tile_zmax[-1] == -1  # empty patch tile never links
+
     def test_tile_zranges_cover_points(self, rng):
         ts1, _, _, _, _ = self._setup(rng, cols_binned=False)
         zlane = ts1.lane_data[:, 7, :]

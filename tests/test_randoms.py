@@ -145,3 +145,39 @@ class TestHealPixBoundingBox:
         # all samples near RA=0 wrap, none in the excluded middle
         assert np.all((ra >= 348) | (ra <= 12))
         assert len(data) == 20_000
+
+
+class TestPolarCapCoverage:
+    """Regression: the rejection box must contain the FULL footprint of
+    polar-cap pixels, whose longitude width (pi / (4 ring)) far exceeds
+    the mean pixel size a center-padded box assumed."""
+
+    def test_single_polar_pixel_fully_covered(self):
+        nside = 64
+        pm = np.zeros(12 * nside * nside)
+        pm[0] = 1.0  # ring-1 pixel spanning lon [0, pi/2]
+        gen = HealPixRandoms(pm, seed=1)
+        data = gen(20_000)
+        ra = data["ra"]
+        # samples reach both longitude edges of the pixel
+        assert ra.min() < 0.05 and ra.max() > np.pi / 2 - 0.05
+
+    def test_pix_bounds_contain_members(self):
+        from yet_another_wizz_tpu.utils.healpix import (
+            ang2pix_ring,
+            pix_bounds_ring,
+        )
+
+        rng = np.random.default_rng(11)
+        for nside in (1, 4, 32):
+            n = 50_000
+            z = rng.uniform(-1, 1, n)
+            phi = rng.uniform(0, 2 * np.pi, n)
+            pix = ang2pix_ring(nside, np.arccos(z), phi)
+            z_lo, z_hi, lon_lo, lon_hi = pix_bounds_ring(
+                nside, np.arange(12 * nside * nside)
+            )
+            assert np.all(z >= z_lo[pix] - 1e-12)
+            assert np.all(z <= z_hi[pix] + 1e-12)
+            delta = np.mod(phi - lon_lo[pix], 2 * np.pi)
+            assert np.all(delta <= lon_hi[pix] - lon_lo[pix] + 1e-9)

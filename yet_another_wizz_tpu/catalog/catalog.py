@@ -735,7 +735,8 @@ class Catalog(Mapping):
 
             layouts.add(
                 preferred_tile_layout(
-                    self, len(binning), max_angle, equal_bin_counting=False
+                    self, len(binning), max_angle,
+                    equal_bin_counting=False, tile_size=leafsize,
                 )
             )
         for layout in sorted(layouts):

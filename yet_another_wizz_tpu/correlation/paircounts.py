@@ -475,7 +475,7 @@ class BaseNormalisedCounts(BinwisePatchwiseArray):
 class NormalisedCounts(BaseNormalisedCounts):
     """Pair counts normalised by the product of catalog sums of weights."""
 
-    __slots__ = ("_counts", "_norm")
+    __slots__ = ()  # storage lives in BaseNormalisedCounts
 
     def __init__(self, counts: PatchedCounts, sum_weights: PatchedSumWeights):
         self._init(counts, sum_weights)
@@ -509,7 +509,7 @@ class NormalisedScalarCounts(BaseNormalisedCounts):
     """Scalar-field (kappa) weighted pair counts normalised by the plain
     number pair counts."""
 
-    __slots__ = ("_counts", "_norm")
+    __slots__ = ()  # storage lives in BaseNormalisedCounts
 
     def __init__(self, kappa_counts: PatchedCounts, number_counts: PatchedCounts):
         self._init(kappa_counts, number_counts)

@@ -28,11 +28,15 @@ from __future__ import annotations
 from functools import partial
 from typing import TYPE_CHECKING
 
+import logging
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from yet_another_wizz_tpu.ops.tiles import bucket_size
+
+logger = logging.getLogger(__name__)
 
 if TYPE_CHECKING:
     from numpy.typing import NDArray
@@ -331,6 +335,10 @@ def audit_boundary_counts(
     )
     corrected = np.array(counts, dtype=np.float64, copy=True)
     corrected[flagged_slots] = oracle
+    logger.info(
+        "boundary audit: %d patch-pair slot(s) recomputed in float64",
+        len(flagged_slots),
+    )
     return corrected, int(len(flagged_slots))
 
 
@@ -429,16 +437,9 @@ def count_pairs_tiles(
             mesh=mesh, data_sharding=data_sharding,
         )
         if audit:
-            counts, num_flagged = audit_boundary_counts(
+            counts, _ = audit_boundary_counts(
                 tiles1, tiles2, pairs, counts, chord2_table, edges_radian
             )
-            if num_flagged:
-                import logging
-
-                logging.getLogger(__name__).info(
-                    "boundary audit: %d patch-pair slot(s) recomputed in "
-                    "float64", num_flagged,
-                )
         return counts
 
     if backend == "oracle":
@@ -493,14 +494,7 @@ def count_pairs_tiles(
         return result
     counts = np.asarray(jax.device_get(result), dtype=np.float64)
     if audit:
-        counts, num_flagged = audit_boundary_counts(
+        counts, _ = audit_boundary_counts(
             tiles1, tiles2, pairs, counts, chord2_table, edges_radian
         )
-        if num_flagged:
-            import logging
-
-            logging.getLogger(__name__).info(
-                "boundary audit: %d patch-pair slot(s) recomputed in "
-                "float64", num_flagged,
-            )
     return counts

@@ -82,7 +82,12 @@ def bucket_size(n: int, base: int = 512, multiple_of: int = 1) -> int:
 
 
 def preferred_tile_layout(
-    catalog, num_bins: int, max_angle: float, *, equal_bin_counting: bool
+    catalog,
+    num_bins: int,
+    max_angle: float,
+    *,
+    equal_bin_counting: bool,
+    tile_size: int | None = None,
 ) -> str:
     """Choose the tile layout for a binned tile set of a measurement.
 
@@ -104,8 +109,10 @@ def preferred_tile_layout(
         return "spatial"
     if equal_bin_counting:
         return "zmajor"
+    if tile_size is None:
+        tile_size = DEFAULT_TILE_SIZE
     counts = np.asarray(catalog.get_num_records(), dtype=np.float64)
-    tiles_per_patch = np.maximum(1.0, counts / DEFAULT_TILE_SIZE)
+    tiles_per_patch = np.maximum(1.0, counts / tile_size)
     radius_spatial = catalog.patch_radii / np.sqrt(tiles_per_patch)
     radius_zmajor = np.median(radius_spatial) * np.sqrt(num_bins)
     return "zmajor" if max_angle >= radius_zmajor else "spatial"
@@ -400,13 +407,18 @@ def build_tile_set(
         stops = np.searchsorted(tile_idx, tile_range, side="right")
         zb = zbins.astype(np.int32)
         has_rows = stops > starts
-        idx = np.minimum(starts, len(zb) - 1)
-        tile_zmin = np.where(
-            has_rows, np.minimum.reduceat(zb, idx), 0
-        ).astype(np.int32)
-        tile_zmax = np.where(
-            has_rows, np.maximum.reduceat(zb, idx), -1  # empty: never links
-        ).astype(np.int32)
+        # reduceat only over non-empty tiles: their starts are strictly
+        # increasing and < len(zb), and each segment runs to the next
+        # non-empty tile's start (empty tiles in between hold no rows).
+        # Clipping empty trailing starts into range instead would truncate
+        # the last non-empty tile's segment, silently dropping its final
+        # point's bin from the range used for pair pruning.
+        tile_zmax = np.full(num_tiles, -1, dtype=np.int32)  # empty: never links
+        tile_zmin = np.zeros(num_tiles, dtype=np.int32)
+        nonempty = np.nonzero(has_rows)[0]
+        if len(nonempty):
+            tile_zmin[nonempty] = np.minimum.reduceat(zb, starts[nonempty])
+            tile_zmax[nonempty] = np.maximum.reduceat(zb, starts[nonempty])
 
     # per (bin, patch) normalisation sums in float64
     effective_bins = max(num_bins, 1)

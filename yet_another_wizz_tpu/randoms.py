@@ -20,7 +20,7 @@ from yet_another_wizz_tpu.datachunk import DataChunk, DataChunkInfo, HandlesData
 from yet_another_wizz_tpu.utils.healpix import (
     ang2pix_ring,
     npix_to_nside,
-    pix2ang_ring,
+    pix_bounds_ring,
 )
 
 if TYPE_CHECKING:
@@ -169,14 +169,19 @@ class HealPixRandoms(RandomsBase):
         self.nside = npix_to_nside(len(pixel_map))
         self.pixel_map = pixel_map / pixel_map.max()
 
-        # bounding box of the covered pixels, padded by one pixel radius
+        # bounding box of the covered pixels from per-pixel corner extents
+        # (a center-based box would truncate polar-cap pixels, whose
+        # longitude width pi/(4 ring) far exceeds the mean pixel size,
+        # silently under-sampling footprints that touch the caps)
         covered = np.nonzero(self.pixel_map)[0]
-        colat, lon = pix2ang_ring(self.nside, covered)
-        pad = 2.0 * np.sqrt(np.pi / len(pixel_map))  # ~pixel diagonal
-        z_hi = min(np.cos(colat.min()) + pad, 1.0)
-        z_lo = max(np.cos(colat.max()) - pad, -1.0)
-        lon_lo, lon_hi = lon.min() - pad, lon.max() + pad
-        if lon_hi - lon_lo >= 2.0 * np.pi - 4.0 * pad:
+        z_lo_p, z_hi_p, lon_lo_p, lon_hi_p = pix_bounds_ring(
+            self.nside, covered
+        )
+        z_hi = min(float(z_hi_p.max()), 1.0)
+        z_lo = max(float(z_lo_p.min()), -1.0)
+        lon_lo, lon_hi = float(lon_lo_p.min()), float(lon_hi_p.max())
+        pad = 1e-3 * np.sqrt(np.pi / len(pixel_map))
+        if lon_hi - lon_lo >= 2.0 * np.pi - pad:
             lon_lo, lon_hi = 0.0, 2.0 * np.pi  # wraps: use the full circle
         self._z_range = (z_lo, z_hi)
         self._lon_range = (lon_lo, lon_hi)

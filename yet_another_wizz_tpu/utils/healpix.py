@@ -22,6 +22,7 @@ __all__ = [
     "npix_to_nside",
     "nside_to_npix",
     "pix2ang_ring",
+    "pix_bounds_ring",
 ]
 
 
@@ -123,3 +124,65 @@ def pix2ang_ring(nside: int, pix: ArrayLike) -> tuple[NDArray, NDArray]:
         phi[south] = (4 * ring - ip - 0.5) * np.pi / (2.0 * ring)
 
     return np.arccos(np.clip(z, -1, 1)), np.mod(phi, 2 * np.pi)
+
+
+def _ring_center_z(nside: int, ring: NDArray) -> NDArray:
+    """z of a ring center by ring index counted from the north pole
+    (1 .. 4 nside - 1); values outside that range clip to the poles."""
+    ring = np.asarray(ring, dtype=np.float64)
+    cap_n = 1.0 - ring**2 / (3.0 * nside**2)
+    belt = (2.0 * nside - ring) * 2.0 / (3.0 * nside)
+    cap_s = -1.0 + (4.0 * nside - ring) ** 2 / (3.0 * nside**2)
+    z = np.where(
+        ring < nside, cap_n, np.where(ring <= 3 * nside, belt, cap_s)
+    )
+    return np.clip(z, -1.0, 1.0)
+
+
+def pix_bounds_ring(
+    nside: int, pix: ArrayLike
+) -> tuple[NDArray, NDArray, NDArray, NDArray]:
+    """Per-pixel bounding extents ``(z_lo, z_hi, lon_lo, lon_hi)``.
+
+    The vertical extent spans the centers of the adjacent rings (pixel
+    corners touch them; ring 1 / ring 4 nside - 1 reach the poles), and
+    the longitude extent spans the pixel's east/west corners at
+    ``center +- pi / npix_in_ring``. Polar-cap pixels are much wider in
+    longitude than their area suggests (ring ``i`` holds only ``4 i``
+    pixels), so a bounding box built from pixel centers alone would
+    truncate them. ``lon_lo`` may be negative when a pixel wraps 0.
+    """
+    pix = np.atleast_1d(np.asarray(pix, dtype=np.int64))
+    npix = nside_to_npix(nside)
+    if np.any((pix < 0) | (pix >= npix)):
+        raise ValueError("pixel index out of range")
+    ncap = 2 * nside * (nside - 1)
+
+    ring = np.empty(len(pix), dtype=np.int64)
+    north = pix < ncap
+    if np.any(north):
+        p = pix[north]
+        r = np.floor(0.5 * (1 + np.sqrt(1 + 2 * p))).astype(np.int64)
+        r[2 * r * (r - 1) > p] -= 1
+        ring[north] = r
+    equatorial = (pix >= ncap) & (pix < npix - ncap)
+    if np.any(equatorial):
+        ring[equatorial] = (pix[equatorial] - ncap) // (4 * nside) + nside
+    south = pix >= npix - ncap
+    if np.any(south):
+        p = npix - 1 - pix[south]
+        r = np.floor(0.5 * (1 + np.sqrt(1 + 2 * p))).astype(np.int64)
+        r[2 * r * (r - 1) > p] -= 1
+        ring[south] = 4 * nside - r
+
+    npix_ring = 4 * np.minimum.reduce(
+        [ring, np.full_like(ring, nside), 4 * nside - ring]
+    )
+    z_hi = np.where(ring == 1, 1.0, _ring_center_z(nside, ring - 1))
+    z_lo = np.where(
+        ring == 4 * nside - 1, -1.0, _ring_center_z(nside, ring + 1)
+    )
+
+    colat, lon = pix2ang_ring(nside, pix)
+    half = np.pi / npix_ring
+    return z_lo, z_hi, lon - half, lon + half
