@@ -740,16 +740,42 @@ class TestShapeBucketing:
         # pad tiles carry zero weights
         assert float(dev[ts.num_tiles:, 6, :].sum()) == 0.0
 
-    def test_xla_program_reused_across_slot_counts(self, rng):
-        """Two measurements with different slot/pair counts in the same
-        buckets must not trigger a fresh compile (trace-cache hit)."""
+    def test_xla_program_reused_across_slot_counts(self):
+        """Measurements with different catalogs/pair counts in the same
+        buckets must not trigger a fresh compile (trace-cache hit).
+
+        Seeds are pinned to problems whose padded pair lists land in the
+        SAME quarter-octave bucket (1536): nearby sizes straddling a
+        bucket boundary legitimately compile separately, which is not
+        what this test is about."""
         from yet_another_wizz_tpu.ops.paircount import _count_pairs_xla
 
-        misses_before = _count_pairs_xla._cache_size()
-        for n2, num_patches in ((4000, 5), (4100, 5)):
-            result, expect = run_engine_vs_oracle(
-                rng, n2=n2, num_patches=num_patches
-            )
-            assert_allclose(result, expect, rtol=1e-4, atol=10.0)
-        misses_after = _count_pairs_xla._cache_size()
+        from yet_another_wizz_tpu.ops import paircount
+
+        observed_shapes = []
+        inner = paircount._count_pairs_xla
+
+        class Spy:
+            def __call__(self, *args, **kwargs):
+                observed_shapes.append(args[2].shape)
+                return inner(*args, **kwargs)
+
+            def __getattr__(self, name):
+                return getattr(inner, name)
+
+        misses_before = inner._cache_size()
+        paircount._count_pairs_xla = Spy()
+        try:
+            for seed, n2 in ((11, 4000), (12, 4100), (13, 4100)):
+                result, expect = run_engine_vs_oracle(
+                    np.random.default_rng(seed), n2=n2, num_patches=5
+                )
+                assert_allclose(result, expect, rtol=1e-4, atol=10.0)
+        finally:
+            paircount._count_pairs_xla = inner
+        # precondition, not the property under test: all runs landed in
+        # one bucket (otherwise separate compiles are correct behavior
+        # and the seeds above need re-pinning)
+        assert len(set(observed_shapes)) == 1, observed_shapes
+        misses_after = inner._cache_size()
         assert misses_after - misses_before <= 1

@@ -192,11 +192,21 @@ def run_on_root(func: Callable, *args: Any, **kwargs: Any) -> Any:
         try:
             outcome = ("ok", func(*args, **kwargs))
         except BaseException as exc:
-            try:  # the exception must survive the pickled broadcast
-                pickle.dumps(exc)
-            except Exception:
-                exc = RuntimeError(f"root process failed: {exc!r}")
             outcome = ("error", exc)
+        # both branches must survive the pickled broadcast IN BOTH
+        # directions: a pickle failure inside broadcast would strand the
+        # non-root processes in the collective, and an unpickling failure
+        # on the receiving ranks is just as fatal — hence the round trip
+        try:
+            pickle.loads(pickle.dumps(outcome))
+        except Exception:
+            status, payload = outcome
+            outcome = (
+                "error",
+                RuntimeError(
+                    f"root outcome is not picklable ({status}): {payload!r}"
+                ),
+            )
     status, payload = broadcast(outcome)
     if status == "error":
         raise payload

@@ -170,9 +170,9 @@ def count_pairs_sharded(
         # bucketed shard size for shape-stable compiles. Ownership uses the
         # LOGICAL split so work stays balanced over all devices (bucketed
         # ownership would concentrate tiles on the first devices).
-        num_tiles2 = len(tiles2.lane_data)
-        logical = max(1, -(-num_tiles2 // num_devices))
-        shard = bucket_size(logical, base=64)
+        lane2_padded, logical, _ = _shard_tiles(
+            tiles2.lane_data, num_devices
+        )
         owner = np.minimum(pairs.tile2 // logical, num_devices - 1)
 
         # partition the pair list by owner, keep slot-sorted order within
@@ -198,8 +198,6 @@ def count_pairs_sharded(
             )
             slots[base : base + len(sel)] = pairs.slot[sel]
         # padding entries index tile 0 of the local shard
-
-        lane2_padded, _, _ = _shard_tiles(tiles2.lane_data, num_devices)
 
         lane1 = _put_global(tiles1.lane_data, replicated)
         lane2 = _put_global(lane2_padded, sharded)
