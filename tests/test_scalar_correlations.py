@@ -154,3 +154,52 @@ class TestNkMode:
         assert not np.allclose(
             engine[0].counts.counts, plain[0].counts.counts
         )
+
+
+class TestScalarExecutionOptions:
+    """Scalar measurements accept the same execution options as the
+    number-count functions (mesh, audit, blocked path)."""
+
+    def test_autocorrelate_scalar_on_mesh(self, catalogs, config):
+        from yet_another_wizz_tpu.parallel import default_mesh
+
+        reference, _, _ = catalogs
+        (single,) = autocorrelate_scalar(config, reference, backend="xla")
+        (sharded,) = autocorrelate_scalar(
+            config, reference, mesh=default_mesh(4)
+        )
+        assert_allclose(
+            sharded.sample().data, single.sample().data, rtol=1e-4
+        )
+
+    def test_crosscorrelate_scalar_on_mesh_and_audit(self, catalogs, config):
+        from yet_another_wizz_tpu.parallel import default_mesh
+
+        reference, unknown, randoms = catalogs
+        (single,) = crosscorrelate_scalar(
+            config, reference, unknown, unk_rand=randoms, backend="xla"
+        )
+        (sharded,) = crosscorrelate_scalar(
+            config, reference, unknown, unk_rand=randoms,
+            mesh=default_mesh(4), data_sharding="columns",
+        )
+        assert_allclose(
+            sharded.sample().data, single.sample().data, rtol=1e-4
+        )
+        (audited,) = crosscorrelate_scalar(
+            config, reference, unknown, unk_rand=randoms,
+            backend="xla", audit=True,
+        )
+        assert_allclose(
+            audited.sample().data, single.sample().data, rtol=1e-3
+        )
+
+    def test_autocorrelate_scalar_blocked(self, catalogs, config):
+        reference, _, _ = catalogs
+        (single,) = autocorrelate_scalar(config, reference, backend="xla")
+        (blocked,) = autocorrelate_scalar(
+            config, reference, backend="xla", max_resident_patches=2
+        )
+        assert_allclose(
+            blocked.sample().data, single.sample().data, rtol=1e-4
+        )

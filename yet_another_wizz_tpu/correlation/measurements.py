@@ -582,13 +582,25 @@ def autocorrelate_scalar(
     backend: str = "auto",
     progress: bool = False,
     max_workers: int | None = None,
+    max_resident_patches: int | None = None,
+    audit: bool = False,
+    mesh=None,
+    data_sharding: str = "replicated",
 ) -> list[ScalarCorrFunc]:
     """Measure the angular autocorrelation amplitude of a scalar (kappa)
-    field in bins of redshift."""
+    field in bins of redshift.
+
+    Accepts the same execution options as :func:`autocorrelate`
+    (``mesh``/``data_sharding`` for multi-device runs, ``audit`` for the
+    exact-boundary float64 repair, ``max_resident_patches`` for the
+    memory-bounded blocked path)."""
     logger.info("computing scalar auto-correlation with DD")
     links = PatchLinkage.from_catalogs(config, data)
     dd = links.count_scalar_pairs(
         data, mode="kk", backend=backend, progress=progress,
+        max_workers=max_workers, audit=audit, mesh=mesh,
+        data_sharding=data_sharding,
+        max_resident_patches=max_resident_patches,
         count_type_info="DD",
     )
     return [ScalarCorrFunc(counts) for counts in dd]
@@ -603,6 +615,10 @@ def crosscorrelate_scalar(
     backend: str = "auto",
     progress: bool = False,
     max_workers: int | None = None,
+    max_resident_patches: int | None = None,
+    audit: bool = False,
+    mesh=None,
+    data_sharding: str = "replicated",
 ) -> list[ScalarCorrFunc]:
     """Measure the angular cross-correlation amplitude between redshift
     slices of the reference sample and a scalar field carried by the
@@ -610,7 +626,11 @@ def crosscorrelate_scalar(
 
     Without unknown randoms the counts are normalised by the mean kappa
     over the footprint instead of a DR term.
-    """
+
+    Accepts the same execution options as :func:`crosscorrelate`
+    (``mesh``/``data_sharding`` for multi-device runs, ``audit`` for the
+    exact-boundary float64 repair, ``max_resident_patches`` for the
+    memory-bounded blocked path)."""
     ensure_unique_catalogs(reference, unknown, unk_rand)
     count_dr = unk_rand is not None
     logger.info(
@@ -621,14 +641,17 @@ def crosscorrelate_scalar(
     catalogs = [cat for cat in (unk_rand,) if cat is not None]
     links = PatchLinkage.from_catalogs(config, reference, unknown, *catalogs)
 
+    kwargs = dict(
+        backend=backend, progress=progress, max_workers=max_workers,
+        audit=audit, mesh=mesh, data_sharding=data_sharding,
+        max_resident_patches=max_resident_patches,
+    )
     dd = links.count_scalar_pairs(
-        reference, unknown, mode="kn", backend=backend, progress=progress,
-        count_type_info="DD",
+        reference, unknown, mode="kn", **kwargs, count_type_info="DD",
     )
     if count_dr:
         dr = links.count_scalar_pairs(
-            reference, unk_rand, mode="kn", backend=backend,
-            progress=progress, count_type_info="DR",
+            reference, unk_rand, mode="kn", **kwargs, count_type_info="DR",
         )
     else:
         dr = [compute_scalar_normalisation(reference, config)] * len(dd)
