@@ -105,6 +105,40 @@ def run_pipeline(workdir: Path) -> None:
     print(f"PIPELINE OK rank={parallel.process_index()}")
 
 
+def run_ingest(workdir: Path) -> None:
+    """Collective streaming ingestion: root reads + assigns, both ranks
+    write their owned patches; the resulting cache must be byte-identical
+    to a single-process streaming ingest of the same file."""
+    from yet_another_wizz_tpu import Catalog
+
+    check_cluster()
+    rank = parallel.process_index()
+
+    catalog = Catalog.from_file(
+        workdir / "cache_mp",
+        workdir / "ingest.pqt",
+        ra_name="ra",
+        dec_name="dec",
+        redshift_name="z",
+        patch_centers=np.load(workdir / "centers.npy"),
+        degrees=True,
+        streaming=True,
+        chunksize=1000,  # several chunks -> several collective rounds
+    )
+    num_patches = catalog.num_patches
+    expected_records = np.load(workdir / "expected_records.npy")
+    np.testing.assert_array_equal(catalog.get_num_records(), expected_records)
+
+    # byte parity with the single-process streaming cache
+    for pid in range(num_patches):
+        mp = (workdir / "cache_mp" / f"patch_{pid}" / "data.bin").read_bytes()
+        sp = (workdir / "cache_sp" / f"patch_{pid}" / "data.bin").read_bytes()
+        assert mp == sp, f"patch {pid} differs (rank {rank})"
+
+    parallel.barrier("ingest_done")
+    print(f"INGEST OK rank={rank}")
+
+
 def run_root_error(workdir: Path) -> None:
     """Root-side failures must propagate to every process (collective
     re-raise) instead of deadlocking non-root ranks at a barrier."""
@@ -134,6 +168,8 @@ def main() -> None:
         run_engine(workdir)
     elif mode == "pipeline":
         run_pipeline(workdir)
+    elif mode == "ingest":
+        run_ingest(workdir)
     elif mode == "root_error":
         run_root_error(workdir)
     else:

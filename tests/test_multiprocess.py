@@ -186,3 +186,54 @@ def test_two_process_pipeline(tmp_path):
         mp = np.loadtxt(tmp_path / f"project_mp/{product}.dat")
         # engines differ only in device count / summation order
         np.testing.assert_allclose(mp, sp, rtol=1e-4, atol=1e-6)
+
+
+def test_two_process_collective_ingest(tmp_path):
+    """Collective streaming ingestion: root reads and assigns, both ranks
+    write the patches they own; the shared cache must equal a
+    single-process streaming ingest byte for byte."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from yet_another_wizz_tpu import Catalog
+    from yet_another_wizz_tpu.coordinates import AngularCoordinates
+    from yet_another_wizz_tpu.examples import generate_mock_data
+
+    mock = generate_mock_data(
+        num_reference=4000, num_unknown=10, num_randoms=10, seed=21
+    )
+    sample = mock["reference"]
+    pq.write_table(
+        pa.table(
+            dict(
+                ra=np.rad2deg(sample["ra"]),
+                dec=np.rad2deg(sample["dec"]),
+                z=sample["redshifts"],
+            )
+        ),
+        str(tmp_path / "ingest.pqt"),
+    )
+    probe = Catalog.from_arrays(
+        sample["ra"], sample["dec"], degrees=False, patch_num=5
+    )
+    centers = probe.get_centers().data  # (N, 2) radian
+    np.save(tmp_path / "centers.npy", centers)
+
+    # single-process streaming reference ingest
+    single = Catalog.from_file(
+        tmp_path / "cache_sp",
+        tmp_path / "ingest.pqt",
+        ra_name="ra",
+        dec_name="dec",
+        redshift_name="z",
+        patch_centers=AngularCoordinates(centers),
+        degrees=True,
+        streaming=True,
+        chunksize=1000,
+    )
+    np.save(
+        tmp_path / "expected_records.npy",
+        np.asarray(single.get_num_records()),
+    )
+
+    _launch_pair("ingest", tmp_path, timeout=300.0)

@@ -482,22 +482,25 @@ class Catalog(Mapping):
             if streaming:
                 from yet_another_wizz_tpu.catalog.ingest import (
                     resolve_patch_centers,
+                    write_patches_collective,
                     write_patches_streaming,
                 )
                 from yet_another_wizz_tpu.parallel.distributed import (
                     num_processes,
-                    on_root,
                     run_on_root,
                 )
 
                 if cache_directory is None and num_processes() > 1:
                     raise ValueError(
                         "multi-process streaming ingestion requires a "
-                        "'cache_directory' (non-root processes attach to it)"
+                        "'cache_directory' (the processes share it)"
                     )
                 centers = None
                 if patch_name is None:
-                    centers = resolve_patch_centers(
+                    # root resolves (probe read + kmeans) once; the result
+                    # is broadcast so every process shares identical centers
+                    centers = run_on_root(
+                        resolve_patch_centers,
                         reader,
                         patch_centers=patch_centers,
                         patch_num=patch_num,
@@ -509,36 +512,35 @@ class Catalog(Mapping):
                             "or 'patch_num' is required"
                         )
 
-                # root streams the file through patch assignment, keeping
-                # the assembled data so the catalog is constructed directly
-                # (no cache read-back); other processes attach to the cache
-                # once the collective outcome broadcast confirms the write
-                # (and re-raises any root-side error everywhere — the
-                # analogue of the reference's reader/writer rank split,
-                # /root/reference/src/yaw/catalog/catalog.py:587-908)
-                root_local: dict = {}
-
-                def stream_on_root() -> int:
-                    num_patches, assembled = write_patches_streaming(
+                if num_processes() > 1:
+                    # collective pod ingestion: root reads and assigns,
+                    # every process writes the patches it owns — the
+                    # analogue of the reference's reader/writer rank split
+                    # (/root/reference/src/yaw/catalog/catalog.py:587-908)
+                    write_patches_collective(
                         reader,
                         cache_directory,
                         centers,
                         overwrite=overwrite,
                         progress=progress,
-                        keep_data=True,
                     )
-                    # the assembled arrays stay root-local; only the patch
-                    # count travels through the outcome broadcast
-                    root_local["assembled"] = assembled
-                    return num_patches
+                    return cls(cache_directory)
 
-                num_patches = run_on_root(stream_on_root)
-                if on_root():
-                    chunk, patch_ids = root_local["assembled"]
-                    return cls._from_streamed(
-                        chunk, patch_ids, num_patches, cache_directory
-                    )
-                return cls(cache_directory)
+                # single process: stream through patch assignment, keeping
+                # the assembled data so the catalog is constructed directly
+                # (no cache read-back)
+                num_patches, assembled = write_patches_streaming(
+                    reader,
+                    cache_directory,
+                    centers,
+                    overwrite=overwrite,
+                    progress=progress,
+                    keep_data=True,
+                )
+                chunk, patch_ids = assembled
+                return cls._from_streamed(
+                    chunk, patch_ids, num_patches, cache_directory
+                )
 
             chunks = [chunk for chunk in reader]
         data = np.concatenate(chunks)

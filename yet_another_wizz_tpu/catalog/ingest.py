@@ -38,6 +38,7 @@ if TYPE_CHECKING:
 
 __all__ = [
     "resolve_patch_centers",
+    "write_patches_collective",
     "write_patches_streaming",
 ]
 
@@ -241,3 +242,176 @@ def write_patches_streaming(
         " to cache" if cache is not None else " in memory",
     )
     return num_patches, assembled
+
+
+def write_patches_collective(
+    reader: BaseReader,
+    cache_directory: Path | str,
+    centers_xyz: NDArray | None,
+    *,
+    overwrite: bool = False,
+    progress: bool = False,
+    buffersize: int | None = None,
+) -> int:
+    """Multi-process streaming ingestion over a pod.
+
+    The root process streams the reader through patch assignment and
+    broadcasts each chunk's patch splits; every process writes only the
+    patches it owns (``pid % num_processes``), so buffered cache writing,
+    metadata computation and file I/O parallelise across the hosts — the
+    analogue of the reference's reader/writer MPI rank split
+    (/root/reference/src/yaw/catalog/catalog.py:587-908). All processes
+    must share the cache filesystem.
+
+    Error discipline: root-side reader errors are broadcast in-stream and
+    re-raised everywhere; writer errors on any rank are kept local until
+    the final status exchange (the rank keeps draining the stream so the
+    collective stays in sync), then re-raised on every process.
+
+    Returns the number of patches.
+    """
+    from yet_another_wizz_tpu.parallel import distributed as dist
+
+    num_procs = dist.num_processes()
+    rank = dist.process_index()
+    cache = Path(cache_directory)
+
+    def prepare_cache() -> None:
+        if cache.exists() and any(cache.iterdir()):
+            if not overwrite:
+                raise FileExistsError(f"cache directory not empty: {cache}")
+            import shutil
+
+            shutil.rmtree(cache)
+        cache.mkdir(parents=True, exist_ok=True)
+
+    dist.run_on_root(prepare_cache)
+
+    from yet_another_wizz_tpu.catalog.readers import prefetch_chunks
+
+    writers: dict[int, PatchWriter] = {}
+    kwargs = {} if buffersize is None else dict(buffersize=buffersize)
+    local_error: BaseException | None = None
+    num_patches = 0
+
+    def write_owned(info, splits) -> None:
+        nonlocal local_error
+        if local_error is not None:
+            return  # stay in sync but stop touching the filesystem
+        try:
+            for pid, part in splits:
+                if pid % num_procs != rank:
+                    continue
+                if pid not in writers:
+                    writers[pid] = PatchWriter(
+                        cache / PATCH_NAME_TEMPLATE.format(pid),
+                        info,
+                        **kwargs,
+                    )
+                writers[pid].process_chunk(part)
+        except BaseException as err:
+            local_error = err
+
+    if dist.on_root():
+        num_expected = 0 if centers_xyz is None else len(centers_xyz)
+        seen: set[int] = set()
+        chunk_iter = prefetch_chunks(reader)
+        if progress:
+            from yet_another_wizz_tpu.utils.logging import Indicator
+
+            chunk_iter = Indicator(chunk_iter, reader.num_chunks)
+        root_error: BaseException | None = None
+        try:
+            for chunk in chunk_iter:
+                patch_ids = DataChunk.getattr(chunk, "patch_ids")
+                if patch_ids is None:
+                    if centers_xyz is None:
+                        raise ValueError(
+                            "chunk provides no patch ids and no centers "
+                            "are set"
+                        )
+                    xyz = radec_to_xyz(chunk["ra"], chunk["dec"])
+                    patch_ids = assign_patches(xyz, centers_xyz)
+                else:
+                    chunk, _ = DataChunk.pop(chunk, "patch_ids")
+
+                order = np.argsort(patch_ids, kind="stable")
+                sorted_ids = patch_ids[order]
+                sorted_chunk = chunk[order]
+                unique, first = np.unique(sorted_ids, return_index=True)
+                splits = [
+                    (int(pid), part)
+                    for pid, part in zip(
+                        unique, np.split(sorted_chunk, first[1:])
+                    )
+                ]
+                seen.update(pid for pid, _ in splits)
+                if len(sorted_ids):
+                    num_expected = max(
+                        num_expected, int(sorted_ids[-1]) + 1
+                    )
+                info = DataChunk.get_info(chunk)
+                dist.broadcast(("chunk", info, splits))
+                write_owned(info, splits)
+            missing = sorted(set(range(num_expected)) - seen)
+            if missing:
+                raise ValueError(f"patches with no data: {missing}")
+        except BaseException as err:
+            root_error = err
+        if root_error is not None:
+            dist.broadcast(
+                ("error", dist.picklable_exception(root_error))
+            )
+        else:
+            dist.broadcast(("done", num_expected))
+            num_patches = num_expected
+    else:
+        while True:
+            message = dist.broadcast(None)
+            if message[0] == "chunk":
+                _, info, splits = message
+                write_owned(info, splits)
+            elif message[0] == "done":
+                num_patches = message[1]
+                break
+            else:  # root failed mid-stream
+                raise message[1]
+
+    if local_error is None:
+        try:
+            from yet_another_wizz_tpu.catalog.patch import read_patch_data
+
+            for pid, patch_writer in writers.items():
+                patch_writer.finalize()
+                _, data = read_patch_data(patch_writer.data_path)
+                meta = Metadata.compute(
+                    DataChunk.get_coords(data),
+                    weights=DataChunk.getattr(data, "weights"),
+                )
+                meta.to_file(patch_writer.cache_path / "meta.yml")
+        except BaseException as err:
+            local_error = err
+
+    # per-rank status exchange: everyone learns about everyone's errors
+    # (and implicitly synchronises on the completed cache)
+    failures = []
+    for source in range(num_procs):
+        payload = None
+        if rank == source and local_error is not None:
+            payload = dist.picklable_exception(local_error)
+        status = dist.broadcast(payload, is_source=rank == source)
+        if status is not None:
+            failures.append((source, status))
+    if failures:
+        source, first = failures[0]
+        raise RuntimeError(
+            f"collective ingestion failed on process {source}"
+        ) from first
+
+    logger.info(
+        "streamed %d patches (%s records) to cache over %d processes",
+        num_patches,
+        reader.num_records,
+        num_procs,
+    )
+    return num_patches

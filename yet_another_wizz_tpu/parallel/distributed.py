@@ -32,6 +32,7 @@ __all__ = [
     "initialize",
     "num_processes",
     "on_root",
+    "picklable_exception",
     "process_index",
     "run_on_root",
 ]
@@ -174,6 +175,17 @@ def broadcast(value: Any, *, is_source: bool | None = None) -> Any:
         buffer, is_source=is_source
     )
     return pickle.loads(result.tobytes())
+
+
+def picklable_exception(exc: BaseException) -> BaseException:
+    """The exception itself if it survives a pickle round trip, else a
+    RuntimeError carrying its repr — safe to send through ``broadcast``
+    without stranding the receiving processes mid-collective."""
+    try:
+        pickle.loads(pickle.dumps(exc))
+        return exc
+    except Exception:
+        return RuntimeError(f"remote process failed: {exc!r}")
 
 
 def run_on_root(func: Callable, *args: Any, **kwargs: Any) -> Any:
