@@ -111,3 +111,77 @@ def test_random_configuration_matches_oracle(trial):
         ts1, ts2, pairs, chord2, mesh=mesh, data_sharding=sharding
     )
     assert_allclose(sharded, result, rtol=1e-5, atol=0.5)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("trial", range(4))
+def test_random_measurement_execution_matrix(trial):
+    """The same randomised measurement through every execution path of
+    the public API — plain XLA, each mesh layout, the blocked path and
+    the boundary audit — must produce identical counts (regression net
+    for integration bugs in sharding/bucketing/pruning plumbing)."""
+    from yet_another_wizz_tpu import Catalog, Configuration
+    from yet_another_wizz_tpu.correlation.measurements import (
+        autocorrelate,
+        crosscorrelate,
+    )
+    from yet_another_wizz_tpu.parallel import default_mesh
+
+    rng = np.random.default_rng(7000 + trial)
+    num_bins = int(rng.integers(2, 6))
+    num_patches = int(rng.integers(3, 9))
+    auto = bool(rng.integers(0, 2))
+    n_data = int(rng.integers(2000, 5000))
+    n_other = int(rng.integers(2000, 5000))
+
+    ra0 = rng.uniform(0, 2 * np.pi)
+    dec0 = rng.uniform(-0.9, 0.9)
+    width = rng.uniform(0.1, 0.4)
+
+    def catalog(n, centers=None):
+        data = dict(
+            ra=ra0 + rng.uniform(0, width, n),
+            dec=np.clip(dec0 + rng.uniform(0, width, n), -1.45, 1.45),
+            redshifts=rng.uniform(0.2, 0.95, n),
+            weights=rng.uniform(0.25, 2.0, n),
+            degrees=False,
+        )
+        if centers is None:
+            return Catalog.from_arrays(**data, patch_num=num_patches)
+        return Catalog.from_arrays(**data, patch_centers=centers)
+
+    data = catalog(n_data)
+    other = catalog(n_other, centers=data.get_centers())
+    randoms = catalog(n_other, centers=data.get_centers())
+    config = Configuration.create(
+        rmin=float(rng.uniform(50, 200)),
+        rmax=float(rng.uniform(600, 2000)),
+        unit="kpc",
+        zmin=0.2, zmax=0.95, num_bins=num_bins,
+    )
+
+    def run(**kwargs):
+        if auto:
+            (w,) = autocorrelate(config, data, other, **kwargs)
+        else:
+            (w,) = crosscorrelate(
+                config, data, other, unk_rand=randoms, **kwargs
+            )
+        return w.dd.counts.get_array()
+
+    baseline = run(backend="xla")
+    variants = {
+        "mesh-replicated": dict(mesh=default_mesh(4)),
+        "mesh-columns": dict(
+            mesh=default_mesh(4), data_sharding="columns"
+        ),
+        "mesh-ring": dict(mesh=default_mesh(4), data_sharding="ring"),
+        "blocked": dict(backend="xla", max_resident_patches=3),
+        "audit": dict(backend="xla", audit=True),
+    }
+    for name, kwargs in variants.items():
+        result = run(**kwargs)
+        assert_allclose(
+            result, baseline, rtol=1e-4, atol=1e-2,
+            err_msg=f"trial {trial}: {name} diverged",
+        )
