@@ -14,18 +14,23 @@ import pytest
 from numpy.testing import assert_array_almost_equal
 
 GOLDEN_DATA = [
-    16.033076, 19.480935, 40.183256, 54.050943, 29.250924, 30.301748,
-    28.698718, 27.726786, 32.744605, 27.515503, 31.950818,
+    16.033076, 19.480937, 40.183255, 54.050946, 29.250923, 30.301749,
+    28.698718, 27.726787, 32.744603, 27.515501, 31.950818,
 ]
 GOLDEN_ERROR = [
-    2.5437772108, 2.4492867423, 15.1469281828, 34.6318231052,
-    6.0442348964, 5.9222882884, 4.7280745403, 2.7285540458,
-    4.9976869546, 3.0939532248, 4.6525200547,
+    2.5635370013, 2.4384090382, 15.1787348712, 34.6331395699,
+    6.0466740487, 5.9394312664, 4.7280745403, 2.7221624820,
+    4.9974600562, 3.1074511276, 4.6782845041,
 ]
 GOLDEN_SAMPLE_0 = [
-    15.732515, 19.859813, 40.758905, 56.077698, 29.963862, 30.6508,
-    28.644714, 28.546736, 33.591598, 27.386832, 31.985589,
+    15.732515, 19.860475, 40.757115, 56.077700, 29.963223, 30.650800,
+    28.644714, 28.546354, 33.591598, 27.386830, 31.985590,
 ]
+# regenerated 2026-08-17: patch centers applied to a catalog are now
+# RETAINED (reference semantics) instead of replaced by recomputed
+# per-patch means, which shifts patch memberships near boundaries; the
+# estimate data itself is unchanged to 6 decimals, only the jackknife
+# errors/samples moved.
 
 
 @pytest.mark.slow

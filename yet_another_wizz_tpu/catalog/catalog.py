@@ -232,8 +232,27 @@ class Catalog(Mapping):
         self._patch_ids = np.concatenate(patch_ids)
         self.num_patches = len(patch_dirs)
         self._xyz = radec_to_xyz(self._chunk["ra"], self._chunk["dec"])
-        self._init_patch_geometry(centers_xyz=None)
+        # the cache's meta.yml files record the centers the points were
+        # ASSIGNED with (possibly applied externally); trust them like the
+        # reference does instead of recomputing drifted means
+        stored = self._centers_from_metadata(patch_dirs)
+        self._init_patch_geometry(centers_xyz=stored)
         self._tile_cache = {}
+
+    @staticmethod
+    def _centers_from_metadata(patch_dirs) -> NDArray | None:
+        """Stored patch centers from the cache's meta.yml files, or None
+        when any is missing (legacy/partial caches recompute)."""
+        centers = []
+        for path in patch_dirs:
+            meta_file = path / "meta.yml"
+            if not meta_file.exists():
+                return None
+            try:
+                centers.append(Metadata.from_file(meta_file).center.to_3d())
+            except Exception:
+                return None
+        return np.concatenate(centers)
 
     @classmethod
     def _from_streamed(
@@ -242,6 +261,7 @@ class Catalog(Mapping):
         patch_ids: NDArray,
         num_patches: int,
         cache_directory: Path | str | None,
+        centers_xyz: NDArray | None = None,
     ) -> Self:
         """Construct directly from streaming-ingestion output (patch-major
         rows with known assignment), skipping the cache read-back."""
@@ -254,7 +274,7 @@ class Catalog(Mapping):
         new._patch_ids = np.asarray(patch_ids, dtype=np.int32)
         new.num_patches = num_patches
         new._xyz = radec_to_xyz(chunk["ra"], chunk["dec"])
-        new._init_patch_geometry(centers_xyz=None)
+        new._init_patch_geometry(centers_xyz=centers_xyz)
         new._tile_cache = {}
         return new
 
@@ -308,20 +328,54 @@ class Catalog(Mapping):
             empty = np.nonzero(counts == 0)[0].tolist()
             raise ValueError(f"patches with no data: {empty}")
 
-        new._init_patch_geometry(centers_xyz=None)
+        new._init_patch_geometry(centers_xyz=centers_xyz)
 
         if cache_directory is not None:
             new.to_cache(cache_directory, overwrite=overwrite)
         return new
 
     def _init_patch_geometry(self, centers_xyz: NDArray | None) -> None:
-        """Compute per-patch cap centers (weighted means) and radii
-        (vectorised segment reductions over the patch ids)."""
+        """Per-patch cap centers and radii.
+
+        With ``centers_xyz`` given (the centers that ASSIGNED the points:
+        explicit, another catalog's, or kmeans-generated), those are
+        retained as the patch centers and only the radii are computed —
+        matching the reference, whose ``get_centers()`` returns the
+        applied centers (/root/reference/src/yaw/catalog/catalog.py:334-374).
+        Recomputed weighted means would drift off the assignment Voronoi
+        seeds, so catalogs patched with ``other.get_centers()`` would use
+        different boundaries than ``other`` itself. Without ``centers_xyz``
+        (patch-id column mode) the weighted means are computed, as in the
+        reference."""
         weights = DataChunk.getattr(self._chunk, "weights")
         ids = self._patch_ids
         num = self.num_patches
 
         from yet_another_wizz_tpu import _native
+
+        if centers_xyz is not None:
+            centers = np.asarray(centers_xyz, dtype=np.float64)
+            norms = np.linalg.norm(centers, axis=1, keepdims=True)
+            centers = centers / np.maximum(norms, 1e-300)
+            if _native.NATIVE_ENABLED:
+                max_chord = np.zeros(num)
+                # per-patch max chord: reuse the tile kernel with tile
+                # size 1 so dest // 1 == the patch id itself
+                _native._lib.tile_max_chord(
+                    np.ascontiguousarray(self._xyz, np.float64),
+                    np.ascontiguousarray(ids, np.int64),
+                    len(ids), 1,
+                    np.ascontiguousarray(centers), max_chord,
+                )
+            else:
+                chord = np.linalg.norm(self._xyz - centers[ids], axis=1)
+                max_chord = np.zeros(num)
+                np.maximum.at(max_chord, ids, chord)
+            self.patch_centers_xyz = centers
+            self.patch_radii = 2.0 * np.arcsin(
+                np.clip(max_chord / 2.0, 0.0, 1.0)
+            )
+            return
 
         if _native.NATIVE_ENABLED:
             centers, radii = _native.patch_geometry(
@@ -384,9 +438,14 @@ class Catalog(Mapping):
                 patch_dir = cache / PATCH_NAME_TEMPLATE.format(pid)
                 patch_dir.mkdir()
                 write_patch_data(patch_dir / "data.bin", self._chunk[sel])
+                # record the catalog's own (possibly applied) patch center
+                # so reopening the cache preserves it
                 meta = Metadata.compute(
                     DataChunk.get_coords(self._chunk[sel]),
                     weights=DataChunk.getattr(self._chunk[sel], "weights"),
+                    center=AngularCoordinates.from_3d(
+                        self.patch_centers_xyz[pid : pid + 1]
+                    ),
                 )
                 meta.to_file(patch_dir / "meta.yml")
 
@@ -495,8 +554,13 @@ class Catalog(Mapping):
                         "multi-process streaming ingestion requires a "
                         "'cache_directory' (the processes share it)"
                     )
+                # patch-source priority matches the in-memory path
+                # (_resolve_patch_assignment): explicit centers beat a
+                # patch-id column beat kmeans — previously streaming
+                # silently preferred the file's patch column, so the same
+                # call produced different patches depending on file size
                 centers = None
-                if patch_name is None:
+                if patch_centers is not None or patch_name is None:
                     # root resolves (probe read + kmeans) once; the result
                     # is broadcast so every process shares identical centers
                     centers = run_on_root(
@@ -539,7 +603,8 @@ class Catalog(Mapping):
                 )
                 chunk, patch_ids = assembled
                 return cls._from_streamed(
-                    chunk, patch_ids, num_patches, cache_directory
+                    chunk, patch_ids, num_patches, cache_directory,
+                    centers_xyz=centers,
                 )
 
             chunks = [chunk for chunk in reader]

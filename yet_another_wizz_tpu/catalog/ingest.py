@@ -47,6 +47,36 @@ logger = logging.getLogger(__name__)
 PATCH_NAME_TEMPLATE = "patch_{:}"
 
 
+def _applied_center(centers_xyz, pid: int):
+    """The center that assigned patch ``pid`` as AngularCoordinates, or
+    None (patch-id-column mode) to fall back to the weighted mean —
+    recorded in meta.yml so caches preserve the applied centers like the
+    reference (/root/reference/src/yaw/catalog/patch.py:104-146)."""
+    if centers_xyz is None:
+        return None
+    return AngularCoordinates.from_3d(
+        np.asarray(centers_xyz, dtype=np.float64)[pid : pid + 1]
+    )
+
+
+def _chunk_patch_ids(chunk, centers_xyz):
+    """Patch ids for one streamed chunk, with the same source priority as
+    the in-memory path (_resolve_patch_assignment): explicit centers beat
+    a patch-id column carried by the file. Returns the chunk (patch-id
+    column removed if present) and the ids."""
+    column_ids = DataChunk.getattr(chunk, "patch_ids")
+    if column_ids is not None:
+        chunk, _ = DataChunk.pop(chunk, "patch_ids")
+    if centers_xyz is not None:
+        xyz = radec_to_xyz(chunk["ra"], chunk["dec"])
+        return chunk, assign_patches(xyz, centers_xyz)
+    if column_ids is None:
+        raise ValueError(
+            "chunk provides no patch ids and no centers are set"
+        )
+    return chunk, column_ids
+
+
 def resolve_patch_centers(
     reader: BaseReader,
     *,
@@ -166,16 +196,7 @@ def write_patches_streaming(
 
     try:
         for chunk in chunk_iter:
-            patch_ids = DataChunk.getattr(chunk, "patch_ids")
-            if patch_ids is None:
-                if centers_xyz is None:
-                    raise ValueError(
-                        "chunk provides no patch ids and no centers are set"
-                    )
-                xyz = radec_to_xyz(chunk["ra"], chunk["dec"])
-                patch_ids = assign_patches(xyz, centers_xyz)
-            else:
-                chunk, _ = DataChunk.pop(chunk, "patch_ids")
+            chunk, patch_ids = _chunk_patch_ids(chunk, centers_xyz)
 
             order = np.argsort(patch_ids, kind="stable")
             sorted_ids = patch_ids[order]
@@ -193,7 +214,21 @@ def write_patches_streaming(
             if len(sorted_ids):
                 num_expected = max(num_expected, int(sorted_ids[-1]) + 1)
     finally:
-        work.put(None)
+        # the writer thread may already be dead (error) with the queue
+        # full; a blocking put would then hang forever and swallow the
+        # real failure. Only drain pending items once the writer stopped
+        # consuming — on the success path they are real chunks it still
+        # has to process.
+        while True:
+            try:
+                work.put(None, timeout=0.1)
+                break
+            except queue.Full:
+                if writer_error or not writer.is_alive():
+                    try:
+                        work.get_nowait()
+                    except queue.Empty:
+                        pass
         writer.join()
     if writer_error:
         raise writer_error[0]
@@ -232,6 +267,7 @@ def write_patches_streaming(
         meta = Metadata.compute(
             DataChunk.get_coords(data),
             weights=DataChunk.getattr(data, "weights"),
+            center=_applied_center(centers_xyz, pid),
         )
         meta.to_file(patch_writer.cache_path / "meta.yml")
 
@@ -323,17 +359,7 @@ def write_patches_collective(
         root_error: BaseException | None = None
         try:
             for chunk in chunk_iter:
-                patch_ids = DataChunk.getattr(chunk, "patch_ids")
-                if patch_ids is None:
-                    if centers_xyz is None:
-                        raise ValueError(
-                            "chunk provides no patch ids and no centers "
-                            "are set"
-                        )
-                    xyz = radec_to_xyz(chunk["ra"], chunk["dec"])
-                    patch_ids = assign_patches(xyz, centers_xyz)
-                else:
-                    chunk, _ = DataChunk.pop(chunk, "patch_ids")
+                chunk, patch_ids = _chunk_patch_ids(chunk, centers_xyz)
 
                 order = np.argsort(patch_ids, kind="stable")
                 sorted_ids = patch_ids[order]
@@ -359,12 +385,14 @@ def write_patches_collective(
         except BaseException as err:
             root_error = err
         if root_error is not None:
+            # every rank (root included) raises and skips the final
+            # status exchange — the stream is the last collective then
             dist.broadcast(
                 ("error", dist.picklable_exception(root_error))
             )
-        else:
-            dist.broadcast(("done", num_expected))
-            num_patches = num_expected
+            raise root_error
+        dist.broadcast(("done", num_expected))
+        num_patches = num_expected
     else:
         while True:
             message = dist.broadcast(None)
@@ -374,7 +402,7 @@ def write_patches_collective(
             elif message[0] == "done":
                 num_patches = message[1]
                 break
-            else:  # root failed mid-stream
+            else:  # root failed mid-stream; all ranks raise collectively
                 raise message[1]
 
     if local_error is None:
@@ -387,6 +415,7 @@ def write_patches_collective(
                 meta = Metadata.compute(
                     DataChunk.get_coords(data),
                     weights=DataChunk.getattr(data, "weights"),
+                    center=_applied_center(centers_xyz, pid),
                 )
                 meta.to_file(patch_writer.cache_path / "meta.yml")
         except BaseException as err:

@@ -9,7 +9,8 @@ reference's exact file format.
 
 Extension over the reference: samples may originate from jackknife *or*
 bootstrap resampling; the covariance normalisation adapts accordingly
-(jackknife: ``(M - 1) * cov``; bootstrap: plain ``cov``).
+(jackknife: ``(M - 1) * cov``; bootstrap: unbiased sample covariance of
+the replicates, ``ddof=1``).
 """
 
 from __future__ import annotations
@@ -66,7 +67,8 @@ def cov_from_samples(
             ``var`` (main diagonal only).
         method:
             Jackknife samples scale the covariance by ``M - 1``; bootstrap
-            samples are used as-is.
+            uses the unbiased sample covariance of the replicates
+            (``ddof=1``, i.e. plain covariance times ``M / (M - 1)``).
     """
     kind = CovKind(kind)
     method = ResamplingMethod(method)

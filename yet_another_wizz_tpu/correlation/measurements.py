@@ -56,22 +56,10 @@ angular scale are never pruned."""
 def _preferred_tile_layout(
     catalog, num_bins: int, edges, *, equal_bin_counting: bool
 ) -> str:
-    """Choose the tile layout for a binned tile set of this measurement.
-
-    The ``zmajor`` layout (bin-coherent tiles) enables per-tile
-    angular-cutoff pruning and disjoint-bin dropping in
-    :func:`~yet_another_wizz_tpu.ops.linkage.build_tile_pairs`, but inflates
-    tile bounding-cap radii by ~sqrt(num_bins) because a redshift slice
-    spreads over the whole patch footprint.
-
-    For equal-bin counting (both sides binned, autocorrelation style) the
-    disjoint-bin drop divides the pair grid by ~num_bins, cancelling the
-    radius inflation in the worst case and winning outright whenever the
-    angular cutoff contributes — so zmajor is used unconditionally. For
-    binned-rows/unbinned-columns counting there is no disjoint drop, so
-    zmajor pays off only when the angular cutoff dominates the inflated cap
-    radii (large scales, dense catalogs, or many small patches).
-    """
+    """Measurement-facing shim over
+    :func:`yet_another_wizz_tpu.ops.tiles.preferred_tile_layout` (see there
+    for the zmajor-vs-spatial policy rationale) that extracts the maximum
+    angle from a threshold-edge table."""
     from yet_another_wizz_tpu.ops.tiles import preferred_tile_layout
 
     return preferred_tile_layout(
@@ -272,17 +260,28 @@ class PatchLinkage:
     ) -> list[NormalisedScalarCounts]:
 
         """Scalar-field pair counts: the requested kappa mode normalised by
-        a plain number-count pass."""
-        kappa_counts = self.count_pairs(
-            main_catalog, *optional_catalog, mode=mode, **kwargs
+        a plain number-count pass.
+
+        Both passes are queued on the device before either result is
+        fetched (the same defer/finalize overlap the measurement
+        functions use across count types)."""
+        outer_defer = kwargs.pop("_defer", False)
+        kappa_deferred = self.count_pairs(
+            main_catalog, *optional_catalog, mode=mode, **kwargs,
+            _defer=True,
         )
-        number_counts = self.count_pairs(
-            main_catalog, *optional_catalog, mode="nn", **kwargs
+        number_deferred = self.count_pairs(
+            main_catalog, *optional_catalog, mode="nn", **kwargs,
+            _defer=True,
         )
-        return [
-            NormalisedScalarCounts(kk.counts, nn.counts)
-            for kk, nn in zip(kappa_counts, number_counts)
-        ]
+
+        def finish() -> list[NormalisedScalarCounts]:
+            return [
+                NormalisedScalarCounts(kk.counts, nn.counts)
+                for kk, nn in zip(kappa_deferred(), number_deferred())
+            ]
+
+        return finish if outer_defer else finish()
 
     def _run_blocked(
         self, catalog1, catalog2, *, auto, binned2, mode, backend,
@@ -456,6 +455,7 @@ def autocorrelate(
     kwargs = dict(
         progress=progress, max_workers=max_workers, backend=backend,
         max_resident_patches=max_resident_patches, audit=audit,
+        mesh=mesh, data_sharding=data_sharding,
     )
 
     logger.info(
@@ -620,9 +620,11 @@ def crosscorrelate_scalar(
     mesh=None,
     data_sharding: str = "replicated",
 ) -> list[ScalarCorrFunc]:
-    """Measure the angular cross-correlation amplitude between redshift
-    slices of the reference sample and a scalar field carried by the
-    unknown sample.
+    """Measure the angular cross-correlation amplitude between a scalar
+    (kappa) field carried by the REFERENCE sample and the unknown sample
+    (the reference's ``crosscorrelate_scalar`` semantics: counting mode
+    ``kn`` weights the redshift-binned reference side by kappa * weight,
+    /root/reference/src/yaw/correlation/measurements.py:709-800).
 
     Without unknown randoms the counts are normalised by the mean kappa
     over the footprint instead of a DR term.
