@@ -145,14 +145,13 @@ MAX_PAIRS_PER_CALL = 65_536
 """Upper bound on tile pairs per pallas_call: the three scalar-prefetch
 index arrays live in SMEM (~1 MB on v5e), so long pair lists are processed
 in fixed-size segments whose outputs are summed on the host. Segment sizes
-are powers of two so compiled programs are reused across calls."""
+come from the quarter-octave bucket grid so compiled programs are reused
+across calls while bounding grid padding at 25% (powers of two alone
+waste up to 50% — every padding entry re-tests a real tile pair)."""
 
 
 def _grid_size(num_pairs: int, maximum: int) -> int:
-    size = 512
-    while size < num_pairs and size < maximum:
-        size *= 2
-    return min(size, maximum)
+    return min(bucket_size(num_pairs, base=512), maximum)
 
 
 @lru_cache(maxsize=64)
