@@ -104,11 +104,12 @@ class TestStreamingIngestion:
         np.testing.assert_array_equal(
             streamed._patch_ids, readback._patch_ids
         )
-        # centers round-trip through meta.yml (decimal ra/dec text), which
-        # costs the last ulp; rows and tiles stay byte identical
+        # centers round-trip through meta.yml via xyz->radec->yaml->radec
+        # ->xyz, which costs a few ulps in the trig conversions (measured
+        # worst case ~3e-15); rows and tiles stay byte identical
         assert_allclose(
             streamed.patch_centers_xyz, readback.patch_centers_xyz,
-            rtol=0, atol=2e-16,
+            rtol=0, atol=5e-15,
         )
         from yet_another_wizz_tpu.binning import Binning
 
@@ -137,3 +138,17 @@ class TestStreamingIngestion:
         )
         assert (tmp_path / "cache" / "patch_0" / "data.bin").exists()
         assert sum(catalog.get_num_records()) == 5000
+
+    def test_catalog_as_patch_centers(self, parquet_file, tmp_path):
+        """Streaming accepts a Catalog for patch_centers like the
+        in-memory path (regression: it used to crash in
+        resolve_patch_centers for inputs large enough to stream)."""
+        path, _ = parquet_file
+        other = Catalog.from_file(
+            None, path, **NAMES, patch_num=4, streaming=False
+        )
+        streamed = Catalog.from_file(
+            tmp_path / "cache", path, **NAMES, patch_centers=other,
+            streaming=True, chunksize=700,
+        )
+        assert streamed.get_num_records() == other.get_num_records()

@@ -357,24 +357,8 @@ class Catalog(Mapping):
             centers = np.asarray(centers_xyz, dtype=np.float64)
             norms = np.linalg.norm(centers, axis=1, keepdims=True)
             centers = centers / np.maximum(norms, 1e-300)
-            if _native.NATIVE_ENABLED:
-                max_chord = np.zeros(num)
-                # per-patch max chord: reuse the tile kernel with tile
-                # size 1 so dest // 1 == the patch id itself
-                _native._lib.tile_max_chord(
-                    np.ascontiguousarray(self._xyz, np.float64),
-                    np.ascontiguousarray(ids, np.int64),
-                    len(ids), 1,
-                    np.ascontiguousarray(centers), max_chord,
-                )
-            else:
-                chord = np.linalg.norm(self._xyz - centers[ids], axis=1)
-                max_chord = np.zeros(num)
-                np.maximum.at(max_chord, ids, chord)
             self.patch_centers_xyz = centers
-            self.patch_radii = 2.0 * np.arcsin(
-                np.clip(max_chord / 2.0, 0.0, 1.0)
-            )
+            self.patch_radii = self._radii_to_centers(centers, ids, num)
             return
 
         if _native.NATIVE_ENABLED:
@@ -399,11 +383,29 @@ class Catalog(Mapping):
         nonempty = norms > 0
         centers[nonempty] = sums[nonempty] / norms[nonempty, None]
 
-        chord = np.linalg.norm(self._xyz - centers[ids], axis=1)
-        max_chord = np.zeros(num)
-        np.maximum.at(max_chord, ids, chord)
         self.patch_centers_xyz = centers
-        self.patch_radii = 2.0 * np.arcsin(np.clip(max_chord / 2.0, 0.0, 1.0))
+        self.patch_radii = self._radii_to_centers(centers, ids, num)
+
+    def _radii_to_centers(self, centers, ids, num) -> NDArray:
+        """Angular cap radii: the maximum chord distance of each patch's
+        points to the given per-patch centers."""
+        from yet_another_wizz_tpu import _native
+
+        if _native.NATIVE_ENABLED:
+            max_chord = np.zeros(num)
+            # per-patch max chord: reuse the tile kernel with tile size 1
+            # so dest // 1 == the patch id itself
+            _native._lib.tile_max_chord(
+                np.ascontiguousarray(self._xyz, np.float64),
+                np.ascontiguousarray(ids, np.int64),
+                len(ids), 1,
+                np.ascontiguousarray(centers), max_chord,
+            )
+        else:
+            chord = np.linalg.norm(self._xyz - centers[ids], axis=1)
+            max_chord = np.zeros(num)
+            np.maximum.at(max_chord, ids, chord)
+        return 2.0 * np.arcsin(np.clip(max_chord / 2.0, 0.0, 1.0))
 
     def to_cache(
         self, cache_directory: Path | str, *, overwrite: bool = False

@@ -88,6 +88,10 @@ def resolve_patch_centers(
     with kmeans on a sparse probe of the input (None when the input
     provides its own patch-id column)."""
     if patch_centers is not None:
+        from yet_another_wizz_tpu.catalog.catalog import Catalog
+
+        if isinstance(patch_centers, Catalog):
+            return patch_centers.get_centers().to_3d()
         if isinstance(patch_centers, AngularCoordinates):
             return patch_centers.to_3d()
         centers = np.asarray(patch_centers, dtype=np.float64)

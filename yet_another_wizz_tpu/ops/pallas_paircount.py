@@ -154,7 +154,7 @@ def _grid_size(num_pairs: int, maximum: int) -> int:
     return min(bucket_size(num_pairs, base=512), maximum)
 
 
-@lru_cache(maxsize=64)
+@lru_cache(maxsize=256)
 def _build_kernel_call(
     segment: int,
     tile_shape: tuple,
