@@ -40,6 +40,7 @@ __all__ = [
     "CustomCosmology",
     "FLRWCosmology",
     "HistData",
+    "LazyCatalog",
     "Planck15",
     "RedshiftData",
     "ScalarCorrFunc",
@@ -59,10 +60,10 @@ __all__ = [
 def __getattr__(name):
     # Late imports keep the base package importable while higher layers are
     # under construction and avoid importing jax for config-only use cases.
-    if name in ("Catalog",):
-        from yet_another_wizz_tpu.catalog import Catalog
+    if name in ("Catalog", "LazyCatalog"):
+        from yet_another_wizz_tpu import catalog
 
-        return Catalog
+        return getattr(catalog, name)
     if name in ("Configuration",):
         from yet_another_wizz_tpu.config import Configuration
 

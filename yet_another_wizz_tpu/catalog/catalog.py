@@ -50,6 +50,7 @@ if TYPE_CHECKING:
     from yet_another_wizz_tpu.ops.tiles import TileSet
 
 __all__ = [
+    "BlockData",
     "Catalog",
     "InconsistentPatchesError",
     "MemoryPatch",
@@ -63,6 +64,20 @@ DEFAULT_PROBE_SIZE = 500_000
 
 class InconsistentPatchesError(Exception):
     """Patch centers or ids of two catalogs do not match."""
+
+
+class BlockData:
+    """Columns of one contiguous patch block (patch ids rebased to the
+    block): the data unit the blocked measurement path keeps resident."""
+
+    __slots__ = ("xyz", "patch_ids", "weights", "redshifts", "kappa")
+
+    def __init__(self, *, xyz, patch_ids, weights, redshifts, kappa):
+        self.xyz = xyz
+        self.patch_ids = patch_ids
+        self.weights = weights
+        self.redshifts = redshifts
+        self.kappa = kappa
 
 
 class MemoryPatch:
@@ -757,6 +772,25 @@ class Catalog(Mapping):
         return np.bincount(
             flat, weights=w[keep], minlength=len(binning) * self.num_patches
         ).reshape(len(binning), self.num_patches)
+
+    def load_block(self, patch_lo: int, patch_hi: int) -> "BlockData":
+        """Columns of the patches in ``[patch_lo, patch_hi)`` with patch
+        ids rebased to the block — the unit of residency of the blocked
+        (out-of-core) measurement path."""
+        select = (
+            (self._patch_ids >= patch_lo) & (self._patch_ids < patch_hi)
+        )
+
+        def sub(col):
+            return None if col is None else col[select]
+
+        return BlockData(
+            xyz=self._xyz[select],
+            patch_ids=self._patch_ids[select] - patch_lo,
+            weights=sub(self.weights),
+            redshifts=sub(self.redshifts),
+            kappa=sub(self.kappa),
+        )
 
     def get_centers(self) -> AngularCoordinates:
         """Patch cap centers."""

@@ -50,34 +50,36 @@ def _build_block_tiles(
     tile_size: int,
 ):
     """Tile set for the patches in ``[patch_lo, patch_hi)`` with local
-    patch indices."""
-    select = (catalog.patch_ids >= patch_lo) & (catalog.patch_ids < patch_hi)
-    weights = catalog.weights
-    kappa = catalog.kappa
+    patch indices.
+
+    Data access goes through ``catalog.load_block`` so both the in-memory
+    :class:`Catalog` and the disk-backed
+    :class:`~yet_another_wizz_tpu.catalog.lazy.LazyCatalog` (whose host
+    memory stays bounded at one resident block) can drive the blocked
+    engine."""
+    data = catalog.load_block(patch_lo, patch_hi)
+    local_weights = data.weights
+    local_kappa = data.kappa
 
     if mode == "k":
-        if kappa is None:
+        if local_kappa is None:
             raise ValueError("missing required 'kappa' for scalar mode")
-        local_kappa = kappa[select]
-        local_weights = None if weights is None else weights[select]
         mode_weights = (
             local_kappa if local_weights is None
             else local_kappa * local_weights
         )
     else:
-        local_weights = None if weights is None else weights[select]
-        local_kappa = None if kappa is None else kappa[select]
         mode_weights = None
 
     if binning is None:
         zbins, num_bins = None, 0
     else:
-        zbins = binning.digitize(catalog.redshifts[select]) - 1
+        zbins = binning.digitize(data.redshifts) - 1
         num_bins = len(binning)
 
     return build_tile_set(
-        catalog.xyz[select],
-        catalog.patch_ids[select] - patch_lo,
+        data.xyz,
+        data.patch_ids,
         patch_hi - patch_lo,
         weights=local_weights,
         zbins=zbins,
