@@ -459,3 +459,55 @@ def test_pipeline_deterministic_across_processes(data_files, tmp_path):
             + (wdir / "estimate" / "nz_est_1.smp").read_bytes()
         )
     assert outputs[0] == outputs[1]
+
+
+class TestExecutionConfig:
+    """Optional `execution:` section: out-of-core measurement through the
+    pipeline (LazyCatalog + blocked engine)."""
+
+    def test_lazy_blocked_pipeline_matches_default(self, data_files, tmp_path):
+        import numpy as np
+
+        tasks = ["auto_ref", "cross_corr", "estimate"]
+        (tmp_path / "default").mkdir()
+        (tmp_path / "lazy").mkdir()
+        run(tmp_path / "default", base_setup(data_files, tasks))
+
+        setup = base_setup(data_files, tasks)
+        setup["execution"] = dict(max_resident_patches=2)
+        run(tmp_path / "lazy", setup)
+
+        for product in ("estimate/nz_est_1", "estimate/auto_ref"):
+            default = np.loadtxt(
+                tmp_path / f"default/project/{product}.dat"
+            )
+            lazy = np.loadtxt(tmp_path / f"lazy/project/{product}.dat")
+            np.testing.assert_allclose(lazy, default, rtol=1e-5, atol=1e-8)
+
+    def test_execution_round_trips_through_pipeline_yml(
+        self, data_files, tmp_path
+    ):
+        from yet_another_wizz_tpu.cli.config import ProjectConfig
+
+        setup = base_setup(data_files, ["cross_corr", "estimate"])
+        setup["execution"] = dict(max_resident_patches=3, lazy=False)
+        config = ProjectConfig.from_dict(setup)
+        assert config.execution.max_resident_patches == 3
+        assert config.execution.lazy is False
+        restored = ProjectConfig.from_dict(config.to_dict())
+        assert restored.execution.max_resident_patches == 3
+
+    def test_invalid_execution_rejected(self, data_files, tmp_path):
+        from yet_another_wizz_tpu.cli.config import ProjectConfig
+        from yet_another_wizz_tpu.config.base import ConfigError
+
+        setup = base_setup(data_files, ["cross_corr", "estimate"])
+        setup["execution"] = dict(max_resident_patches=0)
+        with pytest.raises(ConfigError, match="execution.max_resident"):
+            ProjectConfig.from_dict(setup)
+        setup["execution"] = dict(lazy=True)
+        with pytest.raises(ConfigError, match="execution.lazy"):
+            ProjectConfig.from_dict(setup)
+        setup["execution"] = dict(bogus=1)
+        with pytest.raises(ConfigError, match="bogus"):
+            ProjectConfig.from_dict(setup)

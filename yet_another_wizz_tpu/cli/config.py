@@ -229,24 +229,80 @@ class InputsConfig:
         return result
 
 
+class ExecutionConfig:
+    """Optional execution knobs: out-of-core measurement mode.
+
+    ``max_resident_patches`` routes the measurement tasks through the
+    blocked engine path (device AND host memory bounded at one
+    patch-block pair); ``lazy`` reopens the cached catalogs as
+    :class:`~yet_another_wizz_tpu.catalog.lazy.LazyCatalog` (defaults to
+    true exactly when ``max_resident_patches`` is set, which the lazy
+    path requires)."""
+
+    def __init__(
+        self,
+        max_resident_patches: int | None = None,
+        lazy: bool | None = None,
+    ) -> None:
+        if max_resident_patches is not None:
+            max_resident_patches = int(max_resident_patches)
+            if max_resident_patches < 1:
+                raise ConfigError(
+                    "must be a positive integer",
+                    "max_resident_patches",
+                )
+        if lazy is None:
+            lazy = max_resident_patches is not None
+        if lazy and max_resident_patches is None:
+            raise ConfigError(
+                "lazy catalogs require 'max_resident_patches' (the "
+                "blocked measurement path)",
+                "lazy",
+            )
+        self.max_resident_patches = max_resident_patches
+        self.lazy = bool(lazy)
+
+    @classmethod
+    def from_dict(cls: type[Self], the_dict: dict[str, Any]) -> Self:
+        the_dict = dict(the_dict)
+        unknown = set(the_dict) - {"max_resident_patches", "lazy"}
+        if unknown:
+            raise ConfigError(
+                f"unknown configuration parameter(s): "
+                f"{', '.join(sorted(unknown))}"
+            )
+        return cls(**the_dict)
+
+    def to_dict(self) -> dict[str, Any]:
+        if self.max_resident_patches is None:
+            return {}
+        return dict(
+            max_resident_patches=self.max_resident_patches, lazy=self.lazy
+        )
+
+
 class ProjectConfig:
-    """The full project setup: correlation configuration, inputs and task
-    list."""
+    """The full project setup: correlation configuration, inputs, optional
+    execution knobs and task list."""
 
     def __init__(
         self,
         correlation: Configuration,
         inputs: InputsConfig,
         tasks: list,
+        execution: ExecutionConfig | None = None,
     ) -> None:
         self.correlation = correlation
         self.inputs = inputs
         self.tasks = list(tasks)
+        self.execution = execution or ExecutionConfig()
 
     @classmethod
     def from_dict(cls: type[Self], the_dict: dict[str, Any]) -> Self:
         the_dict = dict(the_dict)
-        unknown = set(the_dict) - {"correlation", "inputs", "tasks"}
+        unknown = set(the_dict) - {
+            "correlation", "inputs", "tasks", "execution"
+        }
         if unknown:
             raise ConfigError(
                 f"unknown configuration parameter(s): {', '.join(sorted(unknown))}"
@@ -264,15 +320,25 @@ class ProjectConfig:
             inputs = InputsConfig.from_dict(the_dict.get("inputs", {}))
         except ConfigError as err:
             raise err.add_level("inputs") from err
+        try:
+            execution = ExecutionConfig.from_dict(
+                the_dict.get("execution", {})
+            )
+        except ConfigError as err:
+            raise err.add_level("execution") from err
 
-        return cls(correlation, inputs, the_dict["tasks"])
+        return cls(correlation, inputs, the_dict["tasks"], execution)
 
     def to_dict(self) -> dict[str, Any]:
-        return dict(
+        result = dict(
             correlation=self.correlation.to_dict(),
             inputs=self.inputs.to_dict(),
             tasks=list(self.tasks),
         )
+        execution = self.execution.to_dict()
+        if execution:
+            result["execution"] = execution
+        return result
 
     @classmethod
     def from_file(cls: type[Self], path: Path | str) -> Self:

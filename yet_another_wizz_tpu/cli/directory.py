@@ -70,17 +70,17 @@ class CacheHandle(Handle):
     def exists(self) -> bool:
         return self.data.path.exists()
 
-    def load_data(self):
-        from yet_another_wizz_tpu.catalog import Catalog
+    def load_data(self, *, lazy: bool = False):
+        from yet_another_wizz_tpu.catalog import Catalog, LazyCatalog
 
-        return Catalog(self.data.path)
+        return (LazyCatalog if lazy else Catalog)(self.data.path)
 
-    def load_rand(self):
-        from yet_another_wizz_tpu.catalog import Catalog
+    def load_rand(self, *, lazy: bool = False):
+        from yet_another_wizz_tpu.catalog import Catalog, LazyCatalog
 
         if not self.rand.path.exists():
             return None
-        return Catalog(self.rand.path)
+        return (LazyCatalog if lazy else Catalog)(self.rand.path)
 
 
 class CorrFuncHandle(Handle):

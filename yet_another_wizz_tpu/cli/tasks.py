@@ -218,12 +218,14 @@ class AutoRefTask(Task):
         from yet_another_wizz_tpu.correlation.measurements import autocorrelate
 
         handle = self.project.cache.reference
+        lazy = self.config.execution.lazy
         (corr,) = autocorrelate(
             self.config.correlation,
-            handle.load_data(),
-            handle.load_rand(),
+            handle.load_data(lazy=lazy),
+            handle.load_rand(lazy=lazy),
             progress=self.progress,
             max_workers=self.max_workers,
+            max_resident_patches=self.config.execution.max_resident_patches,
         )
         self.project.paircounts.auto_ref.save(corr)
 
@@ -252,13 +254,17 @@ class AutoUnkTask(Task):
     def run(self) -> None:
         from yet_another_wizz_tpu.correlation.measurements import autocorrelate
 
+        lazy = self.config.execution.lazy
         for index, handle in self.project.cache.unknown.items():
             (corr,) = autocorrelate(
                 self.config.correlation,
-                handle.load_data(),
-                handle.load_rand(),
+                handle.load_data(lazy=lazy),
+                handle.load_rand(lazy=lazy),
                 progress=self.progress,
                 max_workers=self.max_workers,
+                max_resident_patches=(
+                    self.config.execution.max_resident_patches
+                ),
             )
             self.project.paircounts.auto_unk[index].save(corr)
 
@@ -285,17 +291,21 @@ class CrossCorrTask(Task):
     def run(self) -> None:
         from yet_another_wizz_tpu.correlation.measurements import crosscorrelate
 
-        reference = self.project.cache.reference.load_data()
-        ref_rand = self.project.cache.reference.load_rand()
+        lazy = self.config.execution.lazy
+        reference = self.project.cache.reference.load_data(lazy=lazy)
+        ref_rand = self.project.cache.reference.load_rand(lazy=lazy)
         for index, handle in self.project.cache.unknown.items():
             (corr,) = crosscorrelate(
                 self.config.correlation,
                 reference,
-                handle.load_data(),
+                handle.load_data(lazy=lazy),
                 ref_rand=ref_rand,
-                unk_rand=handle.load_rand(),
+                unk_rand=handle.load_rand(lazy=lazy),
                 progress=self.progress,
                 max_workers=self.max_workers,
+                max_resident_patches=(
+                    self.config.execution.max_resident_patches
+                ),
             )
             self.project.paircounts.cross[index].save(corr)
 
@@ -363,6 +373,8 @@ class HistTask(Task):
         from yet_another_wizz_tpu.redshifts import HistData
 
         for index, handle in self.project.cache.unknown.items():
+            # the histogram reads full redshift columns; always use the
+            # memory-resident catalog (one tomographic bin at a time)
             hist = HistData.from_catalog(
                 handle.load_data(),
                 self.config.correlation,
