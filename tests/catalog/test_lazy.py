@@ -132,3 +132,42 @@ class TestLazyMeasurement:
                 config, LazyCatalog(tmp / "ref"), LazyCatalog(tmp / "rand"),
                 backend="xla",
             )
+
+
+class TestLazyRobustness:
+    def test_load_block_clamps_out_of_range(self, caches):
+        tmp, reference, _, _ = caches
+        lazy = LazyCatalog(tmp / "ref")
+        mem = reference.load_block(0, 2)
+        disk = lazy.load_block(-3, 2)  # clamps like the resident mask
+        assert len(disk.xyz) == len(mem.xyz)
+        wide = lazy.load_block(0, 99)
+        assert len(wide.xyz) == sum(reference.get_num_records())
+        with pytest.raises(ValueError, match="empty patch block"):
+            lazy.load_block(5, 3)
+
+    def test_bin_sum_weights_memo_isolated(self, caches):
+        from yet_another_wizz_tpu.binning import Binning
+
+        tmp, _, _, _ = caches
+        lazy = LazyCatalog(tmp / "ref")
+        binning = Binning(np.linspace(0.1, 1.0, 6))
+        first = lazy.bin_sum_weights(binning, 5)
+        first[:] = -1.0  # caller mutation must not corrupt the memo
+        second = lazy.bin_sum_weights(binning, 5)
+        assert np.all(second >= 0.0)
+
+    def test_empty_execution_section_accepted(self):
+        from yet_another_wizz_tpu.cli.config import ProjectConfig
+
+        # an `execution:` key with all options commented parses to None
+        config = ProjectConfig.from_dict(dict(
+            correlation=dict(
+                scales=dict(rmin=500, rmax=3000, unit="kpc"),
+                binning=dict(zmin=0.15, zmax=1.0, num_bins=3),
+            ),
+            tasks=["estimate"],
+            execution=None,
+        ))
+        assert config.execution.max_resident_patches is None
+        assert config.execution.lazy is False

@@ -86,9 +86,20 @@ def _launch_pair(mode: str, workdir: Path, timeout: float = 300.0) -> None:
         if all(rc == 0 for rc, _ in results):
             return
         outputs = "".join(out for _, out in results)
-        if attempt == 0 and _GLOO_TIMEOUT in outputs:
-            # infra timeout: clear partial products, keep the warm cache
+        if attempt == 0:
+            # one retry for ANY first failure: on a loaded single-core CI
+            # host the workers' arrival at a collective can skew past
+            # gloo's 30 s key-exchange deadline (with or without the
+            # canonical message below); a warm compile cache makes the
+            # retry deterministic, and real failures reproduce.
+            import warnings
+
+            warnings.warn(
+                f"worker pair '{mode}' failed once (retrying): "
+                f"{'gloo timeout' if _GLOO_TIMEOUT in outputs else 'see retry'}"
+            )
             shutil.rmtree(workdir / "project_mp", ignore_errors=True)
+            shutil.rmtree(workdir / "cache_mp", ignore_errors=True)
             (workdir / "payload.hdf").unlink(missing_ok=True)
             continue
         for rank, (rc, out) in enumerate(results):

@@ -66,6 +66,32 @@ class InconsistentPatchesError(Exception):
     """Patch centers or ids of two catalogs do not match."""
 
 
+def discover_patch_dirs(
+    cache_directory: Path, *, require_contiguous: bool = False
+) -> list[Path]:
+    """The ``patch_{i}`` directories of a cache, sorted by patch id.
+    Shared by the resident and the lazy catalog open paths so the cache
+    naming scheme lives in one place."""
+    if not cache_directory.exists():
+        raise FileNotFoundError(f"no cache found: {cache_directory}")
+    patch_dirs = sorted(
+        cache_directory.glob(PATCH_NAME_TEMPLATE.format("*")),
+        key=lambda p: int(p.name.split("_")[1]),
+    )
+    if not patch_dirs:
+        raise FileNotFoundError(f"cache is empty: {cache_directory}")
+    if require_contiguous:
+        expected = [
+            cache_directory / PATCH_NAME_TEMPLATE.format(pid)
+            for pid in range(len(patch_dirs))
+        ]
+        if patch_dirs != expected:
+            raise ValueError(
+                f"cache has non-contiguous patch ids: {cache_directory}"
+            )
+    return patch_dirs
+
+
 class BlockData:
     """Columns of one contiguous patch block (patch ids rebased to the
     block): the data unit the blocked measurement path keeps resident."""
@@ -213,15 +239,7 @@ class Catalog(Mapping):
     def __init__(self, cache_directory: Path | str) -> None:
         self.cache_directory = Path(cache_directory)
         logger.info("restoring from cache directory: %s", cache_directory)
-        if not self.cache_directory.exists():
-            raise FileNotFoundError(f"no cache found: {cache_directory}")
-
-        patch_dirs = sorted(
-            self.cache_directory.glob(PATCH_NAME_TEMPLATE.format("*")),
-            key=lambda p: int(p.name.split("_")[1]),
-        )
-        if not patch_dirs:
-            raise FileNotFoundError(f"cache is empty: {cache_directory}")
+        patch_dirs = discover_patch_dirs(self.cache_directory)
 
         # patch files load concurrently: numpy file reads release the GIL,
         # so a thread pool overlaps per-patch disk IO (the reference reads

@@ -28,9 +28,9 @@ from typing import TYPE_CHECKING
 import numpy as np
 
 from yet_another_wizz_tpu.catalog.catalog import (
-    PATCH_NAME_TEMPLATE,
     BlockData,
     check_patch_ids,
+    discover_patch_dirs,
 )
 from yet_another_wizz_tpu.catalog.patch import Metadata, read_patch_data
 from yet_another_wizz_tpu.coordinates import (
@@ -38,7 +38,11 @@ from yet_another_wizz_tpu.coordinates import (
     AngularDistances,
     radec_to_xyz,
 )
-from yet_another_wizz_tpu.datachunk import DataChunk, DataChunkInfo
+from yet_another_wizz_tpu.datachunk import (
+    DataChunk,
+    DataChunkInfo,
+    HandlesDataChunk,
+)
 
 if TYPE_CHECKING:
     from numpy.typing import NDArray
@@ -52,7 +56,7 @@ __all__ = [
 logger = logging.getLogger(__name__)
 
 
-class LazyCatalog:
+class LazyCatalog(HandlesDataChunk):
     """A patch cache opened without loading the data rows.
 
     Construction reads only the per-patch metadata (and one header byte
@@ -76,23 +80,9 @@ class LazyCatalog:
     def __init__(self, cache_directory: Path | str) -> None:
         self.cache_directory = Path(cache_directory)
         logger.info("lazily opening cache directory: %s", cache_directory)
-        if not self.cache_directory.exists():
-            raise FileNotFoundError(f"no cache found: {cache_directory}")
-
-        patch_dirs = sorted(
-            self.cache_directory.glob(PATCH_NAME_TEMPLATE.format("*")),
-            key=lambda p: int(p.name.split("_")[1]),
+        patch_dirs = discover_patch_dirs(
+            self.cache_directory, require_contiguous=True
         )
-        if not patch_dirs:
-            raise FileNotFoundError(f"cache is empty: {cache_directory}")
-        expected = [
-            self.cache_directory / PATCH_NAME_TEMPLATE.format(pid)
-            for pid in range(len(patch_dirs))
-        ]
-        if patch_dirs != expected:
-            raise ValueError(
-                f"cache has non-contiguous patch ids: {cache_directory}"
-            )
 
         self.num_patches = len(patch_dirs)
         check_patch_ids(self.num_patches - 1)
@@ -127,19 +117,8 @@ class LazyCatalog:
     def __len__(self) -> int:
         return self.num_patches
 
-    # -- metadata accessors (no data reads) ---------------------------------
-
-    @property
-    def has_weights(self) -> bool:
-        return self._chunk_info.has_weights
-
-    @property
-    def has_redshifts(self) -> bool:
-        return self._chunk_info.has_redshifts
-
-    @property
-    def has_kappa(self) -> bool:
-        return self._chunk_info.has_kappa
+    # -- metadata accessors (no data reads; has_weights/has_redshifts/
+    # has_kappa come from the HandlesDataChunk mixin) -----------------------
 
     def get_num_records(self) -> tuple[int, ...]:
         """Number of points per patch (from the patch metadata)."""
@@ -166,7 +145,18 @@ class LazyCatalog:
     def load_block(self, patch_lo: int, patch_hi: int) -> BlockData:
         """Read the patches in ``[patch_lo, patch_hi)`` from the cache,
         with patch ids rebased to the block. Host memory is bounded by
-        the block size regardless of the catalog size."""
+        the block size regardless of the catalog size.
+
+        Out-of-range bounds clamp to the valid patch range, matching the
+        resident :meth:`Catalog.load_block` (whose mask-based selection
+        clamps implicitly; bare tuple indexing would wrap negative ids
+        into silently wrong patches instead)."""
+        patch_lo = max(0, patch_lo)
+        patch_hi = min(self.num_patches, patch_hi)
+        if patch_hi <= patch_lo:
+            raise ValueError(
+                f"empty patch block [{patch_lo}, {patch_hi})"
+            )
         chunks = [
             self._load_patch(pid) for pid in range(patch_lo, patch_hi)
         ]
@@ -196,7 +186,7 @@ class LazyCatalog:
         key = (binning.edges.tobytes(), str(binning.closed))
         cached = self._bin_sums_cache.get(key)
         if cached is not None:
-            return cached
+            return cached.copy()  # callers may mutate their result
 
         sums = np.zeros((len(binning), self.num_patches))
         for pid in range(self.num_patches):
@@ -212,7 +202,7 @@ class LazyCatalog:
                 zbins[keep], weights=w[keep], minlength=len(binning)
             )
         self._bin_sums_cache[key] = sums
-        return sums
+        return sums.copy()
 
     # -- guards for paths that need the resident catalog ---------------------
 

@@ -321,8 +321,10 @@ class ProjectConfig:
         except ConfigError as err:
             raise err.add_level("inputs") from err
         try:
+            # an `execution:` key with everything commented out parses to
+            # None; treat it like an absent section
             execution = ExecutionConfig.from_dict(
-                the_dict.get("execution", {})
+                the_dict.get("execution") or {}
             )
         except ConfigError as err:
             raise err.add_level("execution") from err
