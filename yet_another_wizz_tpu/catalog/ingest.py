@@ -46,6 +46,10 @@ logger = logging.getLogger(__name__)
 
 PATCH_NAME_TEMPLATE = "patch_{:}"
 
+COLLECTIVE_BROADCAST_ROWS = 1_048_576
+"""Row cap per collective-ingestion broadcast round (~40 MB of columns):
+the pod-wide broadcast stages its payload through device memory."""
+
 
 def _applied_center(centers_xyz, pid: int):
     """The center that assigned patch ``pid`` as AngularCoordinates, or
@@ -352,14 +356,28 @@ def write_patches_collective(
         except BaseException as err:
             local_error = err
 
+    # bound the per-round collective payload: dist.broadcast stages the
+    # pickled splits through device memory (multihost_utils), so a full
+    # default-sized chunk (16.7M rows) would allocate ~GB on every
+    # process per round; row-capped sub-chunks keep each round ~tens of MB
+    max_rows = COLLECTIVE_BROADCAST_ROWS
+
+    def bounded(chunks):
+        for chunk in chunks:
+            for lo in range(0, len(chunk), max_rows):
+                yield chunk[lo : lo + max_rows]
+
     if dist.on_root():
         num_expected = 0 if centers_xyz is None else len(centers_xyz)
         seen: set[int] = set()
-        chunk_iter = prefetch_chunks(reader)
+        chunk_iter = bounded(prefetch_chunks(reader))
         if progress:
             from yet_another_wizz_tpu.utils.logging import Indicator
 
-            chunk_iter = Indicator(chunk_iter, reader.num_chunks)
+            rounds_per_chunk = max(1, -(-reader.chunksize // max_rows))
+            chunk_iter = Indicator(
+                chunk_iter, reader.num_chunks * rounds_per_chunk
+            )
         root_error: BaseException | None = None
         try:
             for chunk in chunk_iter:

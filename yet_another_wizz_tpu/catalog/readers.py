@@ -501,30 +501,60 @@ def new_filereader(path: Path | str, **kwargs) -> BaseReader:
 def prefetch_chunks(reader, depth: int = 1):
     """Iterate a chunked reader with background read-ahead: up to ``depth``
     chunks are loaded in a worker thread while the consumer processes the
-    current one (overlaps file I/O with downstream work)."""
+    current one (overlaps file I/O with downstream work).
+
+    If the consumer abandons the generator mid-stream (an ingestion error
+    downstream), the producer is told to stop instead of blocking forever
+    on the full queue — which would leak a thread pinning chunk-sized
+    buffers and keep reading a reader the caller may already have closed.
+    """
     import queue
     import threading
 
     work: queue.Queue = queue.Queue(maxsize=depth)
     sentinel = object()
     errors: list[BaseException] = []
+    abandoned = threading.Event()
 
     def producer() -> None:
         try:
             for chunk in reader:
-                work.put(chunk)
+                while True:
+                    if abandoned.is_set():
+                        return
+                    try:
+                        work.put(chunk, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
         except BaseException as err:
             errors.append(err)
         finally:
-            work.put(sentinel)
+            # deliver the sentinel unless the consumer abandoned us (then
+            # nothing is waiting for it)
+            while not abandoned.is_set():
+                try:
+                    work.put(sentinel, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
 
     thread = threading.Thread(target=producer, daemon=True)
     thread.start()
-    while True:
-        item = work.get()
-        if item is sentinel:
-            break
-        yield item
-    thread.join()
+    try:
+        while True:
+            item = work.get()
+            if item is sentinel:
+                break
+            yield item
+    finally:
+        abandoned.set()
+        # unblock a producer waiting to put by draining pending items
+        while True:
+            try:
+                work.get_nowait()
+            except queue.Empty:
+                break
+        thread.join()
     if errors:
         raise errors[0]

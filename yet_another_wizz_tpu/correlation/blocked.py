@@ -48,6 +48,7 @@ def _build_block_tiles(
     patch_lo: int,
     patch_hi: int,
     tile_size: int,
+    layout: str = "spatial",
 ):
     """Tile set for the patches in ``[patch_lo, patch_hi)`` with local
     patch indices.
@@ -87,6 +88,7 @@ def _build_block_tiles(
         kappa=local_kappa,
         tile_size=tile_size,
         mode_weights=mode_weights,
+        layout=layout if binning is not None else "spatial",
     )
 
 
@@ -125,6 +127,19 @@ def count_pairs_blocked(
     block = max(1, int(max_resident_patches) // 2)  # two resident sides
     starts = list(range(0, num_patches, block))
 
+    # mirror the in-memory engine's tile-layout policy
+    # (ops.tiles.preferred_tile_layout): without it the bin_max_angles
+    # pruning below is ineffective — spatial tiles span every redshift
+    # bin, so the per-tile cutoff collapses to the global maximum and the
+    # disjoint-bin drop never fires
+    from yet_another_wizz_tpu.ops.tiles import preferred_tile_layout
+
+    layout1 = preferred_tile_layout(
+        catalog1, num_bins, float(edges.max_angle),
+        equal_bin_counting=binned2, tile_size=tile_size,
+    )
+    layout2 = "zmajor" if binned2 else "spatial"
+
     indicator = None
     if progress:
         from yet_another_wizz_tpu.utils.logging import Indicator
@@ -156,11 +171,13 @@ def count_pairs_blocked(
 
             if tiles1 is None:
                 tiles1 = _build_block_tiles(
-                    catalog1, binning, mode[0], lo1, hi1, tile_size
+                    catalog1, binning, mode[0], lo1, hi1, tile_size,
+                    layout=layout1,
                 )
             tiles2 = _build_block_tiles(
                 catalog2, binning if binned2 else None, mode[1],
                 lo2, hi2, tile_size,
+                layout=layout2,
             )
 
             local_linkage = type(linkage)(

@@ -208,7 +208,9 @@ def _pair_block_boundary(
 
     w_rows = tile1[:, 6:7]  # (T, 1)
     w_cols = lane2[6:7, :]  # (1, T)
-    valid = (w_rows > 0.0) & (w_cols > 0.0)
+    # zero marks padding; NEGATIVE weights are real data (kappa modes
+    # carry signed kappa * weight), so compare against zero, not > 0
+    valid = (w_rows != 0.0) & (w_cols != 0.0)
     if cols_binned:
         valid &= tile1[:, 7:8] == lane2[7:8, :]
 

@@ -22,7 +22,7 @@ ICI/DCN across hosts.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import TYPE_CHECKING
 
 import jax
@@ -227,11 +227,32 @@ def count_pairs_sharded(
     else:
         raise ValueError(f"unknown data_sharding '{data_sharding}'")
 
-    lane2_spec = P(MESH_AXIS) if data_sharding == "columns" else P()
     table = _put_global(table, replicated)
     tile1 = _put_global(tile1, sharded)
     tile2 = _put_global(tile2, sharded)
     slots = _put_global(slots, sharded)
+
+    sharded_counts = _sharded_counts_fn(
+        mesh, data_sharding == "columns", cols_binned, num_slots_out,
+        chunk_size,
+    )
+    result = sharded_counts(lane1, lane2, tile1, tile2, slots, table)
+    return _fetch_replicated(result).astype(np.float64)[:num_slots]
+
+
+@lru_cache(maxsize=64)
+def _sharded_counts_fn(
+    mesh: Mesh,
+    lane2_sharded: bool,
+    cols_binned: bool,
+    num_slots_out: int,
+    chunk_size: int,
+):
+    """Build (and cache) the jitted shard_map program for one sharded
+    configuration: a fresh closure per call would miss jax's trace cache
+    and pay a full retrace/compile for every count of every measurement
+    (remote compiles cost minutes at survey scale)."""
+    lane2_spec = P(MESH_AXIS) if lane2_sharded else P()
 
     @jax.jit
     @partial(
@@ -251,8 +272,7 @@ def count_pairs_sharded(
         )
         return jax.lax.psum(local, MESH_AXIS)
 
-    result = sharded_counts(lane1, lane2, tile1, tile2, slots, table)
-    return _fetch_replicated(result).astype(np.float64)[:num_slots]
+    return sharded_counts
 
 
 def _shard_tiles(lane_data, num_devices):
@@ -344,6 +364,23 @@ def _count_pairs_ring(
     tile2 = _put_global(tile2, sharded)
     slots = _put_global(slots, sharded)
 
+    ring_counts = _ring_counts_fn(
+        mesh, cols_binned, num_slots_out, chunk_size
+    )
+    result = ring_counts(lane1, lane2, tile1, tile2, slots, table)
+    return _fetch_replicated(result).astype(np.float64)[:num_slots]
+
+
+@lru_cache(maxsize=64)
+def _ring_counts_fn(
+    mesh: Mesh,
+    cols_binned: bool,
+    num_slots_out: int,
+    chunk_size: int,
+):
+    """Build (and cache) the jitted ring program for one configuration
+    (see :func:`_sharded_counts_fn` for the retrace rationale)."""
+    num_devices = mesh.devices.size
     perm = [(i, (i + 1) % num_devices) for i in range(num_devices)]
 
     @jax.jit
@@ -393,5 +430,4 @@ def _count_pairs_ring(
         )
         return jax.lax.psum(acc, MESH_AXIS)
 
-    result = ring_counts(lane1, lane2, tile1, tile2, slots, table)
-    return _fetch_replicated(result).astype(np.float64)[:num_slots]
+    return ring_counts
