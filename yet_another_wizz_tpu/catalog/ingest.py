@@ -374,10 +374,13 @@ def write_patches_collective(
         if progress:
             from yet_another_wizz_tpu.utils.logging import Indicator
 
-            rounds_per_chunk = max(1, -(-reader.chunksize // max_rows))
-            chunk_iter = Indicator(
-                chunk_iter, reader.num_chunks * rounds_per_chunk
+            # exact round count: full chunks plus the (shorter) last one
+            full = max(0, reader.num_chunks - 1)
+            last_rows = reader.num_records - full * reader.chunksize
+            total = full * max(1, -(-reader.chunksize // max_rows)) + max(
+                1, -(-last_rows // max_rows)
             )
+            chunk_iter = Indicator(chunk_iter, total)
         root_error: BaseException | None = None
         try:
             for chunk in chunk_iter:

@@ -555,6 +555,9 @@ def prefetch_chunks(reader, depth: int = 1):
                 work.get_nowait()
             except queue.Empty:
                 break
-        thread.join()
+        # bounded join: the (daemon) producer may be mid-read of a large
+        # chunk and only checks abandonment between chunks; error
+        # propagation must not wait tens of seconds for that read
+        thread.join(timeout=1.0)
     if errors:
         raise errors[0]

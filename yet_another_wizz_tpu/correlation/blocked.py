@@ -138,7 +138,14 @@ def count_pairs_blocked(
         catalog1, num_bins, float(edges.max_angle),
         equal_bin_counting=binned2, tile_size=tile_size,
     )
-    layout2 = "zmajor" if binned2 else "spatial"
+    layout2 = (
+        preferred_tile_layout(
+            catalog2, num_bins, float(edges.max_angle),
+            equal_bin_counting=True, tile_size=tile_size,
+        )
+        if binned2
+        else "spatial"
+    )
 
     indicator = None
     if progress:
