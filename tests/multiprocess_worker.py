@@ -100,6 +100,11 @@ def run_pipeline(workdir: Path) -> None:
     from yet_another_wizz_tpu.cli.pipeline import run_setup
 
     check_cluster()
+    # create the gloo context NOW, while the processes are still in sync:
+    # the pipeline's first natural collective comes after ingestion, by
+    # which time single-core contention can skew the two workers past
+    # gloo's fixed 30 s key-exchange deadline
+    parallel.barrier("pipeline_warmup")
     run_setup(workdir / "project_mp", workdir / "setup.yml", quiet=True)
     parallel.barrier("pipeline_done")
     print(f"PIPELINE OK rank={parallel.process_index()}")
@@ -164,6 +169,13 @@ def run_root_error(workdir: Path) -> None:
 
 def main() -> None:
     mode, workdir = sys.argv[1], Path(sys.argv[2])
+    # hang diagnosis: `kill -USR1 <pid>` dumps all thread stacks to a file
+    import faulthandler
+    import signal
+
+    rank = os.environ.get("YAWT_PROCESS_ID", "x")
+    stack_log = open(workdir / f"stacks_{mode}_{rank}.log", "w")
+    faulthandler.register(signal.SIGUSR1, file=stack_log, all_threads=True)
     if mode == "engine":
         run_engine(workdir)
     elif mode == "pipeline":

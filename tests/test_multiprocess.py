@@ -67,8 +67,15 @@ def _run_pair_once(
     results = []
     try:
         for proc in procs:
-            out, _ = proc.communicate(timeout=timeout)
-            results.append((proc.returncode, out))
+            try:
+                out, _ = proc.communicate(timeout=timeout)
+                results.append((proc.returncode, out))
+            except subprocess.TimeoutExpired:
+                # a hung pair counts as a failed attempt (retried once by
+                # the caller) instead of erroring the test outright
+                proc.kill()
+                out, _ = proc.communicate()
+                results.append((-1, (out or "") + "\n<pair timed out>"))
     finally:
         for proc in procs:
             if proc.poll() is None:
@@ -80,7 +87,12 @@ def _launch_pair(mode: str, workdir: Path, timeout: float = 300.0) -> None:
     """Run two worker processes to completion, failing with their output."""
     import shutil
 
-    cache_dir = workdir / "jax_cache"
+    import tempfile
+
+    # one persistent compile cache across ALL two-process tests: a cold
+    # per-test cache is what skews the workers' arrival at their first
+    # collective past gloo's fixed 30 s key-exchange deadline
+    cache_dir = Path(tempfile.gettempdir()) / "yawt_mp_jax_cache"
     for attempt in range(2):
         results = _run_pair_once(mode, workdir, cache_dir, timeout)
         if all(rc == 0 for rc, _ in results):

@@ -115,24 +115,31 @@ class Pipeline:
         wdir = Path(wdir)
         config_path = wdir / "pipeline.yml"
 
+        from yet_another_wizz_tpu.parallel.distributed import (
+            barrier,
+            broadcast,
+            run_on_root,
+        )
+
+        # ALL filesystem-state branch decisions are root's view, broadcast
+        # so every process takes the same path: per-rank checks race
+        # against root's in-flight project creation (a slower rank would
+        # see root's freshly written files, raise 'not empty' and leave
+        # root deadlocked in the next collective)
+        config_exists, not_empty = broadcast(
+            (config_path.exists(), wdir.exists() and any(wdir.iterdir()))
+        )
         if setup_file is None:
-            if not config_path.exists():
+            if not config_exists:
                 raise FileNotFoundError(
                     f"no setup found in project: {config_path}"
                 )
             setup_file = config_path
         config = ProjectConfig.from_file(setup_file)
 
-        from yet_another_wizz_tpu.parallel.distributed import (
-            barrier,
-            run_on_root,
-        )
-
-        if wdir.exists() and any(wdir.iterdir()) and not (
-            overwrite or resume or config_path.exists()
-        ):
+        if not_empty and not (overwrite or resume or config_exists):
             raise FileExistsError(f"project directory not empty: {wdir}")
-        if overwrite and wdir.exists():
+        if overwrite and broadcast(wdir.exists()):
             barrier("pre_overwrite")  # nobody may still be reading it
 
             def remove_project() -> None:

@@ -491,10 +491,21 @@ class TaskList:
         }
         order = list(TopologicalSorter(graph).static_order())
 
+        # the completed() checks read the filesystem; in multi-process
+        # jobs root decides and broadcasts so every rank runs the SAME
+        # task queue (per-rank checks race against root's in-flight
+        # writes and would desynchronise the collectives)
+        from yet_another_wizz_tpu.parallel.distributed import broadcast
+
+        completed = broadcast(
+            {name: self.tasks[name].completed() for name in order}
+            if resume
+            else {}
+        )
         self.queue = []
         for name in order:
             task = self.tasks[name]
-            if resume and task.completed():
+            if resume and completed.get(name, False):
                 logger.info("skipping completed task '%s'", name)
                 continue
             self.queue.append(task)
