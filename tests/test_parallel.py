@@ -246,3 +246,129 @@ def test_mesh_with_blocked_mode():
     assert_allclose(
         blocked_sharded.sample().data, single.sample().data, rtol=1e-4
     )
+
+
+@pytest.mark.parametrize("data_sharding", ["replicated", "columns", "ring"])
+def test_sharded_pallas_engine_matches_xla(problem, data_sharding):
+    """The per-device Pallas kernel (interpret mode on CPU) produces the
+    same sharded counts as the portable XLA scatter-add engine."""
+    ts1, ts2, pairs, chord2 = problem
+    single = count_pairs_tiles(ts1, ts2, pairs, chord2, backend="xla")
+    mesh = default_mesh(4)
+    sharded = count_pairs_sharded(
+        ts1, ts2, pairs, chord2, mesh=mesh,
+        data_sharding=data_sharding, engine="pallas",
+    )
+    assert_allclose(sharded, single, rtol=1e-5, atol=1e-2)
+
+
+class TestAutoMesh:
+    """Automatic device-pool detection (VERDICT r2 item 1): single-process
+    multi-device jobs must engage all local chips by default."""
+
+    def test_cpu_backend_defaults_single_device(self, monkeypatch):
+        from yet_another_wizz_tpu.parallel import auto_mesh
+
+        monkeypatch.delenv("YAWT_NUM_DEVICES", raising=False)
+        assert auto_mesh() is None  # virtual CPU devices are not chips
+
+    def test_env_override_engages_devices(self, monkeypatch):
+        from yet_another_wizz_tpu.parallel import auto_mesh
+
+        monkeypatch.setenv("YAWT_NUM_DEVICES", "8")
+        mesh = auto_mesh()
+        assert mesh is not None and mesh.devices.size == 8
+        monkeypatch.setenv("YAWT_NUM_DEVICES", "3")
+        assert auto_mesh().devices.size == 3
+        monkeypatch.setenv("YAWT_NUM_DEVICES", "1")
+        assert auto_mesh() is None
+
+    def test_bare_engine_call_engages_all_devices(self, problem, monkeypatch):
+        """`count_pairs_tiles` without an explicit mesh must route through
+        the sharded engine over the full device pool (all 8 virtual
+        devices here), producing identical counts."""
+        import yet_another_wizz_tpu.parallel as parallel
+        from yet_another_wizz_tpu.parallel.sharded import MESH_AXIS
+
+        ts1, ts2, pairs, chord2 = problem
+        single = count_pairs_tiles(ts1, ts2, pairs, chord2, backend="xla")
+
+        seen = {}
+        real = parallel.count_pairs_sharded
+
+        def recorder(*args, **kwargs):
+            seen["mesh"] = kwargs.get("mesh")
+            return real(*args, **kwargs)
+
+        monkeypatch.setenv("YAWT_NUM_DEVICES", "8")
+        monkeypatch.setattr(parallel, "count_pairs_sharded", recorder)
+        auto = count_pairs_tiles(ts1, ts2, pairs, chord2, backend="xla")
+
+        mesh = seen["mesh"]
+        assert mesh is not None and mesh.devices.size == 8
+        assert mesh.axis_names == (MESH_AXIS,)
+        assert set(mesh.devices.ravel()) == set(jax.devices())
+        assert_allclose(auto, single, rtol=1e-5, atol=1e-2)
+
+    def test_measurement_api_engages_all_devices(self, monkeypatch):
+        """`crosscorrelate` without a mesh argument engages the automatic
+        device pool (the v5e-8 single-process scenario)."""
+        import yet_another_wizz_tpu.parallel as parallel
+        from yet_another_wizz_tpu import Catalog, Configuration
+        from yet_another_wizz_tpu.correlation.measurements import (
+            crosscorrelate,
+        )
+        from yet_another_wizz_tpu.examples import generate_mock_data
+
+        mock = generate_mock_data(800, 1200, 2000, seed=7)
+        ref = Catalog.from_arrays(
+            **mock["reference"], degrees=False, patch_num=4
+        )
+        unk = Catalog.from_arrays(
+            **mock["unknown"], degrees=False,
+            patch_centers=ref.get_centers(),
+        )
+        rand = Catalog.from_arrays(
+            **mock["randoms"], degrees=False,
+            patch_centers=ref.get_centers(),
+        )
+        config = Configuration.create(
+            rmin=500, rmax=3000, unit="kpc", zmin=0.15, zmax=1.0,
+            num_bins=3,
+        )
+        (single,) = crosscorrelate(
+            config, ref, unk, ref_rand=rand, backend="xla"
+        )
+
+        meshes = []
+        real = parallel.count_pairs_sharded
+
+        def recorder(*args, **kwargs):
+            meshes.append(kwargs.get("mesh"))
+            return real(*args, **kwargs)
+
+        monkeypatch.setenv("YAWT_NUM_DEVICES", "8")
+        monkeypatch.setattr(parallel, "count_pairs_sharded", recorder)
+        # fresh catalog instances: ensure_unique_catalogs requires it and
+        # the cached device tiles of the run above stay untouched
+        ref2 = Catalog.from_arrays(
+            **mock["reference"], degrees=False,
+            patch_centers=ref.get_centers(),
+        )
+        unk2 = Catalog.from_arrays(
+            **mock["unknown"], degrees=False,
+            patch_centers=ref.get_centers(),
+        )
+        rand2 = Catalog.from_arrays(
+            **mock["randoms"], degrees=False,
+            patch_centers=ref.get_centers(),
+        )
+        (auto,) = crosscorrelate(
+            config, ref2, unk2, ref_rand=rand2, backend="xla"
+        )
+        assert meshes and all(m.devices.size == 8 for m in meshes)
+        assert_allclose(
+            auto.dd.counts.counts, single.dd.counts.counts,
+            rtol=1e-5, atol=1e-2,
+        )
+        assert_allclose(auto.sample().data, single.sample().data, rtol=1e-4)

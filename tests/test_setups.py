@@ -511,3 +511,79 @@ class TestExecutionConfig:
         setup["execution"] = dict(bogus=1)
         with pytest.raises(ConfigError, match="bogus"):
             ProjectConfig.from_dict(setup)
+
+
+class TestExecutionDevices:
+    """`execution: devices/data_sharding/audit`: the pipeline runs its
+    measurements on a device mesh (VERDICT r2 item 1)."""
+
+    def test_devices_knob_round_trips(self, data_files):
+        from yet_another_wizz_tpu.cli.config import ProjectConfig
+
+        setup = base_setup(data_files, ["cross_corr", "estimate"])
+        setup["execution"] = dict(
+            devices=8, data_sharding="columns", audit=True
+        )
+        config = ProjectConfig.from_dict(setup)
+        assert config.execution.devices == 8
+        assert config.execution.data_sharding == "columns"
+        assert config.execution.audit is True
+        restored = ProjectConfig.from_dict(config.to_dict())
+        assert restored.execution.devices == 8
+        assert restored.execution.data_sharding == "columns"
+        assert restored.execution.audit is True
+
+    def test_invalid_devices_rejected(self, data_files):
+        from yet_another_wizz_tpu.cli.config import ProjectConfig
+
+        setup = base_setup(data_files, ["cross_corr", "estimate"])
+        setup["execution"] = dict(devices=0)
+        with pytest.raises(ConfigError, match="execution.devices"):
+            ProjectConfig.from_dict(setup)
+        setup["execution"] = dict(data_sharding="rows")
+        with pytest.raises(ConfigError, match="execution.data_sharding"):
+            ProjectConfig.from_dict(setup)
+        setup["execution"] = dict(audit=True, max_resident_patches=2)
+        with pytest.raises(ConfigError, match="execution.audit"):
+            ProjectConfig.from_dict(setup)
+
+    def test_measurement_kwargs_mesh_resolution(self):
+        from yet_another_wizz_tpu.cli.config import ExecutionConfig
+
+        auto = ExecutionConfig().measurement_kwargs()
+        assert auto["mesh"] is None  # automatic pool detection
+        single = ExecutionConfig(devices=1).measurement_kwargs()
+        assert single["mesh"] == "single"
+        eight = ExecutionConfig(devices=8).measurement_kwargs()
+        assert eight["mesh"].devices.size == 8
+
+    def test_pipeline_on_device_mesh_matches_default(
+        self, data_files, tmp_path, monkeypatch
+    ):
+        """A pipeline with `devices: 8` runs every measurement sharded
+        over the full virtual mesh and reproduces the single-device
+        products."""
+        import yet_another_wizz_tpu.parallel as parallel
+
+        tasks = ["auto_ref", "cross_corr", "estimate"]
+        (tmp_path / "default").mkdir()
+        (tmp_path / "meshed").mkdir()
+        run(tmp_path / "default", base_setup(data_files, tasks))
+
+        meshes = []
+        real = parallel.count_pairs_sharded
+
+        def recorder(*args, **kwargs):
+            meshes.append(kwargs.get("mesh"))
+            return real(*args, **kwargs)
+
+        monkeypatch.setattr(parallel, "count_pairs_sharded", recorder)
+        setup = base_setup(data_files, tasks)
+        setup["execution"] = dict(devices=8)
+        run(tmp_path / "meshed", setup)
+
+        assert meshes and all(m.devices.size == 8 for m in meshes)
+        for product in ("estimate/nz_est_1", "estimate/auto_ref"):
+            default = np.loadtxt(tmp_path / f"default/project/{product}.dat")
+            meshed = np.loadtxt(tmp_path / f"meshed/project/{product}.dat")
+            np.testing.assert_allclose(meshed, default, rtol=1e-4, atol=1e-8)

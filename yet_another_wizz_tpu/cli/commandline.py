@@ -79,6 +79,22 @@ inputs:
     # store the cached catalogs outside the project directory
     # cache_path: null
 
+# Optional execution knobs (defaults shown commented out).
+# execution:
+#     # number of devices in the measurement mesh; default: automatic
+#     # (all local chips, or the global pod mesh); 1 = single device
+#     devices: null
+#     # catalog distribution over the mesh (replicated, columns, ring)
+#     data_sharding: replicated
+#     # recompute float32 bin-boundary pairs with the float64 oracle
+#     audit: false
+#     # bound device/host memory: stream blocks of at most this many
+#     # patches through the engine (enables lazy catalog loading)
+#     max_resident_patches: null
+#     # reopen cached catalogs lazily (defaults to true when
+#     # max_resident_patches is set)
+#     lazy: null
+
 # Tasks to execute (cache_ref/cache_unk are linked automatically).
 # A task may carry options as a single-key mapping, e.g.
 #   - estimate:

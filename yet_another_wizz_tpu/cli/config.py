@@ -230,19 +230,34 @@ class InputsConfig:
 
 
 class ExecutionConfig:
-    """Optional execution knobs: out-of-core measurement mode.
+    """Optional execution knobs: device pool and out-of-core mode.
 
     ``max_resident_patches`` routes the measurement tasks through the
     blocked engine path (device AND host memory bounded at one
     patch-block pair); ``lazy`` reopens the cached catalogs as
     :class:`~yet_another_wizz_tpu.catalog.lazy.LazyCatalog` (defaults to
     true exactly when ``max_resident_patches`` is set, which the lazy
-    path requires)."""
+    path requires).
+
+    ``devices`` pins the size of the device mesh the measurements run on
+    (default: automatic — all local chips of a single-process job, the
+    global pod mesh of a multi-process job; ``1`` forces single-device
+    execution). ``data_sharding`` selects the catalog distribution over
+    the mesh (``replicated``, ``columns`` or ``ring``, see
+    :func:`yet_another_wizz_tpu.parallel.count_pairs_sharded`).
+    ``audit`` enables the exact-boundary float64 repair pass on every
+    pair count (not available together with ``max_resident_patches``).
+    """
+
+    DATA_SHARDINGS = ("replicated", "columns", "ring")
 
     def __init__(
         self,
         max_resident_patches: int | None = None,
         lazy: bool | None = None,
+        devices: int | None = None,
+        data_sharding: str = "replicated",
+        audit: bool = False,
     ) -> None:
         if max_resident_patches is not None:
             max_resident_patches = int(max_resident_patches)
@@ -259,13 +274,35 @@ class ExecutionConfig:
                 "blocked measurement path)",
                 "lazy",
             )
+        if devices is not None:
+            devices = int(devices)
+            if devices < 1:
+                raise ConfigError("must be a positive integer", "devices")
+        if data_sharding not in self.DATA_SHARDINGS:
+            raise ConfigError(
+                f"must be one of {', '.join(self.DATA_SHARDINGS)}",
+                "data_sharding",
+            )
+        audit = bool(audit)
+        if audit and max_resident_patches is not None:
+            raise ConfigError(
+                "the exact-boundary audit is not available with the "
+                "blocked 'max_resident_patches' path",
+                "audit",
+            )
         self.max_resident_patches = max_resident_patches
         self.lazy = bool(lazy)
+        self.devices = devices
+        self.data_sharding = data_sharding
+        self.audit = audit
 
     @classmethod
     def from_dict(cls: type[Self], the_dict: dict[str, Any]) -> Self:
         the_dict = dict(the_dict)
-        unknown = set(the_dict) - {"max_resident_patches", "lazy"}
+        unknown = set(the_dict) - {
+            "max_resident_patches", "lazy", "devices", "data_sharding",
+            "audit",
+        }
         if unknown:
             raise ConfigError(
                 f"unknown configuration parameter(s): "
@@ -274,10 +311,37 @@ class ExecutionConfig:
         return cls(**the_dict)
 
     def to_dict(self) -> dict[str, Any]:
-        if self.max_resident_patches is None:
-            return {}
+        result: dict[str, Any] = {}
+        if self.max_resident_patches is not None:
+            result["max_resident_patches"] = self.max_resident_patches
+            result["lazy"] = self.lazy
+        if self.devices is not None:
+            result["devices"] = self.devices
+        if self.data_sharding != "replicated":
+            result["data_sharding"] = self.data_sharding
+        if self.audit:
+            result["audit"] = self.audit
+        return result
+
+    def measurement_kwargs(self) -> dict[str, Any]:
+        """Execution keyword arguments for the measurement functions
+        (:func:`~yet_another_wizz_tpu.correlation.measurements.autocorrelate`
+        and friends): blocked mode, audit, and the device mesh resolved
+        from ``devices`` (``None`` leaves automatic pool detection to the
+        engine; ``1`` pins single-device execution)."""
+        if self.devices is None:
+            mesh = None
+        elif self.devices == 1:
+            mesh = "single"
+        else:
+            from yet_another_wizz_tpu.parallel import default_mesh
+
+            mesh = default_mesh(self.devices)
         return dict(
-            max_resident_patches=self.max_resident_patches, lazy=self.lazy
+            max_resident_patches=self.max_resident_patches,
+            audit=self.audit,
+            mesh=mesh,
+            data_sharding=self.data_sharding,
         )
 
 

@@ -225,7 +225,7 @@ class AutoRefTask(Task):
             handle.load_rand(lazy=lazy),
             progress=self.progress,
             max_workers=self.max_workers,
-            max_resident_patches=self.config.execution.max_resident_patches,
+            **self.config.execution.measurement_kwargs(),
         )
         self.project.paircounts.auto_ref.save(corr)
 
@@ -262,9 +262,7 @@ class AutoUnkTask(Task):
                 handle.load_rand(lazy=lazy),
                 progress=self.progress,
                 max_workers=self.max_workers,
-                max_resident_patches=(
-                    self.config.execution.max_resident_patches
-                ),
+                **self.config.execution.measurement_kwargs(),
             )
             self.project.paircounts.auto_unk[index].save(corr)
 
@@ -303,9 +301,7 @@ class CrossCorrTask(Task):
                 unk_rand=handle.load_rand(lazy=lazy),
                 progress=self.progress,
                 max_workers=self.max_workers,
-                max_resident_patches=(
-                    self.config.execution.max_resident_patches
-                ),
+                **self.config.execution.measurement_kwargs(),
             )
             self.project.paircounts.cross[index].save(corr)
 

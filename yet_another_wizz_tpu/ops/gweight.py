@@ -1,0 +1,111 @@
+"""Per-pair separation weights for the direct counting mode.
+
+Shared by the XLA path (:mod:`yet_another_wizz_tpu.ops.paircount`) and the
+Pallas TPU kernel (:mod:`yet_another_wizz_tpu.ops.pallas_paircount`): all
+operations are elementwise jax.numpy that lowers both in plain XLA and in
+Mosaic. See :class:`yet_another_wizz_tpu.ops.thresholds.DirectEdges` for
+the table layout and the exact-equivalence argument versus the reference's
+union-edge histogram (/root/reference/src/yaw/catalog/trees.py:84-117).
+
+Cost: one fixed block of ~15 VPU passes per tile pair (sqrt, arcsine
+polynomial, log, exp, and the adjustment selects), replacing the ~3 passes
+PER SUB-EDGE of cumulative counting.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+__all__ = [
+    "apply_direct_weight",
+    "num_param_cols",
+]
+
+_INV_LN10 = 0.43429448190325176
+_PI_2 = 1.5707963267948966
+
+
+def num_param_cols(num_below: int, num_above: int) -> int:
+    """Width of the per-bin parameter block appended to the threshold
+    table: ``[inv_d, lo_scaled, gc0, gc1]`` plus 3 columns per entry."""
+    return 4 + 3 * (num_below + num_above)
+
+
+def _asin_f32(s):
+    """Branchless float32 arcsine on [0, 1].
+
+    Small arguments use the classic single-precision minimax polynomial
+    (Cephes asinf coefficients, ~1 ulp on [0, 0.5]); larger ones go
+    through ``asin(s) = pi/2 - 2 asin(sqrt((1 - s) / 2))``, whose inner
+    argument is again <= 0.5. Written out explicitly because TPU Pallas
+    has no library arcsine.
+    """
+    big = s > 0.5
+    t = jnp.where(big, jnp.sqrt(jnp.maximum(0.5 * (1.0 - s), 0.0)), s)
+    z = t * t
+    p = (
+        (((4.2163199048e-2 * z + 2.4181311049e-2) * z + 4.5470025998e-2) * z
+         + 7.4953002686e-2) * z + 1.6666752422e-1
+    )
+    r = t + t * z * p
+    return jnp.where(big, _PI_2 - 2.0 * r, r)
+
+
+def apply_direct_weight(
+    chord2,
+    params,
+    weights,
+    *,
+    num_sub: int,
+    num_below: int,
+    num_above: int,
+):
+    """Multiply pair ``weights`` by the normalised separation weight.
+
+    Args:
+        chord2: ``(T, T)`` squared chord distances.
+        params: ``(T, C)`` per-row parameter block (one-hot selected from
+            the per-bin table; ``C == num_param_cols(...)``).
+        weights: ``(T, T)`` effective column weights to scale.
+        num_sub / num_below / num_above: static grid configuration, see
+            :class:`~yet_another_wizz_tpu.ops.thresholds.DirectEdges`.
+
+    The sub-interval index comes from the uniform log grid in O(1):
+    ``floor(log10(theta) * inv_d - lo_scaled)`` with
+    ``theta = 2 asin(sqrt(chord2) / 2)``; the base weight is
+    ``exp(gc0 + gc1 * idx)`` and the below/above entries repair the
+    sub-intervals split by interior scale limits. Pairs outside the grid
+    clip to the end intervals — they either cancel between the cumulative
+    scale-edge sums (below the minimum) or never enter one (above the
+    maximum), so their weight value is irrelevant.
+    """
+    inv_d = params[:, 0:1]
+    lo_scaled = params[:, 1:2]
+    gc0 = params[:, 2:3]
+    gc1 = params[:, 3:4]
+
+    s = jnp.minimum(0.5 * jnp.sqrt(chord2), 1.0)
+    theta = 2.0 * _asin_f32(s)
+    log10_theta = jnp.log(jnp.maximum(theta, 1e-30)) * _INV_LN10
+    idx = jnp.clip(
+        jnp.floor(log10_theta * inv_d - lo_scaled),
+        0.0,
+        float(num_sub - 1),
+    )
+    g = jnp.exp(gc0 + gc1 * idx)
+
+    col = 4
+    for _ in range(num_below):
+        k = params[:, col : col + 1]
+        thr = params[:, col + 1 : col + 2]
+        value = params[:, col + 2 : col + 3]
+        g = jnp.where((idx == k) & (chord2 <= thr), value, g)
+        col += 3
+    # ascending above-entries: a pair lands on the highest limit below it
+    for _ in range(num_above):
+        k = params[:, col : col + 1]
+        thr = params[:, col + 1 : col + 2]
+        value = params[:, col + 2 : col + 3]
+        g = jnp.where((idx == k) & (chord2 > thr), value, g)
+        col += 3
+    return weights * g

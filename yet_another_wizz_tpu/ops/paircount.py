@@ -75,6 +75,7 @@ def pair_block_counts(
     chord2_table: jnp.ndarray,
     *,
     cols_binned: bool,
+    direct: tuple | None = None,
 ) -> jnp.ndarray:
     """Cumulative weighted pair counts between two point tiles.
 
@@ -82,17 +83,28 @@ def pair_block_counts(
         lane1: ``(8, T)`` float32 tile (rows: the redshift-binned catalog).
         lane2: ``(8, T)`` float32 tile (columns).
         chord2_table: ``(B, E)`` float32 squared-chord thresholds per bin.
+            In direct mode the table carries the per-bin weight parameter
+            block appended after the counting edges (see
+            :meth:`yet_another_wizz_tpu.ops.thresholds.DirectEdges.combined_table`).
         cols_binned: require equal bin indices on both sides (both catalogs
             binned, i.e. autocorrelation-style counting).
+        direct: static ``(num_sub, num_below, num_above)`` configuration
+            of the direct separation-weighted counting mode, or None.
 
     Returns:
         ``(B, E)`` float32 tensor; entry (b, e) is the sum of
         ``w_i * w_j`` over pairs with row point in bin b and squared chord
-        distance ``<= chord2_table[b, e]``.
+        distance ``<= chord2_table[b, e]`` (times the per-pair separation
+        weight in direct mode).
 
     Channel layout matches :mod:`yet_another_wizz_tpu.ops.tiles`.
     """
-    num_bins, num_edges = chord2_table.shape
+    num_bins, num_cols_total = chord2_table.shape
+    num_edges = num_cols_total
+    if direct is not None:
+        from yet_another_wizz_tpu.ops.gweight import num_param_cols
+
+        num_edges = num_cols_total - num_param_cols(direct[1], direct[2])
     tile1 = lane1.T  # (T, 8)
 
     # squared chord distance with (hi, lo) compensation, shape (T, T)
@@ -118,9 +130,18 @@ def pair_block_counts(
     z_rows = tile1[:, 7:8]
     bin_ids = jnp.arange(num_bins, dtype=jnp.float32)[None, :]
     onehot = (z_rows == bin_ids).astype(jnp.float32)  # (T, B)
-    thresholds = jnp.sum(
+    selected = jnp.sum(
         onehot[:, :, None] * chord2_table[None, :, :], axis=1
-    )  # (T, E); exact: one non-zero product per output element
+    )  # (T, E [+ C]); exact: one non-zero product per output element
+    thresholds = selected[:, :num_edges]
+
+    if direct is not None:
+        from yet_another_wizz_tpu.ops.gweight import apply_direct_weight
+
+        w_cols_eff = apply_direct_weight(
+            chord2, selected[:, num_edges:], w_cols_eff,
+            num_sub=direct[0], num_below=direct[1], num_above=direct[2],
+        )
 
     # cumulative counts per row and edge
     row_sums = []
@@ -140,9 +161,18 @@ def pair_block_counts(
     )  # (B, E)
 
 
+def _counting_width(chord2_table, direct: tuple | None) -> int:
+    """Number of counting-edge columns of a (possibly combined) table."""
+    if direct is None:
+        return chord2_table.shape[1]
+    from yet_another_wizz_tpu.ops.gweight import num_param_cols
+
+    return chord2_table.shape[1] - num_param_cols(direct[1], direct[2])
+
+
 @partial(
     jax.jit,
-    static_argnames=("cols_binned", "num_slots_out", "chunk_size"),
+    static_argnames=("cols_binned", "num_slots_out", "chunk_size", "direct"),
 )
 def _count_pairs_xla(
     lane1: jnp.ndarray,
@@ -155,6 +185,7 @@ def _count_pairs_xla(
     cols_binned: bool,
     num_slots_out: int,
     chunk_size: int,
+    direct: tuple | None = None,
 ) -> jnp.ndarray:
     """Scan over chunks of tile pairs, vmap within a chunk, scatter-add into
     patch-pair slots. Expects the pair list padded to a chunk multiple with
@@ -165,7 +196,7 @@ def _count_pairs_xla(
     shape = (num_chunks, chunk_size)
 
     pair_fn = jax.vmap(
-        partial(pair_block_counts, cols_binned=cols_binned),
+        partial(pair_block_counts, cols_binned=cols_binned, direct=direct),
         in_axes=(0, 0, None),
     )
 
@@ -175,7 +206,12 @@ def _count_pairs_xla(
         return acc.at[slot].add(blocks), None
 
     init = jnp.zeros(
-        (num_slots_out, *chord2_table.shape), dtype=jnp.float32
+        (
+            num_slots_out,
+            chord2_table.shape[0],
+            _counting_width(chord2_table, direct),
+        ),
+        dtype=jnp.float32,
     )
     acc, _ = jax.lax.scan(
         body,
@@ -381,6 +417,7 @@ def count_pairs_tiles(
     mesh=None,
     data_sharding: str = "replicated",
     defer: bool = False,
+    direct: tuple | None = None,
 ) -> NDArray:
     """Run the pair-count engine over a tile-pair list.
 
@@ -389,8 +426,8 @@ def count_pairs_tiles(
     device float32 array is returned WITHOUT waiting for it — the caller
     fetches later (``np.asarray(jax.device_get(...))``), so the device can
     keep computing queued follow-up counts while earlier results transfer
-    and post-process on the host (ignored for the oracle backend and when
-    ``audit`` or ``mesh`` is active).
+    and post-process on the host (ignored for the oracle backend, when
+    ``audit`` is active, and in multi-process mesh jobs).
 
     Backends: ``pallas`` (TPU kernel), ``xla`` (portable jax.numpy path),
     ``oracle`` (float64 scipy kd-trees on the host, requires
@@ -399,14 +436,31 @@ def count_pairs_tiles(
     With ``mesh`` (a :class:`jax.sharding.Mesh`) the engine runs sharded
     over the mesh devices with the given ``data_sharding`` layout
     (``replicated``, ``columns`` or ``ring``, see
-    :func:`yet_another_wizz_tpu.parallel.count_pairs_sharded`).
+    :func:`yet_another_wizz_tpu.parallel.count_pairs_sharded`). With
+    ``mesh=None`` (the default) the device pool is detected
+    automatically (:func:`yet_another_wizz_tpu.parallel.auto_mesh`: all
+    local chips of a single-process job, the global mesh of a pod job);
+    ``mesh="single"`` pins plain single-device execution.
 
     With ``audit=True`` (requires ``edges_radian``) the result passes
     through :func:`audit_boundary_counts`, which repairs any float32
     bin-edge misclassification against the float64 reference semantics.
+
+    With ``direct`` (a static ``(num_sub, num_below, num_above)`` tuple)
+    the engine runs the direct separation-weighted counting mode:
+    ``chord2_table`` must then be the combined counting+parameter table
+    (:meth:`yet_another_wizz_tpu.ops.thresholds.DirectEdges.combined_table`)
+    and the output edge axis covers only the counting edges. Not
+    available with ``audit`` or the ``oracle`` backend, which require the
+    union-edge cumulative representation (callers fall back to it).
     """
     if audit and edges_radian is None:
         raise ValueError("audit=True requires 'edges_radian'")
+    if direct is not None and (audit or backend == "oracle"):
+        raise ValueError(
+            "direct counting requires the cumulative representation for "
+            "audit/oracle execution"
+        )
     cols_binned = tiles2.binned
     if cols_binned and tiles1.num_bins != tiles2.num_bins:
         raise ValueError("tile sets have inconsistent binning")
@@ -417,27 +471,44 @@ def count_pairs_tiles(
     table = _device_table(chord2_table)
 
     if pairs.num_pairs == 0:
-        return np.zeros((num_slots, *table.shape), dtype=np.float64)
+        width = _counting_width(table, direct)
+        return np.zeros(
+            (num_slots, table.shape[0], width), dtype=np.float64
+        )
 
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
 
-    if mesh is None and backend != "oracle" and jax.process_count() > 1:
-        # multi-host pod job: all processes were launched to participate,
-        # so the engine defaults to the global device mesh (the analogue
-        # of the reference automatically task-farming over MPI ranks,
-        # /root/reference/src/yaw/utils/parallel.py:288-316)
-        from yet_another_wizz_tpu.parallel import default_mesh
+    if mesh == "single":
+        # explicit single-device pin (e.g. the pipeline's
+        # `execution: devices: 1`): skip automatic pool detection
+        mesh = None
+    elif mesh is None and backend != "oracle":
+        # automatic device pool: a multi-host pod job gets the global
+        # mesh (all processes were launched to participate); a
+        # single-process job with several local chips gets a local mesh
+        # so e.g. a v5e-8 engages all 8 chips by default — the analogue
+        # of the reference auto-detecting its full worker pool
+        # (/root/reference/src/yaw/utils/parallel.py:53-85). Returns
+        # None (plain single-device execution) when there is nothing to
+        # spread over; see parallel.auto_mesh for the CPU-backend rules.
+        from yet_another_wizz_tpu.parallel import auto_mesh
 
-        mesh = default_mesh()
+        mesh = auto_mesh()
 
     if mesh is not None and backend != "oracle":
         from yet_another_wizz_tpu.parallel import count_pairs_sharded
 
-        counts = count_pairs_sharded(
+        result = count_pairs_sharded(
             tiles1, tiles2, pairs, table,
-            mesh=mesh, data_sharding=data_sharding,
+            mesh=mesh, data_sharding=data_sharding, engine=backend,
+            defer=defer and not audit, direct=direct,
         )
+        if not isinstance(result, np.ndarray):
+            if defer and not audit:
+                return result
+            result = np.asarray(jax.device_get(result))
+        counts = result.astype(np.float64, copy=False)
         if audit:
             counts, _ = audit_boundary_counts(
                 tiles1, tiles2, pairs, counts, chord2_table, edges_radian
@@ -460,6 +531,7 @@ def count_pairs_tiles(
             pairs,
             table,
             cols_binned=cols_binned,
+            direct=direct,
         )
     elif backend == "xla":
         # pad the pair list to a bucketed chunk multiple and the slot axis
@@ -488,6 +560,7 @@ def count_pairs_tiles(
             cols_binned=cols_binned,
             num_slots_out=num_slots_out,
             chunk_size=chunk_size,
+            direct=direct,
         )[:num_slots]
     else:
         raise ValueError(f"unknown backend '{backend}'")

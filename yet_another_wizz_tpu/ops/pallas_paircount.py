@@ -38,6 +38,7 @@ if TYPE_CHECKING:
 
 __all__ = [
     "count_pairs_pallas",
+    "pallas_partial_counts",
 ]
 
 
@@ -59,6 +60,7 @@ def _paircount_kernel(
     cols_binned: bool,
     num_bins: int,
     num_edges: int,
+    direct: tuple | None = None,
 ):
     k = pl.program_id(0)
     lane1 = lane1_ref[0]  # (8, T)
@@ -70,23 +72,28 @@ def _paircount_kernel(
     prev_tile1 = tile1_ref[jnp.maximum(k - 1, 0)]
     tile1_is_new = jnp.logical_or(k == 0, tile1_ref[k] != prev_tile1)
 
+    num_table_cols = table_ref.shape[1]
+
     @pl.when(tile1_is_new)
     def _():
         tile1 = lane1.T  # (T, 8)
         row_scratch_ref[:] = tile1
         z_rows_col = tile1[:, 7:8]  # (T, 1)
-        thresholds = jnp.zeros(
-            (tile1.shape[0], num_edges), dtype=jnp.float32
+        selected = jnp.zeros(
+            (tile1.shape[0], num_table_cols), dtype=jnp.float32
         )
-        # exact one-hot selection (see module docstring on precision)
+        # exact one-hot selection (see module docstring on precision);
+        # in direct mode the table carries the per-bin weight parameter
+        # block after the counting edges and is selected in the same pass
         for b in range(num_bins):
-            row_b = table_ref[b : b + 1, :]  # (1, E)
+            row_b = table_ref[b : b + 1, :]  # (1, E [+ C])
             match = (z_rows_col == np.float32(b)).astype(jnp.float32)
-            thresholds = thresholds + match * row_b
-        thr_scratch_ref[:] = thresholds
+            selected = selected + match * row_b
+        thr_scratch_ref[:] = selected
 
     tile1 = row_scratch_ref[:]  # (T, 8)
-    thresholds = thr_scratch_ref[:]  # (T, E)
+    selected = thr_scratch_ref[:]  # (T, E [+ C])
+    thresholds = selected[:, :num_edges]
 
     # chord^2 with (hi, lo) compensation — all (T, T) VPU work
     chord2 = None
@@ -103,6 +110,14 @@ def _paircount_kernel(
         w_cols_eff = jnp.where(z_rows_col == z_cols, w_cols, 0.0)
     else:
         w_cols_eff = jnp.broadcast_to(w_cols, chord2.shape)
+
+    if direct is not None:
+        from yet_another_wizz_tpu.ops.gweight import apply_direct_weight
+
+        w_cols_eff = apply_direct_weight(
+            chord2, selected[:, num_edges:], w_cols_eff,
+            num_sub=direct[0], num_below=direct[1], num_above=direct[2],
+        )
 
     # cumulative counts per row and edge
     cols = []
@@ -154,6 +169,15 @@ def _grid_size(num_pairs: int, maximum: int) -> int:
     return min(bucket_size(num_pairs, base=512), maximum)
 
 
+def _counting_width(num_table_cols: int, direct: tuple | None) -> int:
+    """Counting-edge columns of a (possibly combined) threshold table."""
+    if direct is None:
+        return num_table_cols
+    from yet_another_wizz_tpu.ops.gweight import num_param_cols
+
+    return num_table_cols - num_param_cols(direct[1], direct[2])
+
+
 @lru_cache(maxsize=256)
 def _build_kernel_call(
     segment: int,
@@ -163,6 +187,9 @@ def _build_kernel_call(
     num_edges: int,
     cols_binned: bool,
     interpret: bool,
+    vma: frozenset | None = None,
+    num_table_cols: int | None = None,
+    direct: tuple | None = None,
 ):
     """Construct (and cache) the pallas_call for one kernel configuration.
 
@@ -170,6 +197,8 @@ def _build_kernel_call(
     invocations: fresh lambdas defeat jax's trace cache and add ~0.5 s of
     retracing per call.
     """
+    if num_table_cols is None:
+        num_table_cols = num_edges
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(segment,),
@@ -183,7 +212,7 @@ def _build_kernel_call(
                 lambda k, t1, t2, sl: (t2[k], 0, 0),
             ),
             pl.BlockSpec(
-                (num_bins, num_edges),
+                (num_bins, num_table_cols),
                 lambda k, t1, t2, sl: (0, 0),
             ),
         ],
@@ -193,7 +222,7 @@ def _build_kernel_call(
         ),
         scratch_shapes=[
             pltpu.VMEM((tile_shape[1], tile_shape[0]), jnp.float32),
-            pltpu.VMEM((tile_shape[1], num_edges), jnp.float32),
+            pltpu.VMEM((tile_shape[1], num_table_cols), jnp.float32),
         ],
     )
     return pl.pallas_call(
@@ -202,13 +231,137 @@ def _build_kernel_call(
             cols_binned=cols_binned,
             num_bins=num_bins,
             num_edges=num_edges,
+            direct=direct,
         ),
         grid_spec=grid_spec,
+        # vma: inside a shard_map program the kernel output varies over
+        # the mesh axes (jax's varying-mesh-axes check requires it named)
         out_shape=jax.ShapeDtypeStruct(
-            (num_slots_out, num_bins, num_edges), jnp.float32
+            (num_slots_out, num_bins, num_edges), jnp.float32, vma=vma
         ),
         interpret=interpret,
     )
+
+
+def pallas_partial_counts(
+    lane_data1,
+    lane_data2,
+    tile1,
+    tile2,
+    slots,
+    chord2_table,
+    *,
+    num_slots_out: int,
+    cols_binned: bool,
+    interpret: bool,
+    segment: int,
+    mask_always: bool = False,
+    vma: frozenset | None = None,
+    direct: tuple | None = None,
+) -> jnp.ndarray:
+    """Traced core of the Pallas engine over a pre-padded pair list.
+
+    ``tile1``/``tile2``/``slots`` must be padded to a multiple of
+    ``segment`` with dump-slot entries; the list is processed in
+    fixed-size kernel launches whose partial outputs are combined ON
+    DEVICE. Output blocks of slots a launch's grid never visits keep
+    whatever memory XLA handed out, so each launch's output is masked by
+    a device-computed visited-slot mask before accumulating (a multiply
+    would propagate NaN from uninitialised blocks; select instead). A
+    single-launch list skips the mask: every real slot is visited and the
+    caller slices off the garbage rows at ``>= num_slots + 1``.
+
+    This function contains no host-side work, so it can be traced inside
+    ``jax.jit`` or a per-device ``shard_map`` program. With
+    ``mask_always=True`` even a single launch is masked — required under
+    ``shard_map``, where each device sees only a chunk of the pair list
+    and unmasked garbage rows would be summed into real slots by the
+    cross-device ``psum``, and whenever the slot list does not cover
+    every real slot (a linked patch pair whose tile pairs were all
+    pruned by the bounding caps has a slot but no pair-list entries, so
+    its output row is never written and keeps HBM garbage).
+    """
+    num_bins, num_table_cols = chord2_table.shape
+    num_edges = _counting_width(num_table_cols, direct)
+    tile_shape = tuple(lane_data1.shape[1:])  # (8, T)
+    padded = tile1.shape[0]
+    kernel = _build_kernel_call(
+        segment,
+        tile_shape,
+        num_slots_out,
+        num_bins,
+        num_edges,
+        cols_binned,
+        interpret,
+        vma,
+        num_table_cols,
+        direct,
+    )
+
+    total = None
+    for lo in range(0, padded, segment):
+        hi = lo + segment
+        seg_slots = jax.lax.slice(slots, (lo,), (hi,))
+        part = kernel(
+            jax.lax.slice(tile1, (lo,), (hi,)),
+            jax.lax.slice(tile2, (lo,), (hi,)),
+            seg_slots,
+            lane_data1,
+            lane_data2,
+            chord2_table,
+        )
+        if padded == segment and not mask_always:
+            return part
+        visited = (
+            jnp.zeros(num_slots_out, dtype=bool).at[seg_slots].set(True)
+        )
+        part = jnp.where(visited[:, None, None], part, 0.0)
+        total = part if total is None else total + part
+    return total
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "num_slots_out", "cols_binned", "interpret", "segment", "direct",
+    ),
+)
+def _masked_segment_add(
+    stacked, lo, lane_data1, lane_data2, chord2_table, total,
+    *,
+    num_slots_out: int,
+    cols_binned: bool,
+    interpret: bool,
+    segment: int,
+    direct: tuple | None = None,
+):
+    """One masked kernel launch accumulated into the running total.
+
+    ``lo`` is a traced offset into the stacked index arrays, so every
+    segment of a multi-launch pair list reuses ONE compiled program (a
+    static offset would compile per segment position)."""
+    num_bins, num_table_cols = chord2_table.shape
+    num_edges = _counting_width(num_table_cols, direct)
+    tile_shape = tuple(lane_data1.shape[1:])
+    kernel = _build_kernel_call(
+        segment,
+        tile_shape,
+        num_slots_out,
+        num_bins,
+        num_edges,
+        cols_binned,
+        interpret,
+        None,
+        num_table_cols,
+        direct,
+    )
+    idx = jax.lax.dynamic_slice(stacked, (0, lo), (3, segment))
+    seg_slots = idx[2]
+    part = kernel(
+        idx[0], idx[1], seg_slots, lane_data1, lane_data2, chord2_table
+    )
+    visited = jnp.zeros(num_slots_out, dtype=bool).at[seg_slots].set(True)
+    return total + jnp.where(visited[:, None, None], part, 0.0)
 
 
 def count_pairs_pallas(
@@ -220,6 +373,7 @@ def count_pairs_pallas(
     cols_binned: bool,
     interpret: bool | None = None,
     max_pairs_per_call: int = MAX_PAIRS_PER_CALL,
+    direct: tuple | None = None,
 ) -> jnp.ndarray:
     """Run the Pallas pair-count kernel over a slot-sorted tile-pair list.
 
@@ -228,7 +382,6 @@ def count_pairs_pallas(
     carries one extra trailing "dump" slot while counting (padding entries
     accumulate there) which is dropped before returning.
     """
-    num_bins, num_edges = chord2_table.shape
     num_slots = pairs.num_slots
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -248,15 +401,12 @@ def count_pairs_pallas(
     tile2[: pairs.num_pairs] = pairs.tile2
     slots[: pairs.num_pairs] = pairs.slot
 
-    tile_shape = tuple(lane_data1.shape[1:])  # (8, T)
-    kernel = _build_kernel_call(
-        segment,
-        tile_shape,
-        num_slots_out,
-        num_bins,
-        num_edges,
-        cols_binned,
-        interpret,
+    static = dict(
+        num_slots_out=num_slots_out,
+        cols_binned=cols_binned,
+        interpret=interpret,
+        segment=segment,
+        direct=direct,
     )
 
     # upload the padded index arrays once, stacked into a single transfer
@@ -264,31 +414,38 @@ def count_pairs_pallas(
     # dominates over a tunneled device link); per-segment slicing happens
     # on the device
     stacked = jnp.asarray(np.stack([tile1, tile2, slots]))
-    tile1_dev = stacked[0]
-    tile2_dev = stacked[1]
-    slots_dev = stacked[2]
 
-    total = None
-    for lo in range(0, padded, segment):
-        hi = lo + segment
-        part = kernel(
-            jax.lax.slice(tile1_dev, (lo,), (hi,)),
-            jax.lax.slice(tile2_dev, (lo,), (hi,)),
-            jax.lax.slice(slots_dev, (lo,), (hi,)),
-            lane_data1,
-            lane_data2,
-            chord2_table,
+    if padded == segment:
+        # the common single-launch case: when every real slot appears in
+        # the pair list (checked on the host — the list is slot-sorted,
+        # so distinct-count is one vectorised diff), the mask is skipped
+        # entirely; garbage rows then live only at >= num_slots + 1 and
+        # are sliced off. Slots with all tile pairs cap-pruned DO happen
+        # (linked patch pair, no surviving tile pairs) and MUST be
+        # masked: their output rows are never written and keep whatever
+        # HBM memory XLA handed out.
+        real = pairs.slot
+        covered = len(real) > 0 and (
+            1 + int(np.count_nonzero(np.diff(real))) == num_slots
         )
-        # output blocks of slots not visited by THIS segment's grid keep
-        # whatever memory XLA handed out (which may alias a previous
-        # segment's output!) — mask them to zero before accumulating
-        visited = np.zeros(num_slots_out, dtype=bool)
-        visited[np.unique(slots[lo:hi])] = True
-        if not visited.all():
-            # a multiply would propagate NaN from uninitialised memory in
-            # unvisited blocks (0 * nan = nan); select instead
-            part = jnp.where(
-                jnp.asarray(visited)[:, None, None], part, 0.0
-            )
-        total = part if total is None else total + part
+        total = pallas_partial_counts(
+            lane_data1, lane_data2,
+            stacked[0], stacked[1], stacked[2],
+            chord2_table, **static, mask_always=not covered,
+        )
+        return total[:num_slots]
+
+    total = jnp.zeros(
+        (
+            num_slots_out,
+            chord2_table.shape[0],
+            _counting_width(chord2_table.shape[1], direct),
+        ),
+        dtype=jnp.float32,
+    )
+    for lo in range(0, padded, segment):
+        total = _masked_segment_add(
+            stacked, lo, lane_data1, lane_data2, chord2_table, total,
+            **static,
+        )
     return total[:num_slots]

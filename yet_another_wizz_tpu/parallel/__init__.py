@@ -20,11 +20,13 @@ from yet_another_wizz_tpu.parallel.distributed import (
     run_on_root,
 )
 from yet_another_wizz_tpu.parallel.sharded import (
+    auto_mesh,
     count_pairs_sharded,
     default_mesh,
 )
 
 __all__ = [
+    "auto_mesh",
     "barrier",
     "broadcast",
     "broadcasted",

@@ -4,8 +4,9 @@ Design (see SURVEY.md section 2.2): the unit of distribution is the flat,
 slot-sorted tile-pair list from
 :func:`yet_another_wizz_tpu.ops.linkage.build_tile_pairs`. Each device
 receives an equal, contiguous chunk (padded with dump-slot entries),
-evaluates the same vmapped pair-count program as the single-chip XLA path,
-scatter-adds into its private ``(num_slots + 1, B, E)`` partial tensor, and
+evaluates the same per-device pair-count program as single-chip execution
+(the Pallas kernel on TPU, the portable vmap+scan XLA program elsewhere)
+into its private ``(num_slots + 1, B, E)`` partial tensor, and
 the partials are summed with ``psum`` over the mesh. Three catalog layouts
 are implemented (``data_sharding=``): ``replicated`` tiles on every device,
 ``columns`` with the column catalog sharded 1/N, and ``ring`` with both
@@ -40,11 +41,20 @@ if TYPE_CHECKING:
     from yet_another_wizz_tpu.ops.tiles import TileSet
 
 __all__ = [
+    "auto_mesh",
     "count_pairs_sharded",
     "default_mesh",
 ]
 
 MESH_AXIS = "shards"
+
+NUM_DEVICES_ENV = "YAWT_NUM_DEVICES"
+"""Environment override for the automatic device pool: the number of
+devices the engine uses when no explicit mesh is given (``1`` pins
+single-device execution; on the CPU backend, where "devices" are virtual
+slices of the same cores, setting it is the only way to opt in). The
+moral equivalent of the reference's ``YAW_NUM_THREADS`` worker-pool
+override (/root/reference/src/yaw/utils/parallel.py:53-85)."""
 
 
 def default_mesh(num_devices: int | None = None) -> Mesh:
@@ -56,6 +66,45 @@ def default_mesh(num_devices: int | None = None) -> Mesh:
     if num_devices is not None:
         devices = devices[:num_devices]
     return Mesh(np.array(devices), (MESH_AXIS,))
+
+
+def auto_mesh() -> Mesh | None:
+    """The device mesh an engine call should use when none was requested.
+
+    Mirrors the reference, which automatically spreads over its full
+    local worker pool (physical cores or ``YAW_NUM_THREADS``,
+    /root/reference/src/yaw/utils/parallel.py:53-85): here the pool is
+    the local accelerator chips, so a single-process job on a v5e-8 uses
+    all 8 chips by default instead of one.
+
+    Returns ``None`` (single-device execution) when only one device is
+    available or ``YAWT_NUM_DEVICES=1``. Multi-process pod jobs always
+    get the global mesh: all processes were launched to participate. On
+    the CPU backend the automatic pool stays disabled unless
+    ``YAWT_NUM_DEVICES`` asks for it — virtual CPU "devices" are slices
+    of the same physical cores, so sharding over them buys no hardware
+    (the reference counts physical cores for the same reason).
+    """
+    import os
+
+    if jax.process_count() > 1:
+        return default_mesh()
+
+    env = os.environ.get(NUM_DEVICES_ENV, "").strip()
+    num_devices = None
+    if env:
+        num_devices = int(env)
+        if num_devices <= 1:
+            return None
+    elif jax.default_backend() == "cpu":
+        return None
+
+    available = len(jax.devices())
+    if num_devices is not None:
+        num_devices = min(num_devices, available)
+    elif available <= 1:
+        return None
+    return default_mesh(num_devices)
 
 
 def _put_global(arr, sharding: NamedSharding):
@@ -79,23 +128,84 @@ def _fetch_replicated(result) -> np.ndarray:
     return np.asarray(jax.device_get(result))
 
 
+def _pad_chunk_length(n: int, chunk_size: int) -> int:
+    """Common padded per-device pair-list length for both engines:
+    bucketed for compile reuse, a chunk multiple for the XLA scan, and a
+    multiple of the Pallas segment bound when it exceeds one launch."""
+    from yet_another_wizz_tpu.ops.pallas_paircount import MAX_PAIRS_PER_CALL
+
+    length = bucket_size(
+        n, base=16 * chunk_size, multiple_of=chunk_size
+    )
+    if length > MAX_PAIRS_PER_CALL:
+        length = -(-length // MAX_PAIRS_PER_CALL) * MAX_PAIRS_PER_CALL
+    return length
+
+
 def _partial_counts(
     lane1, lane2, tile1, tile2, slots, table,
     *,
     cols_binned: bool,
     num_slots_out: int,
     chunk_size: int,
+    engine: str = "xla",
+    interpret: bool = False,
+    direct: tuple | None = None,
 ):
-    """Per-device scatter-add over the local chunk of the pair list.
+    """Per-device counts over the local chunk of the pair list.
 
-    The output slot axis is padded to ``num_slots_out`` (bucketed) so the
-    compiled program is reused across patch linkages; dump/pad slots are
-    sliced off by the caller."""
+    ``engine="pallas"`` runs the TPU kernel of
+    :mod:`yet_another_wizz_tpu.ops.pallas_paircount` on the shard (the
+    same code path as single-chip execution, VMEM revisit accumulation
+    included); ``engine="xla"`` scatter-adds through the portable
+    vmap+scan program. The output slot axis is padded to
+    ``num_slots_out`` (bucketed) so the compiled program is reused across
+    patch linkages; dump/pad slots are sliced off by the caller."""
+    if engine == "pallas":
+        from yet_another_wizz_tpu.ops.pallas_paircount import (
+            MAX_PAIRS_PER_CALL,
+            pallas_partial_counts,
+        )
+
+        n = tile1.shape[0]
+        segment = min(n, MAX_PAIRS_PER_CALL)
+        # every device sees only its chunk: masking is required even for
+        # a single launch, or the psum would add garbage rows of slots
+        # this device never visited into other devices' real counts
+        return pallas_partial_counts(
+            lane1, lane2, tile1, tile2, slots, table,
+            num_slots_out=num_slots_out,
+            cols_binned=cols_binned,
+            interpret=interpret,
+            segment=segment,
+            mask_always=True,
+            direct=direct,
+        )
+    return _partial_counts_xla(
+        lane1, lane2, tile1, tile2, slots, table,
+        cols_binned=cols_binned,
+        num_slots_out=num_slots_out,
+        chunk_size=chunk_size,
+        direct=direct,
+    )
+
+
+def _partial_counts_xla(
+    lane1, lane2, tile1, tile2, slots, table,
+    *,
+    cols_binned: bool,
+    num_slots_out: int,
+    chunk_size: int,
+    direct: tuple | None = None,
+):
+    """XLA scatter-add engine: vmap within chunks, scan over chunks."""
+    from yet_another_wizz_tpu.ops.pallas_paircount import _counting_width
+
     num_chunks = tile1.shape[0] // chunk_size
     shape = (num_chunks, chunk_size)
 
     pair_fn = jax.vmap(
-        partial(pair_block_counts, cols_binned=cols_binned),
+        partial(pair_block_counts, cols_binned=cols_binned, direct=direct),
         in_axes=(0, 0, None),
     )
 
@@ -104,7 +214,14 @@ def _partial_counts(
         blocks = pair_fn(lane1[idx1], lane2[idx2], table)
         return acc.at[slot].add(blocks), None
 
-    init = jnp.zeros((num_slots_out, *table.shape), dtype=jnp.float32)
+    init = jnp.zeros(
+        (
+            num_slots_out,
+            table.shape[0],
+            _counting_width(table.shape[1], direct),
+        ),
+        dtype=jnp.float32,
+    )
     # the carry must carry the same device-varying type as the sharded
     # chunk data it accumulates (jax >= 0.8 shard_map axis tracking)
     if hasattr(jax.lax, "pcast"):
@@ -128,9 +245,20 @@ def count_pairs_sharded(
     mesh: Mesh | None = None,
     chunk_size: int = 8,
     data_sharding: str = "replicated",
+    engine: str = "auto",
+    defer: bool = False,
+    direct: tuple | None = None,
 ) -> NDArray:
     """Multi-device pair counting over a mesh; same result contract as
     :func:`yet_another_wizz_tpu.ops.paircount.count_pairs_tiles`.
+
+    ``engine`` selects the per-device compute program: ``pallas`` (the
+    TPU kernel, default on TPU backends), ``xla`` (portable vmap+scan
+    scatter-add, default elsewhere), or ``auto``.
+
+    With ``defer=True`` (single-process jobs only) the replicated device
+    result is returned WITHOUT fetching it, so queued follow-up counts
+    overlap the transfer; the caller fetches via ``jax.device_get``.
 
     ``data_sharding`` selects the distribution of the catalog tiles:
 
@@ -156,6 +284,9 @@ def count_pairs_sharded(
     num_slots = pairs.num_slots
     num_slots_out = bucket_size(num_slots + 1, base=64)
     cols_binned = tiles2.binned
+    if engine == "auto":
+        engine = "pallas" if jax.default_backend() == "tpu" else "xla"
+    interpret = jax.default_backend() != "tpu"
 
     table = jnp.asarray(chord2_table, dtype=jnp.float32)
     if pairs.num_pairs == 0:
@@ -179,10 +310,7 @@ def count_pairs_sharded(
         # each partition, pad every partition to the common chunked length
         order = np.argsort(owner, kind="stable")
         counts = np.bincount(owner, minlength=num_devices)
-        longest = bucket_size(
-            int(counts.max()), base=16 * chunk_size,
-            multiple_of=chunk_size,
-        )
+        longest = _pad_chunk_length(int(counts.max()), chunk_size)
 
         tile1 = np.zeros(num_devices * longest, dtype=np.int32)
         tile2 = np.zeros(num_devices * longest, dtype=np.int32)
@@ -206,13 +334,14 @@ def count_pairs_sharded(
             tiles1, tiles2, pairs, table,
             mesh=mesh, chunk_size=chunk_size,
             cols_binned=cols_binned, num_slots=num_slots,
+            engine=engine, interpret=interpret, defer=defer,
+            direct=direct,
         )
     elif data_sharding == "replicated":
         # equal contiguous chunks of the slot-sorted pair list; the
         # per-device length is bucketed for shape-stable compiles
-        per_device = bucket_size(
-            -(-pairs.num_pairs // num_devices), base=16 * chunk_size,
-            multiple_of=chunk_size,
+        per_device = _pad_chunk_length(
+            -(-pairs.num_pairs // num_devices), chunk_size
         )
         padded = num_devices * per_device
         tile1 = np.zeros(padded, dtype=np.int32)
@@ -234,9 +363,17 @@ def count_pairs_sharded(
 
     sharded_counts = _sharded_counts_fn(
         mesh, data_sharding == "columns", cols_binned, num_slots_out,
-        chunk_size,
+        chunk_size, engine, interpret, direct,
     )
     result = sharded_counts(lane1, lane2, tile1, tile2, slots, table)
+    return _finish_counts(result, num_slots, defer)
+
+
+def _finish_counts(result, num_slots: int, defer: bool):
+    '''Slice off dump/pad slots; with ``defer`` (single-process) hand the
+    in-flight device array back without waiting for it.'''
+    if defer and jax.process_count() == 1:
+        return result[:num_slots]
     return _fetch_replicated(result).astype(np.float64)[:num_slots]
 
 
@@ -247,6 +384,9 @@ def _sharded_counts_fn(
     cols_binned: bool,
     num_slots_out: int,
     chunk_size: int,
+    engine: str = "xla",
+    interpret: bool = False,
+    direct: tuple | None = None,
 ):
     """Build (and cache) the jitted shard_map program for one sharded
     configuration: a fresh closure per call would miss jax's trace cache
@@ -262,6 +402,11 @@ def _sharded_counts_fn(
             P(), lane2_spec, P(MESH_AXIS), P(MESH_AXIS), P(MESH_AXIS), P()
         ),
         out_specs=P(),
+        # the pallas grid's scalar-prefetch index maps mix loop indices
+        # with device-varying prefetch values, which jax's varying-mesh-
+        # axes tracking cannot type; jax's own error message prescribes
+        # disabling the check for this case
+        check_vma=(engine != "pallas"),
     )
     def sharded_counts(lane1, lane2, tile1, tile2, slots, table):
         local = _partial_counts(
@@ -269,6 +414,9 @@ def _sharded_counts_fn(
             cols_binned=cols_binned,
             num_slots_out=num_slots_out,
             chunk_size=chunk_size,
+            engine=engine,
+            interpret=interpret,
+            direct=direct,
         )
         return jax.lax.psum(local, MESH_AXIS)
 
@@ -300,6 +448,7 @@ def _count_pairs_ring(
     tiles1, tiles2, pairs, table,
     *,
     mesh, chunk_size, cols_binned, num_slots,
+    engine="xla", interpret=False, defer=False, direct=None,
 ):
     """Both-sides-sharded execution: column shards pinned per device, the
     row shard rotates around the ring; device d at step s processes the
@@ -324,10 +473,7 @@ def _count_pairs_ring(
     key = owner2 * num_devices + step_of_pair
     order = np.argsort(key, kind="stable")
     counts = np.bincount(key, minlength=num_devices * num_devices)
-    longest = bucket_size(
-        max(int(counts.max()), 1), base=16 * chunk_size,
-        multiple_of=chunk_size,
-    )
+    longest = _pad_chunk_length(max(int(counts.max()), 1), chunk_size)
 
     shape = (num_devices, num_devices, longest)
     tile1 = np.zeros(shape, dtype=np.int32)
@@ -365,10 +511,11 @@ def _count_pairs_ring(
     slots = _put_global(slots, sharded)
 
     ring_counts = _ring_counts_fn(
-        mesh, cols_binned, num_slots_out, chunk_size
+        mesh, cols_binned, num_slots_out, chunk_size, engine, interpret,
+        direct,
     )
     result = ring_counts(lane1, lane2, tile1, tile2, slots, table)
-    return _fetch_replicated(result).astype(np.float64)[:num_slots]
+    return _finish_counts(result, num_slots, defer)
 
 
 @lru_cache(maxsize=64)
@@ -377,6 +524,9 @@ def _ring_counts_fn(
     cols_binned: bool,
     num_slots_out: int,
     chunk_size: int,
+    engine: str = "xla",
+    interpret: bool = False,
+    direct: tuple | None = None,
 ):
     """Build (and cache) the jitted ring program for one configuration
     (see :func:`_sharded_counts_fn` for the retrace rationale)."""
@@ -392,6 +542,8 @@ def _ring_counts_fn(
             P(MESH_AXIS), P(),
         ),
         out_specs=P(),
+        # see _sharded_counts_fn: prescribed workaround for pallas grids
+        check_vma=(engine != "pallas"),
     )
     def ring_counts(lane1, lane2, tile1, tile2, slots, table):
         # leading mesh axis is size 1 inside the shard
@@ -406,14 +558,26 @@ def _ring_counts_fn(
                 cols_binned=cols_binned,
                 num_slots_out=num_slots_out,
                 chunk_size=chunk_size,
+                engine=engine,
+                interpret=interpret,
+                direct=direct,
             )
             acc = acc + partial_acc
             # rotate the row shard one hop around the ring
             resident = jax.lax.ppermute(resident, MESH_AXIS, perm)
             return (resident, acc), None
 
+        from yet_another_wizz_tpu.ops.pallas_paircount import (
+            _counting_width,
+        )
+
         init_acc = jnp.zeros(
-            (num_slots_out, *table.shape), dtype=jnp.float32
+            (
+                num_slots_out,
+                table.shape[0],
+                _counting_width(table.shape[1], direct),
+            ),
+            dtype=jnp.float32,
         )
         if hasattr(jax.lax, "pcast"):
             init_acc = jax.lax.pcast(
