@@ -779,3 +779,164 @@ class TestShapeBucketing:
         assert len(set(observed_shapes)) == 1, observed_shapes
         misses_after = inner._cache_size()
         assert misses_after - misses_before <= 1
+
+
+class TestDirectCounting:
+    """Direct separation-weighted counting (O(1) per-pair sub-bin weights,
+    counting only at the scale-limit edges) must reproduce the union-edge
+    cumulative histogram and the float64 oracle."""
+
+    ZMIDS = np.array([0.3, 0.5, 0.8])
+
+    def _scales(self):
+        # overlapping multi-scale limits: the interior limits split
+        # uniform sub-intervals, exercising the below/above adjustments
+        return new_scales([0.05, 0.12, 0.3], [0.2, 0.5, 1.0], unit="deg")
+
+    def _problem(self, rng, num_bins=3, num_patches=4):
+        xyz1, w1, z1 = random_cap_catalog(rng, 2500, num_bins)
+        xyz2, w2, _ = random_cap_catalog(rng, 3500, num_bins)
+        patch1 = simple_patches(xyz1, num_patches, np.random.default_rng(3))
+        patch2 = simple_patches(xyz2, num_patches, np.random.default_rng(3))
+        ts1 = build_tile_set(
+            xyz1, patch1, num_patches, weights=w1, zbins=z1,
+            num_bins=num_bins, tile_size=64,
+        )
+        ts2 = build_tile_set(
+            xyz2, patch2, num_patches, weights=w2, tile_size=64
+        )
+        centers, radii = patch_geometry(xyz1, patch1, num_patches)
+        return ts1, ts2, centers, radii
+
+    def _per_scale(self, ts1, ts2, pairs, edges, backend):
+        if edges.direct is not None and backend != "oracle":
+            cum = count_pairs_tiles(
+                ts1, ts2, pairs, edges.direct.combined_table(),
+                backend=backend, direct=edges.direct.spec,
+            )
+            return edges.direct.counts_to_scales(cum)
+        cum = count_pairs_tiles(
+            ts1, ts2, pairs, edges.chord2_table, backend=backend,
+            edges_radian=edges.edges,
+        )
+        return edges.counts_to_scales(cum)
+
+    def test_heuristic_builds_direct_tables(self):
+        scales = self._scales()
+        many = build_angular_edges(
+            scales, self.ZMIDS, weight_scale=-1.0, weight_res=24
+        )
+        assert many.direct is not None  # auto: union edges >= crossover
+        assert many.direct.num_sub == 24
+        assert many.direct.num_below >= 1 and many.direct.num_above >= 1
+        few = build_angular_edges(
+            scales, self.ZMIDS, weight_scale=-1.0, weight_res=4
+        )
+        assert few.direct is None  # below the crossover
+        plain = build_angular_edges(scales, self.ZMIDS)
+        assert plain.direct is None  # no separation weighting
+        forced = build_angular_edges(
+            scales, self.ZMIDS, weight_scale=-1.0, weight_res=4,
+            counting="direct",
+        )
+        assert forced.direct is not None
+        with pytest.raises(ValueError, match="direct"):
+            build_angular_edges(scales, self.ZMIDS, counting="direct")
+
+    @pytest.mark.parametrize("alpha", [-1.0, 1.5])
+    def test_direct_matches_cumulative_and_oracle(self, rng, alpha):
+        ts1, ts2, centers, radii = self._problem(rng)
+        scales = self._scales()
+        direct = build_angular_edges(
+            scales, self.ZMIDS, weight_scale=alpha, weight_res=24,
+            counting="direct",
+        )
+        cumulative = build_angular_edges(
+            scales, self.ZMIDS, weight_scale=alpha, weight_res=24,
+            counting="cumulative",
+        )
+        assert direct.direct is not None and cumulative.direct is None
+
+        linkage = build_linkage(centers, radii, direct.max_angle * 1.000001)
+        pairs = build_tile_pairs(ts1, ts2, linkage, auto=False)
+
+        via_direct = self._per_scale(ts1, ts2, pairs, direct, "xla")
+        via_cum = self._per_scale(ts1, ts2, pairs, cumulative, "xla")
+        via_oracle = self._per_scale(ts1, ts2, pairs, cumulative, "oracle")
+        assert_allclose(via_direct, via_cum, rtol=2e-5, atol=1e-7)
+        assert_allclose(via_direct, via_oracle, rtol=2e-5, atol=1e-7)
+
+    def test_direct_pallas_interpret_matches_xla(self, rng):
+        ts1, ts2, centers, radii = self._problem(rng)
+        edges = build_angular_edges(
+            self._scales(), self.ZMIDS, weight_scale=-1.0, weight_res=24,
+            counting="direct",
+        )
+        linkage = build_linkage(centers, radii, edges.max_angle * 1.000001)
+        pairs = build_tile_pairs(ts1, ts2, linkage, auto=False)
+        xla = self._per_scale(ts1, ts2, pairs, edges, "xla")
+        pallas = self._per_scale(ts1, ts2, pairs, edges, "pallas")
+        assert_allclose(pallas, xla, rtol=1e-5, atol=1e-7)
+
+    def test_direct_refuses_audit_and_oracle(self, rng):
+        ts1, ts2, centers, radii = self._problem(rng)
+        edges = build_angular_edges(
+            self._scales(), self.ZMIDS, weight_scale=-1.0, weight_res=24,
+            counting="direct",
+        )
+        linkage = build_linkage(centers, radii, edges.max_angle * 1.000001)
+        pairs = build_tile_pairs(ts1, ts2, linkage, auto=False)
+        with pytest.raises(ValueError, match="direct"):
+            count_pairs_tiles(
+                ts1, ts2, pairs, edges.direct.combined_table(),
+                backend="xla", direct=edges.direct.spec, audit=True,
+                edges_radian=edges.direct.edges,
+            )
+        with pytest.raises(ValueError, match="direct"):
+            count_pairs_tiles(
+                ts1, ts2, pairs, edges.direct.combined_table(),
+                backend="oracle", direct=edges.direct.spec,
+                edges_radian=edges.direct.edges,
+            )
+
+    def test_measurement_rweight_direct_matches_oracle(self, rng):
+        """Full measurement with rweight at resolution 32: the auto
+        heuristic engages direct counting and the result matches the
+        oracle backend (union-edge float64 path)."""
+        from yet_another_wizz_tpu import Catalog, Configuration
+        from yet_another_wizz_tpu.correlation.measurements import (
+            PatchLinkage, crosscorrelate,
+        )
+        from yet_another_wizz_tpu.examples import generate_mock_data
+
+        mock = generate_mock_data(1200, 1800, 3000, seed=5)
+        ref = Catalog.from_arrays(
+            **mock["reference"], degrees=False, patch_num=4
+        )
+        unk = Catalog.from_arrays(
+            **mock["unknown"], degrees=False, patch_centers=ref.get_centers()
+        )
+        rand = Catalog.from_arrays(
+            **mock["randoms"], degrees=False, patch_centers=ref.get_centers()
+        )
+        config = Configuration.create(
+            rmin=[300, 500, 1000], rmax=[1000, 3000, 5000], unit="kpc",
+            zmin=0.15, zmax=1.0, num_bins=3, rweight=-1.0, resolution=32,
+        )
+        links = PatchLinkage.from_catalogs(config, ref, unk, rand)
+        assert links.edges.direct is not None  # heuristic engaged
+
+        xla = crosscorrelate(
+            config, ref, unk, ref_rand=rand, backend="xla"
+        )
+        oracle = crosscorrelate(
+            config, ref, unk, ref_rand=rand, backend="oracle"
+        )
+        for corr_x, corr_o in zip(xla, oracle):
+            assert_allclose(
+                corr_x.dd.counts.counts, corr_o.dd.counts.counts,
+                rtol=5e-5, atol=1e-7,
+            )
+            assert_allclose(
+                corr_x.sample().data, corr_o.sample().data, rtol=1e-4
+            )

@@ -390,13 +390,31 @@ class PatchLinkage:
             pairs.num_pairs,
             pairs.num_slots,
         )
+        # direct separation-weighted counting when the edge tables carry
+        # it — except when exactness demands the union-edge cumulative
+        # representation (the float64 oracle backend and the boundary
+        # audit; both formulations are mathematically identical in
+        # float64, see ops.thresholds.DirectEdges)
+        direct = self.edges.direct
+        if direct is not None and not audit and backend != "oracle":
+            table = direct.combined_table()
+            edges_radian = direct.edges
+            direct_spec = direct.spec
+            mapper = direct
+        else:
+            table = self.edges.chord2_table
+            edges_radian = self.edges.edges
+            direct_spec = None
+            mapper = self.edges
+
         # with defer=True the engine result may come back as an in-flight
         # device array; the host-side post-processing moves into finalize()
         # so queued device work for later counts overlaps it
         cumulative = count_pairs_tiles(
-            tiles1, tiles2, pairs, self.edges.chord2_table,
-            backend=backend, edges_radian=self.edges.edges, audit=audit,
+            tiles1, tiles2, pairs, table,
+            backend=backend, edges_radian=edges_radian, audit=audit,
             mesh=mesh, data_sharding=data_sharding, defer=defer,
+            direct=direct_spec,
         )
 
         def finalize():
@@ -405,7 +423,7 @@ class PatchLinkage:
             values = cumulative
             if not isinstance(values, np.ndarray):
                 values = np.asarray(jax.device_get(values), dtype=np.float64)
-            per_scale = self.edges.counts_to_scales(values)  # (S, slots, B)
+            per_scale = mapper.counts_to_scales(values)  # (S, slots, B)
 
             slot_ids1 = pairs.slot_patches[:, 0]
             slot_ids2 = pairs.slot_patches[:, 1]
