@@ -165,41 +165,64 @@ def build_tile_pairs(
     if per_tile_cutoff:
         range_max = _bin_range_max(np.asarray(bin_max_angles, np.float64))
 
-    t1_list, t2_list, slot_list = [], [], []
-    for slot, (p1, p2) in enumerate(pairs):
-        idx1 = tiles1.patch_tiles(p1)
-        idx2 = tiles2.patch_tiles(p2)
-        dist = _cap_distances(tiles1.tile_center[idx1], tiles2.tile_center[idx2])
-        radii = (
-            tiles1.tile_radius[idx1][:, None]
-            + tiles2.tile_radius[idx2][None, :]
+    if len(pairs) == 0:
+        empty = np.empty(0, dtype=np.int32)
+        return TilePairs(
+            tile1=empty, tile2=empty, slot=empty, slot_patches=pairs
         )
-        if per_tile_cutoff:
-            zmin1 = tiles1.tile_zmin[idx1]
-            zmax1 = tiles1.tile_zmax[idx1]
-            if tiles2.binned:
-                # equal-bin counting: only the overlapping bin range matters
-                lo = np.maximum(zmin1[:, None], tiles2.tile_zmin[idx2][None, :])
-                hi = np.minimum(zmax1[:, None], tiles2.tile_zmax[idx2][None, :])
-                valid = lo <= hi
-                theta = range_max[lo.clip(max=hi), hi.clip(min=0)]
-            else:
-                valid = (zmax1 >= zmin1)[:, None]
-                theta = range_max[
-                    zmin1.clip(max=zmax1.clip(min=0)), zmax1.clip(min=0)
-                ][:, None]
-            keep1, keep2 = np.nonzero((dist < radii + theta) & valid)
+
+    # fully vectorised candidate enumeration (one python loop per SLOT
+    # was the dominant host cost at high patch counts): every linked
+    # patch pair contributes its dense (tiles-in-p1 x tiles-in-p2) grid,
+    # flattened row-major so the surviving order matches the historical
+    # per-slot np.nonzero order exactly (slot-sorted, row-tile-major)
+    p1 = pairs[:, 0]
+    p2 = pairs[:, 1]
+    start1 = tiles1.patch_tile_start[p1].astype(np.int64)
+    start2 = tiles2.patch_tile_start[p2].astype(np.int64)
+    n1 = (tiles1.patch_tile_stop[p1] - tiles1.patch_tile_start[p1]).astype(
+        np.int64
+    )
+    n2 = (tiles2.patch_tile_stop[p2] - tiles2.patch_tile_start[p2]).astype(
+        np.int64
+    )
+    sizes = n1 * n2
+    total = int(sizes.sum())
+    slot_of = np.repeat(np.arange(len(pairs), dtype=np.int64), sizes)
+    offsets = np.concatenate([[0], np.cumsum(sizes)])[:-1]
+    k = np.arange(total, dtype=np.int64) - offsets[slot_of]
+    n2_r = n2[slot_of]
+    cand1 = start1[slot_of] + k // n2_r
+    cand2 = start2[slot_of] + k % n2_r
+
+    # angular cap cut over all candidates at once
+    c1 = tiles1.tile_center[cand1]
+    c2 = tiles2.tile_center[cand2]
+    dots = np.clip(np.einsum("ij,ij->i", c1, c2), -1.0, 1.0)
+    dist = 2.0 * np.arcsin(np.sqrt(np.maximum(0.5 * (1.0 - dots), 0.0)))
+    radii = tiles1.tile_radius[cand1] + tiles2.tile_radius[cand2]
+    if per_tile_cutoff:
+        zmin1 = tiles1.tile_zmin[cand1]
+        zmax1 = tiles1.tile_zmax[cand1]
+        if tiles2.binned:
+            # equal-bin counting: only the overlapping bin range matters
+            lo = np.maximum(zmin1, tiles2.tile_zmin[cand2])
+            hi = np.minimum(zmax1, tiles2.tile_zmax[cand2])
+            valid = lo <= hi
+            theta = range_max[np.minimum(lo, hi), np.maximum(hi, 0)]
         else:
-            keep1, keep2 = np.nonzero(dist < radii + cutoff_angle)
-        t1_list.append(idx1[keep1])
-        t2_list.append(idx2[keep2])
-        slot_list.append(np.full(len(keep1), slot, dtype=np.int32))
-
-    if t1_list:
-        tile1 = np.concatenate(t1_list).astype(np.int32)
-        tile2 = np.concatenate(t2_list).astype(np.int32)
-        slot = np.concatenate(slot_list)
+            valid = zmax1 >= zmin1
+            theta = range_max[
+                np.minimum(zmin1, np.maximum(zmax1, 0)),
+                np.maximum(zmax1, 0),
+            ]
+        keep = (dist < radii + theta) & valid
     else:
-        tile1 = tile2 = slot = np.empty(0, dtype=np.int32)
+        keep = dist < radii + cutoff_angle
 
-    return TilePairs(tile1=tile1, tile2=tile2, slot=slot, slot_patches=pairs)
+    return TilePairs(
+        tile1=cand1[keep].astype(np.int32),
+        tile2=cand2[keep].astype(np.int32),
+        slot=slot_of[keep].astype(np.int32),
+        slot_patches=pairs,
+    )
