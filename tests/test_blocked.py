@@ -103,3 +103,55 @@ def test_audit_rejects_blocked_mode(catalogs, config):
         autocorrelate(
             config, reference, randoms, audit=True, max_resident_patches=5
         )
+
+
+def test_column_tile_cache_round_trip(catalogs, config):
+    """The disk-spilled column tile sets reload bit-identically and the
+    cache actually serves the revisits (hits > 0 with multiple row
+    blocks); a zero-byte cap disables caching without changing results."""
+    import tempfile
+
+    from yet_another_wizz_tpu.binning import Binning
+    from yet_another_wizz_tpu.correlation.blocked import (
+        _ColumnTileCache, _build_block_tiles, count_pairs_blocked,
+    )
+    from yet_another_wizz_tpu.correlation.measurements import PatchLinkage
+
+    reference, unknown, randoms = catalogs
+    links = PatchLinkage.from_catalogs(config, reference, unknown)
+    binning = config.binning.binning
+
+    # round trip one block through the cache
+    tiles = _build_block_tiles(reference, binning, "n", 0, 4, 64)
+    with tempfile.TemporaryDirectory() as tmp:
+        cache = _ColumnTileCache(tmp, 1 << 30)
+        assert cache.load(0) is None and cache.misses == 1
+        cache.store(0, tiles)
+        loaded = cache.load(0)
+        assert cache.hits == 1
+        np.testing.assert_array_equal(loaded.lane_data, tiles.lane_data)
+        np.testing.assert_array_equal(loaded.tile_patch, tiles.tile_patch)
+        np.testing.assert_array_equal(
+            loaded.sum_weights, tiles.sum_weights
+        )
+        assert loaded.num_bins == tiles.num_bins
+        assert loaded.tile_size == tiles.tile_size
+        assert loaded.sum_kappa is None
+
+        # a full cap refuses further blocks without erroring
+        tiny = _ColumnTileCache(tmp, 1)
+        tiny.store(1, tiles)
+        assert tiny.load(1) is None
+
+    # identical results with and without the cache
+    kwargs = dict(
+        auto=False, binned2=False, max_resident_patches=4, backend="xla"
+    )
+    cached = count_pairs_blocked(
+        links.edges, links.linkage, reference, unknown, binning, **kwargs
+    )
+    uncached = count_pairs_blocked(
+        links.edges, links.linkage, reference, unknown, binning,
+        tile_cache_bytes=0, **kwargs,
+    )
+    np.testing.assert_allclose(cached, uncached, rtol=1e-6, atol=1e-6)

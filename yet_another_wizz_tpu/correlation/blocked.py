@@ -92,6 +92,88 @@ def _build_block_tiles(
     )
 
 
+_TILE_SET_SCALARS = ("num_bins", "num_points", "tile_size")
+_TILE_SET_ARRAYS = (
+    "lane_data", "tile_patch", "tile_center", "tile_radius",
+    "patch_tile_start", "patch_tile_stop", "sum_weights", "tile_zmin",
+    "tile_zmax",
+)
+
+
+class _ColumnTileCache:
+    """Per-measurement disk cache of packed column-block tile sets.
+
+    The blocked loop sweeps every column block once per ROW block; without
+    a cache each sweep re-reads the patch data and re-packs the tiles
+    (Morton sort + native scatter), i.e. O(num_blocks^2) packing work for
+    data that only changes per measurement. Spilling the packed arrays to
+    an uncompressed ``.npz`` per column block turns every revisit into a
+    single sequential file read while keeping HOST memory bounded at one
+    resident block pair — the defining property of the blocked path.
+
+    The cache lives in a temporary directory for the duration of one
+    :func:`count_pairs_blocked` call and is capped at ``max_bytes`` on
+    disk; once full, later blocks are simply rebuilt each sweep (no
+    eviction: the sweep order revisits blocks uniformly, so evicting one
+    block to admit another buys nothing).
+    """
+
+    def __init__(self, directory: str, max_bytes: int) -> None:
+        self._dir = directory
+        self._max_bytes = max_bytes
+        self._used = 0
+        self._paths: dict[int, str] = {}
+        self.hits = 0
+        self.misses = 0
+
+    def load(self, key: int):
+        from yet_another_wizz_tpu.ops.tiles import TileSet
+
+        path = self._paths.get(key)
+        if path is None:
+            self.misses += 1
+            return None
+        self.hits += 1
+        with np.load(path) as payload:
+            fields = {name: payload[name] for name in _TILE_SET_ARRAYS}
+            fields.update(
+                {
+                    name: payload[name].item()
+                    for name in _TILE_SET_SCALARS
+                }
+            )
+            fields["sum_kappa"] = (
+                payload["sum_kappa"] if "sum_kappa" in payload else None
+            )
+        return TileSet(**fields)
+
+    def store(self, key: int, tiles) -> None:
+        import os
+
+        size = sum(  # arrays only; scalars are negligible
+            getattr(tiles, name).nbytes for name in _TILE_SET_ARRAYS
+        )
+        if tiles.sum_kappa is not None:
+            size += tiles.sum_kappa.nbytes
+        if self._used + size > self._max_bytes:
+            return
+        payload = {
+            name: getattr(tiles, name) for name in _TILE_SET_ARRAYS
+        }
+        payload.update(
+            {
+                name: np.asarray(getattr(tiles, name))
+                for name in _TILE_SET_SCALARS
+            }
+        )
+        if tiles.sum_kappa is not None:
+            payload["sum_kappa"] = tiles.sum_kappa
+        path = os.path.join(self._dir, f"block_{key}.npz")
+        np.savez(path, **payload)
+        self._paths[key] = path
+        self._used += size
+
+
 def count_pairs_blocked(
     edges: AngularEdges,
     linkage: Linkage,
@@ -108,6 +190,7 @@ def count_pairs_blocked(
     mesh=None,
     data_sharding: str = "replicated",
     progress: bool = False,
+    tile_cache_bytes: int = 16 << 30,
 ) -> np.ndarray:
     """Count pairs block by block; returns per-scale counts with shape
     ``(num_scales, num_bins, num_patches, num_patches)`` (same contract as
@@ -118,7 +201,12 @@ def count_pairs_blocked(
     :func:`yet_another_wizz_tpu.parallel.count_pairs_sharded`) — the
     combination of host-side patch-block streaming with device-sharded
     execution is the out-of-core layout for pod-scale runs where not even
-    a patch block fits a single chip."""
+    a patch block fits a single chip.
+
+    Column-block tile sets are spilled to a per-call disk cache (capped
+    at ``tile_cache_bytes``; 0 disables) so each column block is packed
+    once per measurement instead of once per (row, column) block pair —
+    see :class:`_ColumnTileCache`."""
     from yet_another_wizz_tpu.ops.tiles import DEFAULT_TILE_SIZE
 
     tile_size = tile_size or DEFAULT_TILE_SIZE
@@ -157,6 +245,36 @@ def count_pairs_blocked(
         (edges.num_scales, num_bins, num_patches, num_patches)
     )
 
+    import contextlib
+    import tempfile
+
+    with contextlib.ExitStack() as stack:
+        cache = None
+        if tile_cache_bytes > 0 and len(starts) > 1:
+            cache_dir = stack.enter_context(
+                tempfile.TemporaryDirectory(prefix="yawt_blocked_tiles_")
+            )
+            cache = _ColumnTileCache(cache_dir, tile_cache_bytes)
+        result = _blocked_loop(
+            edges, linkage, catalog1, catalog2, binning, starts, block,
+            auto=auto, binned2=binned2, mode=mode, tile_size=tile_size,
+            backend=backend, mesh=mesh, data_sharding=data_sharding,
+            layout1=layout1, layout2=layout2, indicator=indicator,
+            num_patches=num_patches, result=result, cache=cache,
+        )
+        if cache is not None:
+            logger.debug(
+                "column tile cache: %d hits, %d rebuilds",
+                cache.hits, cache.misses,
+            )
+    return result
+
+
+def _blocked_loop(
+    edges, linkage, catalog1, catalog2, binning, starts, block,
+    *, auto, binned2, mode, tile_size, backend, mesh, data_sharding,
+    layout1, layout2, indicator, num_patches, result, cache,
+):
     num_block_pairs = 0
     for lo1 in starts:
         hi1 = min(lo1 + block, num_patches)
@@ -181,11 +299,15 @@ def count_pairs_blocked(
                     catalog1, binning, mode[0], lo1, hi1, tile_size,
                     layout=layout1,
                 )
-            tiles2 = _build_block_tiles(
-                catalog2, binning if binned2 else None, mode[1],
-                lo2, hi2, tile_size,
-                layout=layout2,
-            )
+            tiles2 = cache.load(lo2) if cache is not None else None
+            if tiles2 is None:
+                tiles2 = _build_block_tiles(
+                    catalog2, binning if binned2 else None, mode[1],
+                    lo2, hi2, tile_size,
+                    layout=layout2,
+                )
+                if cache is not None:
+                    cache.store(lo2, tiles2)
 
             local_linkage = type(linkage)(
                 max_angle=linkage.max_angle, linked=linked
@@ -200,12 +322,25 @@ def count_pairs_blocked(
                 continue
             num_block_pairs += 1
 
-            cumulative = count_pairs_tiles(
-                tiles1, tiles2, pairs, edges.chord2_table,
-                backend=backend, edges_radian=edges.edges,
-                mesh=mesh, data_sharding=data_sharding,
-            )
-            per_scale = edges.counts_to_scales(cumulative)  # (S, slots, B)
+            # direct separation-weighted counting when available (the
+            # blocked path never audits and the oracle backend requires
+            # the union representation, see measurements._run_engine)
+            direct = edges.direct if backend != "oracle" else None
+            if direct is not None:
+                cumulative = count_pairs_tiles(
+                    tiles1, tiles2, pairs, direct.combined_table(),
+                    backend=backend, edges_radian=direct.edges,
+                    mesh=mesh, data_sharding=data_sharding,
+                    direct=direct.spec,
+                )
+                per_scale = direct.counts_to_scales(cumulative)
+            else:
+                cumulative = count_pairs_tiles(
+                    tiles1, tiles2, pairs, edges.chord2_table,
+                    backend=backend, edges_radian=edges.edges,
+                    mesh=mesh, data_sharding=data_sharding,
+                )
+                per_scale = edges.counts_to_scales(cumulative)  # (S, slots, B)
 
             global1 = pairs.slot_patches[:, 0] + lo1
             global2 = pairs.slot_patches[:, 1] + lo2
