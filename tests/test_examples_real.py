@@ -78,3 +78,135 @@ def test_build_products_refuses_overwriting_committed(examples):
     examples.ExampleData.build_products()  # no-op
     with pytest.raises(RuntimeError, match="read-only"):
         examples.ExampleData.build_products(force=True)
+
+
+class TestDownload:
+    """`ExampleData.download_and_update`: reference-parity on-demand
+    download (/root/reference/src/yaw/examples/__init__.py:146-170) with a
+    graceful offline story. Exercised against an in-memory stand-in for
+    the 2dFLenS server (this environment has no egress)."""
+
+    @staticmethod
+    def _fake_tarball(rng, n):
+        """A tar.gz shaped like data_2df{lo,hi}z_kidss.tar.gz: a 'data'
+        member and five 'randNNN' members of 2dFLenS-format ASCII."""
+        import io
+        import tarfile
+
+        def ascii_table(rows):
+            lines = ["# 2dFLenS", "# RA Dec redshift wei", "#"]
+            for ra, dec, z, w in rows:
+                lines.append(f"{ra:.6f} {dec:.6f} {z:.4f} {w:.3f}")
+            return "\n".join(lines).encode()
+
+        def rows(k):
+            ra = rng.uniform(330.0, 360.0, k)
+            dec = rng.uniform(-35.0, -25.0, k)
+            z = rng.uniform(0.15, 0.7, k)
+            w = rng.uniform(0.5, 2.0, k)
+            return np.column_stack([ra, dec, z, w])
+
+        payload = io.BytesIO()
+        with tarfile.open(fileobj=payload, mode="w:gz") as tar:
+            for name in ["data_sample.txt"] + [
+                f"rand{i:03d}_sample.txt" for i in range(1, 6)
+            ]:
+                content = ascii_table(rows(n))
+                info = tarfile.TarInfo(name)
+                info.size = len(content)
+                tar.addfile(info, io.BytesIO(content))
+        payload.seek(0)
+        return payload.getvalue()
+
+    def test_download_and_update(self, monkeypatch, tmp_path):
+        import importlib
+        import io
+
+        import pyarrow.parquet as pq
+
+        import yet_another_wizz_tpu.examples as examples
+
+        rng = np.random.default_rng(7)
+        tarballs = {
+            "lo": self._fake_tarball(rng, 40),
+            "hi": self._fake_tarball(rng, 40),
+        }
+
+        class FakeResponse(io.BytesIO):
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *args):
+                return False
+
+        def fake_urlopen(url, timeout=None):
+            for key, blob in tarballs.items():
+                if f"2df{key}z" in url:
+                    return FakeResponse(blob)
+            raise AssertionError(f"unexpected url {url}")
+
+        monkeypatch.setenv("YAWT_EXAMPLE_DATA_DIR", str(tmp_path))
+        monkeypatch.delenv("YAWT_EXAMPLE_FORCE_MOCK", raising=False)
+        examples = importlib.reload(examples)
+        try:
+            # isolate from the mounted reference copy: simulate a user
+            # without bundled files (only their empty data dir)
+            monkeypatch.setattr(
+                examples, "_search_dirs", lambda: [tmp_path]
+            )
+            monkeypatch.setattr(examples, "_BUNDLED_DIR", tmp_path / "x")
+            examples._refresh_paths()
+            assert not examples.USES_REAL_DATA  # tmp dir is empty
+            import urllib.request
+
+            monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+            target = examples.ExampleData.download_and_update()
+            assert target == tmp_path
+
+            # the example API switched to the downloaded survey files
+            assert examples.USES_REAL_DATA
+            assert examples.PATH.data == tmp_path / "2dflens_kidss_data.pqt"
+            table = pq.read_table(examples.PATH.data)
+            assert table.num_rows == 80  # lo + hi concatenated
+            assert set(table.column_names) == {
+                "RA", "Dec", "redshift", "wei", "patch"
+            }
+            rand = pq.read_table(examples.PATH.rand)
+            assert rand.num_rows == 5 * 80  # five realisations each
+            # patch ids index the 11 published centers
+            patches = np.asarray(table["patch"])
+            assert patches.min() >= 0 and patches.max() < 11
+            # products are computed locally into a writable location
+            assert not examples.PATH.cross.exists()
+            assert examples.PATH.cross.parent != Path(
+                "/root/reference/src/yaw/examples"
+            )
+        finally:
+            monkeypatch.undo()
+            importlib.reload(examples)
+
+    def test_download_offline_raises_gracefully(self, monkeypatch, tmp_path):
+        import importlib
+        import urllib.error
+        import urllib.request
+
+        import yet_another_wizz_tpu.examples as examples
+
+        def offline(url, timeout=None):
+            raise urllib.error.URLError("no route to host")
+
+        monkeypatch.setenv("YAWT_EXAMPLE_DATA_DIR", str(tmp_path))
+        examples = importlib.reload(examples)
+        try:
+            monkeypatch.setattr(
+                examples, "_search_dirs", lambda: [tmp_path]
+            )
+            examples._refresh_paths()
+            monkeypatch.setattr(urllib.request, "urlopen", offline)
+            with pytest.raises(RuntimeError, match="mock"):
+                examples.ExampleData.download_and_update()
+            # the mock path still works after the failed download
+            assert not examples.USES_REAL_DATA
+        finally:
+            monkeypatch.undo()
+            importlib.reload(examples)

@@ -143,67 +143,115 @@ import os as _os
 from pathlib import Path as _Path
 
 
-def _find_real_data_dir() -> "_Path | None":
-    """Locate the prepared 2dFLenS example files (data/rand parquet plus the
-    precomputed ``cross.hdf``/``auto.hdf``/``estimate.*`` products that the
-    reference bundles, /root/reference/src/yaw/examples/__init__.py:46-301).
+_BUNDLED_DIR = _Path("/root/reference/src/yaw/examples")
+"""The externally provided (read-only) copy of the prepared files, when
+the reference package happens to be mounted."""
 
-    Search order: ``YAWT_EXAMPLE_DATA_DIR``, then the mounted reference
-    package. Returns None (-> generated mock fallback) when unavailable or
-    when ``YAWT_EXAMPLE_FORCE_MOCK`` is set.
-    """
-    if _os.environ.get("YAWT_EXAMPLE_FORCE_MOCK"):
-        return None
+
+def _search_dirs() -> "list[_Path]":
+    """Candidate directories for the prepared 2dFLenS files, in priority
+    order: ``YAWT_EXAMPLE_DATA_DIR``, the download cache, the mounted
+    reference package."""
     candidates = []
     if env_dir := _os.environ.get("YAWT_EXAMPLE_DATA_DIR"):
         candidates.append(_Path(env_dir))
-    candidates.append(_Path("/root/reference/src/yaw/examples"))
-    required = (
-        "2dflens_kidss_data.pqt", "2dflens_kidss_rand_5x.pqt",
-        "cross.hdf", "auto.hdf", "estimate.dat", "estimate.smp",
-        "estimate.cov",
+    candidates.append(_download_target())
+    candidates.append(_BUNDLED_DIR)
+    return candidates
+
+
+def _download_target() -> "_Path":
+    """Writable directory :meth:`ExampleData.download_and_update` fills."""
+    if env_dir := _os.environ.get("YAWT_EXAMPLE_DATA_DIR"):
+        return _Path(env_dir)
+    return (
+        _Path(_os.environ.get("YAWT_EXAMPLE_CACHE", "/tmp/yawt_examples"))
+        / "2dflens"
     )
-    for directory in candidates:
+
+
+def _find_real_data_dir() -> "_Path | None":
+    """Locate the prepared 2dFLenS survey files (data/rand parquet; the
+    reference bundles them next to its example module,
+    /root/reference/src/yaw/examples/__init__.py:46-55, and can download
+    them on demand — mirrored by
+    :meth:`ExampleData.download_and_update`).
+
+    The precomputed ``cross.hdf``/``auto.hdf``/``estimate.*`` products are
+    optional: when absent (e.g. after a fresh download) they are computed
+    locally on first access. Returns None (-> generated mock fallback)
+    when no survey files are available or ``YAWT_EXAMPLE_FORCE_MOCK`` is
+    set.
+    """
+    if _os.environ.get("YAWT_EXAMPLE_FORCE_MOCK"):
+        return None
+    required = ("2dflens_kidss_data.pqt", "2dflens_kidss_rand_5x.pqt")
+    for directory in _search_dirs():
         if all((directory / name).exists() for name in required):
             return directory
     return None
-
-
-_REAL_DIR = _find_real_data_dir()
-
-USES_REAL_DATA: bool = _REAL_DIR is not None
-"""True when the prepared 2dFLenS survey files back the example API; False
-when the deterministic mock is used instead (no data files available)."""
 
 
 class PATH:
     """Paths of the example data products.
 
     When the prepared 2dFLenS files are available (see
-    :func:`_find_real_data_dir`) these point at the real survey data and the
-    committed correlation products, exactly like the reference's
-    ``yaw.examples.PATH``. Otherwise they point into a writable cache where
-    :class:`ExampleData` materialises a deterministic mock on demand.
+    :func:`_find_real_data_dir`) these point at the real survey data and
+    the correlation products (committed alongside them, or computed into a
+    writable location on first access), exactly like the reference's
+    ``yaw.examples.PATH``. Otherwise they point into a writable cache
+    where :class:`ExampleData` materialises a deterministic mock on
+    demand.
     """
 
-    root = _Path(
+    root: "_Path"
+    data: "_Path"
+    rand: "_Path"
+    unknown: "_Path"
+    cross: "_Path"
+    auto: "_Path"
+    estimate: "_Path"
+
+
+USES_REAL_DATA: bool = False
+_REAL_DIR: "_Path | None" = None
+
+
+def _refresh_paths() -> None:
+    """(Re-)resolve the example data location; called at import and after
+    :meth:`ExampleData.download_and_update` adds the survey files."""
+    global _REAL_DIR, USES_REAL_DATA
+    _REAL_DIR = _find_real_data_dir()
+    USES_REAL_DATA = _REAL_DIR is not None
+
+    PATH.root = _Path(
         _os.environ.get("YAWT_EXAMPLE_CACHE", "/tmp/yawt_examples")
     )
     if USES_REAL_DATA:
-        data = _REAL_DIR / "2dflens_kidss_data.pqt"
-        rand = _REAL_DIR / "2dflens_kidss_rand_5x.pqt"
+        PATH.data = _REAL_DIR / "2dflens_kidss_data.pqt"
+        PATH.rand = _REAL_DIR / "2dflens_kidss_rand_5x.pqt"
         # the reference example uses the data sample as its own unknown
-        unknown = data
-        cross = _REAL_DIR / "cross.hdf"
-        auto = _REAL_DIR / "auto.hdf"
-        estimate = _REAL_DIR / "estimate"
+        PATH.unknown = PATH.data
+        # committed products next to the survey files when present;
+        # user-provided/downloaded directories receive computed products
+        # in place, the read-only bundled copy spills into the cache
+        if (_REAL_DIR / "cross.hdf").exists() or _REAL_DIR != _BUNDLED_DIR:
+            products = _REAL_DIR
+        else:
+            products = PATH.root / "2dflens_products"
+        PATH.cross = products / "cross.hdf"
+        PATH.auto = products / "auto.hdf"
+        PATH.estimate = products / "estimate"
     else:
-        data = root / "mock_data.pqt"
-        rand = root / "mock_rand.pqt"
-        unknown = root / "mock_unknown.pqt"
-        cross = root / "cross.hdf"
-        auto = root / "auto.hdf"
-        estimate = root / "estimate"
+        PATH.data = PATH.root / "mock_data.pqt"
+        PATH.rand = PATH.root / "mock_rand.pqt"
+        PATH.unknown = PATH.root / "mock_unknown.pqt"
+        PATH.cross = PATH.root / "cross.hdf"
+        PATH.auto = PATH.root / "auto.hdf"
+        PATH.estimate = PATH.root / "estimate"
+
+
+_refresh_paths()
 
 
 def _example_configuration():
@@ -316,24 +364,141 @@ class ExampleData:
             cache_directory, PATH.unknown, **patch_args, **kwargs
         )
 
+    PATCH_CENTERS_RADIAN = (
+        # the 11 published 2dFLenS example patch centers (ra, dec in
+        # radian; the reference embeds the same values as a hex-encoded
+        # float64 blob, /root/reference/src/yaw/examples/__init__.py:120-135)
+        (5.8398726664907805, -0.5308537262577498),
+        (6.0089587987157955, -0.5457853928651728),
+        (6.171996103859462, -0.5852504545186897),
+        (6.187064081579239, -0.5005773442288902),
+        (0.046040582143623526, -0.5328037657296909),
+        (0.19610405428659086, -0.5215547445855805),
+        (0.3419091859126378, -0.5395069571992255),
+        (0.6198891140085112, -0.5416796394044717),
+        (0.47805985884035945, -0.5351140149621503),
+        (0.855940802991991, -0.5312453954893827),
+        (0.7469560329244929, -0.5283597224907032),
+    )
+
+    DOWNLOAD_URL_TEMPLATE = (
+        "https://2dflens.swin.edu.au/data_2df{}z_kidss.tar.gz"
+    )
+
+    @classmethod
+    def _parse_datafile(cls, fileobj) -> dict:
+        """Parse one 2dFLenS ASCII table (3 header lines, whitespace
+        columns) into RA/Dec/redshift/weight arrays."""
+        fileobj.readline()
+        header = fileobj.readline().decode().split()[1:]
+        fileobj.readline()
+        array = np.loadtxt(fileobj)
+        return {
+            name: array[:, header.index(name)]
+            for name in ("RA", "Dec", "redshift", "wei")
+        }
+
+    @classmethod
+    def _patch_ids(cls, ra_deg, dec_deg):
+        """Nearest published patch center on the unit sphere (the
+        reference uses scipy ``vq`` over the same centers)."""
+        centers = np.asarray(cls.PATCH_CENTERS_RADIAN)
+        centers_xyz = radec_to_xyz(centers[:, 0], centers[:, 1])
+        xyz = radec_to_xyz(np.deg2rad(ra_deg), np.deg2rad(dec_deg))
+        return np.argmax(xyz @ centers_xyz.T, axis=1).astype(np.int16)
+
+    @classmethod
+    def download_and_update(cls, target=None) -> "_Path":
+        """Download the 2dFLenS southern-field data and prepare the
+        example survey files (reference parity:
+        /root/reference/src/yaw/examples/__init__.py:146-170 — data plus
+        the first 5 random realisations of both redshift samples,
+        concatenated, with the 11 published patch centers assigned).
+
+        Files land in ``target`` (default: ``YAWT_EXAMPLE_DATA_DIR`` or
+        the example cache) and the example API switches to them. Raises
+        a RuntimeError with a pointer at the offline alternatives when
+        the download fails — the deterministic mock keeps working either
+        way.
+        """
+        import io
+        import tarfile
+        import urllib.error
+        import urllib.request
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        target = _Path(target) if target is not None else _download_target()
+        target.mkdir(parents=True, exist_ok=True)
+
+        def columns_of(chunks):
+            return {
+                name: np.concatenate([c[name] for c in chunks])
+                for name in ("RA", "Dec", "redshift", "wei")
+            }
+
+        data_chunks, rand_chunks = [], []
+        try:
+            for sample in ("lo", "hi"):
+                url = cls.DOWNLOAD_URL_TEMPLATE.format(sample)
+                with urllib.request.urlopen(url, timeout=120) as response:
+                    payload = io.BytesIO(response.read())
+                with tarfile.open(fileobj=payload, mode="r:*") as tar:
+
+                    def get(prefix):
+                        member = next(
+                            m for m in tar if m.name.startswith(prefix)
+                        )
+                        return tar.extractfile(member)
+
+                    with get("data") as f:
+                        data_chunks.append(cls._parse_datafile(f))
+                    for i in range(1, 6):
+                        with get(f"rand{i:03d}") as f:
+                            rand_chunks.append(cls._parse_datafile(f))
+        except (urllib.error.URLError, OSError, StopIteration) as err:
+            raise RuntimeError(
+                "downloading the 2dFLenS example data failed (offline?); "
+                "the deterministic mock example remains available, or "
+                "point YAWT_EXAMPLE_DATA_DIR at prepared files"
+            ) from err
+
+        for chunks, path_name in (
+            (data_chunks, "2dflens_kidss_data.pqt"),
+            (rand_chunks, "2dflens_kidss_rand_5x.pqt"),
+        ):
+            columns = columns_of(chunks)
+            columns["patch"] = cls._patch_ids(columns["RA"], columns["Dec"])
+            pq.write_table(
+                pa.table(columns), target / path_name, compression="gzip"
+            )
+
+        _refresh_paths()
+        return target
+
     @classmethod
     def build_products(cls, force: bool = False) -> None:
         """Compute and store the example correlation products
         (``cross.hdf``, ``auto.hdf``, ``estimate.{dat,smp,cov}``).
 
-        With the real survey files the committed products already exist and
-        are read-only; recomputation is refused (measure through the public
-        API instead, or set ``YAWT_EXAMPLE_FORCE_MOCK=1``).
+        Products committed next to the survey files (the mounted
+        reference package) are read-only; recomputation is refused
+        (measure through the public API instead, or set
+        ``YAWT_EXAMPLE_FORCE_MOCK=1``). For downloaded survey files and
+        the mock, missing products are computed on demand.
         """
-        if USES_REAL_DATA:
+        products_exist = PATH.cross.exists() and PATH.auto.exists()
+        if products_exist and PATH.cross.parent == _BUNDLED_DIR:
             if force:
                 raise RuntimeError(
                     "the committed 2dFLenS products are read-only; set "
                     "YAWT_EXAMPLE_FORCE_MOCK=1 to regenerate mock products"
                 )
             return
-        if not force and PATH.cross.exists() and PATH.auto.exists():
+        if not force and products_exist:
             return
+        PATH.cross.parent.mkdir(parents=True, exist_ok=True)
         from yet_another_wizz_tpu.correlation.measurements import (
             autocorrelate,
             crosscorrelate,
