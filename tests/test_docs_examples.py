@@ -68,3 +68,57 @@ def test_remaining_python_blocks_compile():
             compile(block, str(path), "exec")
             count += 1
     assert count >= 2
+
+
+def test_tutorial_runs_end_to_end(tmp_path, monkeypatch):
+    """Execute every python block of the tutorial sequentially in one
+    namespace (the full walkthrough: example data -> catalogs -> w_sp/w_ss
+    -> n(z) with plot -> save/load round trip)."""
+    import urllib.error
+    import urllib.request
+
+    blocks = python_blocks(DOCS / "user_guide" / "tutorial.md")
+    assert len(blocks) >= 6, "tutorial must keep its executable blocks"
+
+    # deterministic mock example in a private cache; shrink the mock so
+    # the CPU run stays fast (the tutorial text uses the full sizes)
+    monkeypatch.setenv("YAWT_EXAMPLE_FORCE_MOCK", "1")
+    monkeypatch.setenv("YAWT_EXAMPLE_CACHE", str(tmp_path / "cache"))
+    monkeypatch.chdir(tmp_path)
+
+    import importlib
+
+    import yet_another_wizz_tpu.examples as examples
+
+    examples = importlib.reload(examples)
+    real_generate = examples.generate_mock_data
+
+    def small_mock(num_reference, num_unknown, num_randoms, **kwargs):
+        return real_generate(
+            num_reference=min(num_reference, 2000),
+            num_unknown=min(num_unknown, 3000),
+            num_randoms=min(num_randoms, 6000),
+            **kwargs,
+        )
+
+    monkeypatch.setattr(examples, "generate_mock_data", small_mock)
+
+    # no egress in CI: the download attempt must fail fast and the
+    # tutorial's RuntimeError guard must carry on with the mock
+    def offline(url, timeout=None):
+        raise urllib.error.URLError("offline test environment")
+
+    monkeypatch.setattr(urllib.request, "urlopen", offline)
+
+    namespace = {}
+    for i, block in enumerate(blocks):
+        exec(compile(block, f"tutorial.md block {i}", "exec"), namespace)
+
+    assert not namespace["examples"].USES_REAL_DATA
+    nz = namespace["nz"]
+    # the shrunken mock leaves sparse bins NaN (RR=0); most must be finite
+    assert np.isfinite(nz.data).sum() >= nz.data.size // 2
+    assert (tmp_path / "nz_tutorial.png").exists()
+    assert (tmp_path / "w_sp.hdf").exists()
+    assert (tmp_path / "nz_tutorial.dat").exists()
+    importlib.reload(examples)  # restore module state for other tests

@@ -98,17 +98,23 @@ def _launch_pair(mode: str, workdir: Path, timeout: float = 300.0) -> None:
         if all(rc == 0 for rc, _ in results):
             return
         outputs = "".join(out for _, out in results)
-        if attempt == 0:
-            # one retry for ANY first failure: on a loaded single-core CI
-            # host the workers' arrival at a collective can skew past
-            # gloo's 30 s key-exchange deadline (with or without the
-            # canonical message below); a warm compile cache makes the
-            # retry deterministic, and real failures reproduce.
+        # the ONLY tolerated infrastructure flake: on a loaded single-core
+        # CI host the workers' arrival at their first collective can skew
+        # past gloo's fixed 30 s key-exchange deadline, which surfaces as
+        # the literal "Gloo context initialization failed" message (or as
+        # an outright hang that _run_pair_once kills). Any other failure
+        # is a real bug and must fail immediately — a blanket retry would
+        # hand intermittent collective regressions (ordering, deadlock on
+        # error) one free pass per run.
+        infrastructure = (
+            _GLOO_TIMEOUT in outputs or "<pair timed out>" in outputs
+        )
+        if attempt == 0 and infrastructure:
             import warnings
 
             warnings.warn(
-                f"worker pair '{mode}' failed once (retrying): "
-                f"{'gloo timeout' if _GLOO_TIMEOUT in outputs else 'see retry'}"
+                f"worker pair '{mode}' hit the gloo key-exchange "
+                "deadline (retrying once with the warm compile cache)"
             )
             shutil.rmtree(workdir / "project_mp", ignore_errors=True)
             shutil.rmtree(workdir / "cache_mp", ignore_errors=True)
