@@ -60,6 +60,133 @@ NUM_RANDOMS = 1_000_000
 NUM_PATCHES = 64
 NUM_BINS = 11
 
+VPU_RATE = 2.43e12
+"""Sustained float32 elementwise op rate of one v5e chip (op/s), the
+denominator of the roofline model. Calibrated once from the measured
+speed-of-light kernel point (2.37 us per 512^2 tile pair at E=2, B=11,
+i.e. 22 modelled ops/pair — derivation in BASELINE.md section
+'Roofline model'); NOT fitted per round, so regressions show up as a
+dropping fraction."""
+
+
+def ops_per_candidate_pair(edges) -> float:
+    """Modelled VPU ops per candidate pair for a measurement's edge
+    tables (see BASELINE.md, 'Roofline model'): 15 for the compensated
+    chord distance, 1 for the column weight select, 3 per counting edge
+    (compare, select, reduce-add), and in direct separation-weighted
+    mode an 18-op index/weight block plus 3 per adjustment entry."""
+    base = 16.0
+    if edges.direct is not None:
+        d = edges.direct
+        return (
+            base + 3.0 * d.chord2_table.shape[1]
+            + 18.0 + 3.0 * (d.num_below + d.num_above)
+        )
+    return base + 3.0 * edges.num_edges
+
+
+def roofline(edges, candidate_pairs: float, measured_s: float) -> dict:
+    """Roofline bound and achieved fraction for one timed configuration:
+    ``bound_s`` is the time the modelled kernel ops alone would take at
+    the sustained VPU rate; ``fraction`` = bound / measured wall-clock
+    (host prep, transfers and post-processing account for the rest)."""
+    bound = candidate_pairs * ops_per_candidate_pair(edges) / VPU_RATE
+    return {
+        "bound_s": round(bound, 4),
+        "fraction": round(bound / measured_s, 3),
+    }
+
+
+SURVEY_REFERENCE = 1_000_000
+SURVEY_UNKNOWN = 2_000_000
+SURVEY_RANDOMS = 4_000_000
+SURVEY_PATCHES = 96
+SURVEY_RESIDENT = 24
+
+
+def run_survey_scale(rooflines: dict) -> dict:
+    """BASELINE config #5, single-chip portion: 7M rows (1M reference +
+    2M unknown + 4M HealPix-mask randoms), 96 patches, streamed through
+    the blocked out-of-core engine path (`max_resident_patches`)."""
+    from yet_another_wizz_tpu import Catalog, Configuration
+    from yet_another_wizz_tpu.correlation.measurements import (
+        PatchLinkage,
+        crosscorrelate,
+    )
+    from yet_another_wizz_tpu.examples import generate_mock_data
+    from yet_another_wizz_tpu.randoms import HealPixRandoms
+    from yet_another_wizz_tpu.redshifts import RedshiftData
+    from yet_another_wizz_tpu.utils.healpix import pix2ang_ring
+
+    t0 = time.perf_counter()
+    mock = generate_mock_data(
+        num_reference=SURVEY_REFERENCE,
+        num_unknown=SURVEY_UNKNOWN,
+        num_randoms=1,  # randoms drawn from the HealPix mask instead
+        seed=777,
+    )
+    reference = Catalog.from_arrays(
+        **mock["reference"], degrees=False, patch_num=SURVEY_PATCHES
+    )
+    centers = reference.get_centers()
+    unknown = Catalog.from_arrays(
+        **mock["unknown"], degrees=False, patch_centers=centers
+    )
+    nside = 128
+    colat, lon = pix2ang_ring(nside, np.arange(12 * nside * nside))
+    pix_ra_deg = np.rad2deg(lon)
+    pix_dec_deg = 90.0 - np.rad2deg(colat)
+    mask = (
+        (pix_ra_deg >= 40.0) & (pix_ra_deg <= 60.0)
+        & (pix_dec_deg >= -10.0) & (pix_dec_deg <= 10.0)
+    ).astype(float)
+    generator = HealPixRandoms(
+        mask, redshifts=mock["reference"]["redshifts"], seed=199
+    )
+    randoms = Catalog.from_random(
+        None, generator, SURVEY_RANDOMS, patch_centers=centers
+    )
+    log(f"survey-scale setup (7M rows): {time.perf_counter() - t0:.1f}s")
+
+    config = Configuration.create(
+        rmin=100, rmax=1000, unit="kpc",
+        zmin=0.15, zmax=1.0, num_bins=NUM_BINS,
+    )
+
+    def run():
+        (w_sp,) = crosscorrelate(
+            config, reference, unknown, ref_rand=randoms,
+            max_resident_patches=SURVEY_RESIDENT,
+        )
+        return RedshiftData.from_corrfuncs(w_sp)
+
+    t0 = time.perf_counter()
+    run()
+    log(f"survey-scale (cold, incl. compile): {time.perf_counter() - t0:.2f}s")
+    t_sv, lo, hi, nz = timed_median(run)
+
+    links = PatchLinkage.from_catalogs(config, reference, unknown, randoms)
+    pairs = sum(
+        links.num_candidate_pairs(cat1, cat2, binned2=False)
+        for cat1, cat2 in ((reference, unknown), (randoms, unknown))
+    )
+    pairs_per_s = pairs / t_sv
+    rooflines["survey_scale"] = roofline(links.edges, pairs, t_sv)
+    log(
+        f"survey-scale config (7M rows, HealPix-mask randoms, blocked "
+        f"max_resident_patches={SURVEY_RESIDENT}): {t_sv:.2f}s warm median "
+        f"[{lo:.2f}, {hi:.2f}], {pairs:.3e} candidate pairs -> "
+        f"{pairs_per_s:.3e} pairs/s, roofline {rooflines['survey_scale']}, "
+        f"n(z) finite: {bool(np.all(np.isfinite(nz.data)))}"
+    )
+    return {
+        "rows": SURVEY_REFERENCE + SURVEY_UNKNOWN + SURVEY_RANDOMS,
+        "num_patches": SURVEY_PATCHES,
+        "max_resident_patches": SURVEY_RESIDENT,
+        "warm_median_s": [round(t_sv, 3), round(lo, 3), round(hi, 3)],
+        "pairs_per_s": round(pairs_per_s, 1),
+    }
+
 
 def main() -> None:
     import jax
@@ -152,6 +279,8 @@ def main() -> None:
     )
     pairs_per_sec = stats_pairs / t_tpu
     log(f"candidate pairs: {stats_pairs:.3e} -> {pairs_per_sec:.3e} pairs/s")
+    rooflines = {"wsp_jackknife": roofline(links.edges, stats_pairs, t_tpu)}
+    log(f"roofline (wsp): {rooflines['wsp_jackknife']}")
 
     # CPU baseline: identical DD + RD counts via multiprocess scipy
     # kd-trees; doubles as a float64 validation of the device counts
@@ -218,10 +347,22 @@ def main() -> None:
     run_multiscale()
     t_ms, lo, hi, multi = timed_median(run_multiscale)
     warm_medians["multiscale_rweight"] = [round(t_ms, 3), round(lo, 3), round(hi, 3)]
+    links_multi = PatchLinkage.from_catalogs(
+        config_multi, reference, unknown, randoms
+    )
+    multi_pairs = sum(
+        links_multi.num_candidate_pairs(cat1, cat2, binned2=False)
+        for cat1, cat2 in ((reference, unknown), (randoms, unknown))
+    )
+    rooflines["multiscale_rweight"] = roofline(
+        links_multi.edges, multi_pairs, t_ms
+    )
     log(
         f"secondary config multi-scale rweight ({len(multi)} scale ranges, "
         f"theta^-1 weighting): {t_ms:.2f}s warm median [{lo:.2f}, {hi:.2f}], "
-        f"amplitudes {[round(float(np.nanmean(m.data)), 1) for m in multi]}"
+        f"amplitudes {[round(float(np.nanmean(m.data)), 1) for m in multi]}, "
+        f"counting={'direct' if links_multi.edges.direct else 'cumulative'}, "
+        f"roofline {rooflines['multiscale_rweight']}"
     )
 
     # secondary configuration (BASELINE config #5 ingredient): randoms
@@ -293,12 +434,22 @@ def main() -> None:
         )
     )
     stress_pairs_per_sec = stress_pairs / t_256
+    rooflines["stress_256_patches"] = roofline(
+        links_256.edges, stress_pairs, t_256
+    )
     log(
         f"stress config 256 patches: {t_256:.2f}s warm median "
         f"[{lo:.2f}, {hi:.2f}], {stress_pairs:.3e} candidate pairs "
         f"-> {stress_pairs_per_sec:.3e} pairs/s, "
-        f"n(z) corr vs 64-patch {np.corrcoef(nz_256.data, nz.data)[0, 1]:.3f}"
+        f"n(z) corr vs 64-patch {np.corrcoef(nz_256.data, nz.data)[0, 1]:.3f}, "
+        f"roofline {rooflines['stress_256_patches']}"
     )
+
+    # survey-scale configuration (BASELINE config #5, single-chip
+    # portion): 7M rows total, HealPix-mask randoms, blocked out-of-core
+    # path (device/host memory bounded at one patch-block pair)
+    survey_scale = run_survey_scale(rooflines)
+    warm_medians["survey_scale"] = survey_scale["warm_median_s"]
 
     result = {
         "metric": (
@@ -311,6 +462,8 @@ def main() -> None:
         "warm_medians_s": warm_medians,
         "warm_runs": WARM_RUNS,
         "stress_256_pairs_per_s": round(stress_pairs_per_sec, 1),
+        "survey_scale": survey_scale,
+        "roofline": rooflines,
         "oracle_max_rel_err": float(f"{max_rel_err:.3e}"),
     }
     print(json.dumps(result), flush=True)
