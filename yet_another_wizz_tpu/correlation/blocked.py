@@ -270,11 +270,38 @@ def count_pairs_blocked(
     return result
 
 
+PIPELINE_DEPTH = 2
+"""Deferred block pairs kept in flight: the device computes (and the
+result transfers) block pair N while the host packs/loads the tiles of
+block pair N+1. Depth 2 bounds live device inputs at two block pairs —
+the working-set guarantee of the blocked path scales accordingly."""
+
+
 def _blocked_loop(
     edges, linkage, catalog1, catalog2, binning, starts, block,
     *, auto, binned2, mode, tile_size, backend, mesh, data_sharding,
     layout1, layout2, indicator, num_patches, result, cache,
 ):
+    pending: list = []
+
+    def drain(keep: int) -> None:
+        """Fetch and scatter finished block pairs beyond ``keep``."""
+        import jax
+
+        while len(pending) > keep:
+            cumulative, mapper, pairs, lo1, lo2 = pending.pop(0)
+            if not isinstance(cumulative, np.ndarray):
+                cumulative = np.asarray(
+                    jax.device_get(cumulative), dtype=np.float64
+                )
+            per_scale = mapper.counts_to_scales(cumulative)  # (S, slots, B)
+            global1 = pairs.slot_patches[:, 0] + lo1
+            global2 = pairs.slot_patches[:, 1] + lo2
+            if auto:
+                same = global1 == global2
+                per_scale[:, same, :] *= 0.5
+            result[:, :, global1, global2] += np.moveaxis(per_scale, 1, -1)
+
     num_block_pairs = 0
     for lo1 in starts:
         hi1 = min(lo1 + block, num_patches)
@@ -324,31 +351,29 @@ def _blocked_loop(
 
             # direct separation-weighted counting when available (the
             # blocked path never audits and the oracle backend requires
-            # the union representation, see measurements._run_engine)
+            # the union representation, see measurements._run_engine);
+            # defer=True queues the device work and the fetch + scatter
+            # happen in drain() while later block pairs pack and upload
             direct = edges.direct if backend != "oracle" else None
             if direct is not None:
                 cumulative = count_pairs_tiles(
                     tiles1, tiles2, pairs, direct.combined_table(),
                     backend=backend, edges_radian=direct.edges,
                     mesh=mesh, data_sharding=data_sharding,
-                    direct=direct.spec,
+                    direct=direct.spec, defer=True,
                 )
-                per_scale = direct.counts_to_scales(cumulative)
+                mapper = direct
             else:
                 cumulative = count_pairs_tiles(
                     tiles1, tiles2, pairs, edges.chord2_table,
                     backend=backend, edges_radian=edges.edges,
-                    mesh=mesh, data_sharding=data_sharding,
+                    mesh=mesh, data_sharding=data_sharding, defer=True,
                 )
-                per_scale = edges.counts_to_scales(cumulative)  # (S, slots, B)
+                mapper = edges
+            pending.append((cumulative, mapper, pairs, lo1, lo2))
+            drain(PIPELINE_DEPTH - 1)
 
-            global1 = pairs.slot_patches[:, 0] + lo1
-            global2 = pairs.slot_patches[:, 1] + lo2
-            if auto:
-                same = global1 == global2
-                per_scale[:, same, :] *= 0.5
-            result[:, :, global1, global2] += np.moveaxis(per_scale, 1, -1)
-
+    drain(0)
     if indicator is not None:
         next(indicator, None)  # drain: prints the 100% line + newline
 

@@ -237,7 +237,13 @@ class TileSet:
         if self._cache_token is None:
             import jax.numpy as jnp
 
-            padded_tiles = bucket_size(self.num_tiles)
+            # base=64 (not the 512 default): blocked/out-of-core TileSets
+            # hold a few dozen tiles, and padding them to 512 multiplies
+            # the per-block host->device transfer by up to 8x (full
+            # catalogs sit above either floor, so their shapes are
+            # unchanged); the quarter-octave grid still bounds distinct
+            # compiled shapes to four per octave
+            padded_tiles = bucket_size(self.num_tiles, base=64)
             lanes = self.lane_data
             if padded_tiles > self.num_tiles:
                 lanes = np.concatenate(
