@@ -940,3 +940,28 @@ class TestDirectCounting:
             assert_allclose(
                 corr_x.sample().data, corr_o.sample().data, rtol=1e-4
             )
+
+    @pytest.mark.parametrize("data_sharding", ["replicated", "columns", "ring"])
+    def test_direct_sharded_matches_single_device(self, rng, data_sharding):
+        """Direct counting composes with the device mesh (all layouts)."""
+        from yet_another_wizz_tpu.parallel import (
+            count_pairs_sharded, default_mesh,
+        )
+
+        ts1, ts2, centers, radii = self._problem(rng)
+        edges = build_angular_edges(
+            self._scales(), self.ZMIDS, weight_scale=-1.0, weight_res=24,
+            counting="direct",
+        )
+        linkage = build_linkage(centers, radii, edges.max_angle * 1.000001)
+        pairs = build_tile_pairs(ts1, ts2, linkage, auto=False)
+        single = count_pairs_tiles(
+            ts1, ts2, pairs, edges.direct.combined_table(),
+            backend="xla", direct=edges.direct.spec,
+        )
+        sharded = count_pairs_sharded(
+            ts1, ts2, pairs, edges.direct.combined_table(),
+            mesh=default_mesh(4), data_sharding=data_sharding,
+            direct=edges.direct.spec,
+        )
+        assert_allclose(sharded, single, rtol=1e-5, atol=1e-4)

@@ -89,10 +89,13 @@ def _build_block_tiles(
         tile_size=tile_size,
         mode_weights=mode_weights,
         layout=layout if binning is not None else "spatial",
+        device_pad_base=64,  # tight upload padding, see TileSet docs
     )
 
 
-_TILE_SET_SCALARS = ("num_bins", "num_points", "tile_size")
+_TILE_SET_SCALARS = (
+    "num_bins", "num_points", "tile_size", "device_pad_base",
+)
 _TILE_SET_ARRAYS = (
     "lane_data", "tile_patch", "tile_center", "tile_radius",
     "patch_tile_start", "patch_tile_stop", "sum_weights", "tile_zmin",

@@ -285,24 +285,30 @@ def pallas_partial_counts(
     num_edges = _counting_width(num_table_cols, direct)
     tile_shape = tuple(lane_data1.shape[1:])  # (8, T)
     padded = tile1.shape[0]
-    kernel = _build_kernel_call(
-        segment,
-        tile_shape,
-        num_slots_out,
-        num_bins,
-        num_edges,
-        cols_binned,
-        interpret,
-        vma,
-        num_table_cols,
-        direct,
-    )
+
+    def build(size):
+        return _build_kernel_call(
+            size,
+            tile_shape,
+            num_slots_out,
+            num_bins,
+            num_edges,
+            cols_binned,
+            interpret,
+            vma,
+            num_table_cols,
+            direct,
+        )
 
     total = None
     for lo in range(0, padded, segment):
-        hi = lo + segment
+        # a trailing remainder (lists that are not a segment multiple,
+        # e.g. sharded chunk lengths padded for an odd chunk size) runs
+        # as its own smaller launch — at most two kernel configurations
+        size = min(segment, padded - lo)
+        hi = lo + size
         seg_slots = jax.lax.slice(slots, (lo,), (hi,))
-        part = kernel(
+        part = build(size)(
             jax.lax.slice(tile1, (lo,), (hi,)),
             jax.lax.slice(tile2, (lo,), (hi,)),
             seg_slots,

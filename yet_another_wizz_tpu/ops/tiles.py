@@ -220,6 +220,12 @@ class TileSet:
     num_bins: int
     num_points: int
     tile_size: int = DEFAULT_TILE_SIZE
+    device_pad_base: int = 512
+    """Tile-axis padding floor for :meth:`device_data`: 512 keeps full
+    catalogs of nearby sizes on one compiled shape (compiles go through
+    a slow remote service); the blocked out-of-core path passes 64 —
+    its few-dozen-tile blocks would otherwise pay up to 8x transfer
+    padding per block pair, and all blocks of a run share one shape."""
     _cache_token: object = field(default=None, repr=False)
 
     def device_data(self):
@@ -237,13 +243,9 @@ class TileSet:
         if self._cache_token is None:
             import jax.numpy as jnp
 
-            # base=64 (not the 512 default): blocked/out-of-core TileSets
-            # hold a few dozen tiles, and padding them to 512 multiplies
-            # the per-block host->device transfer by up to 8x (full
-            # catalogs sit above either floor, so their shapes are
-            # unchanged); the quarter-octave grid still bounds distinct
-            # compiled shapes to four per octave
-            padded_tiles = bucket_size(self.num_tiles, base=64)
+            padded_tiles = bucket_size(
+                self.num_tiles, base=self.device_pad_base
+            )
             lanes = self.lane_data
             if padded_tiles > self.num_tiles:
                 lanes = np.concatenate(
@@ -300,6 +302,7 @@ def build_tile_set(
     tile_size: int = DEFAULT_TILE_SIZE,
     mode_weights: NDArray | None = None,
     layout: str = "spatial",
+    device_pad_base: int = 512,
 ) -> TileSet:
     """Build a :class:`TileSet` from per-point arrays.
 
@@ -453,4 +456,5 @@ def build_tile_set(
         num_bins=num_bins,
         num_points=len(xyz),
         tile_size=tile_size,
+        device_pad_base=device_pad_base,
     )
