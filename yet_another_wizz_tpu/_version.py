@@ -1,2 +1,2 @@
-__version__ = "0.3.1"
-__version_tuple__ = (0, 3, 1)
+__version__ = "0.4.0"
+__version_tuple__ = (0, 4, 0)
