@@ -273,11 +273,16 @@ def count_pairs_blocked(
     return result
 
 
-PIPELINE_DEPTH = 2
+PIPELINE_DEPTH = 8
 """Deferred block pairs kept in flight: the device computes (and the
-result transfers) block pair N while the host packs/loads the tiles of
-block pair N+1. Depth 2 bounds live device inputs at two block pairs —
-the working-set guarantee of the blocked path scales accordingly."""
+result transfers) block pairs while the host packs/loads the tiles of
+later ones, and finished results are fetched in BATCHES of half the
+depth through one jax.device_get call each — on a tunneled device every
+individual fetch pays a full link round trip, which dominated the
+survey-scale wall-clock at depth 2. Live device inputs are bounded at
+``PIPELINE_DEPTH`` block pairs; the working-set guarantee of the
+blocked path scales accordingly (a block pair is ~2 x block x
+patch-size x 32 B, far below HBM for any practical block size)."""
 
 
 def _blocked_loop(
@@ -285,25 +290,45 @@ def _blocked_loop(
     *, auto, binned2, mode, tile_size, backend, mesh, data_sharding,
     layout1, layout2, indicator, num_patches, result, cache,
 ):
+    import time
+
+    phases = {"rows": 0.0, "cols": 0.0, "pairs": 0.0, "queue": 0.0,
+              "drain": 0.0}
+
+    def timed(key, fn, *args, **kwargs):
+        t0 = time.perf_counter()
+        out = fn(*args, **kwargs)
+        phases[key] += time.perf_counter() - t0
+        return out
+
     pending: list = []
 
     def drain(keep: int) -> None:
-        """Fetch and scatter finished block pairs beyond ``keep``."""
-        import jax
+        """Fetch and scatter finished block pairs beyond ``keep``.
 
-        while len(pending) > keep:
-            cumulative, mapper, pairs, lo1, lo2 = pending.pop(0)
-            if not isinstance(cumulative, np.ndarray):
-                cumulative = np.asarray(
-                    jax.device_get(cumulative), dtype=np.float64
+        All drained results come down in ONE ``jax.device_get`` call:
+        batching the transfers amortises the per-call link round trip
+        (the dominant cost on a tunneled device)."""
+        import jax
+        import time
+
+        t0 = time.perf_counter()
+        if len(pending) > keep:
+            take = pending[: len(pending) - keep]
+            del pending[: len(pending) - keep]
+            fetched = jax.device_get([item[0] for item in take])
+            for (_, mapper, pairs, lo1, lo2), values in zip(take, fetched):
+                cumulative = np.asarray(values, dtype=np.float64)
+                per_scale = mapper.counts_to_scales(cumulative)
+                global1 = pairs.slot_patches[:, 0] + lo1
+                global2 = pairs.slot_patches[:, 1] + lo2
+                if auto:
+                    same = global1 == global2
+                    per_scale[:, same, :] *= 0.5
+                result[:, :, global1, global2] += np.moveaxis(
+                    per_scale, 1, -1
                 )
-            per_scale = mapper.counts_to_scales(cumulative)  # (S, slots, B)
-            global1 = pairs.slot_patches[:, 0] + lo1
-            global2 = pairs.slot_patches[:, 1] + lo2
-            if auto:
-                same = global1 == global2
-                per_scale[:, same, :] *= 0.5
-            result[:, :, global1, global2] += np.moveaxis(per_scale, 1, -1)
+        phases["drain"] += time.perf_counter() - t0
 
     num_block_pairs = 0
     for lo1 in starts:
@@ -325,26 +350,32 @@ def _blocked_loop(
                 continue
 
             if tiles1 is None:
-                tiles1 = _build_block_tiles(
+                tiles1 = timed(
+                    "rows", _build_block_tiles,
                     catalog1, binning, mode[0], lo1, hi1, tile_size,
                     layout=layout1,
                 )
-            tiles2 = cache.load(lo2) if cache is not None else None
+            tiles2 = (
+                timed("cols", cache.load, lo2)
+                if cache is not None else None
+            )
             if tiles2 is None:
-                tiles2 = _build_block_tiles(
+                tiles2 = timed(
+                    "cols", _build_block_tiles,
                     catalog2, binning if binned2 else None, mode[1],
                     lo2, hi2, tile_size,
                     layout=layout2,
                 )
                 if cache is not None:
-                    cache.store(lo2, tiles2)
+                    timed("cols", cache.store, lo2, tiles2)
 
             local_linkage = type(linkage)(
                 max_angle=linkage.max_angle, linked=linked
             )
             # enumerate tile pairs with LOCAL patch ids; auto-diagonal
             # handling was already applied to the linked matrix above
-            pairs = build_tile_pairs(
+            pairs = timed(
+                "pairs", build_tile_pairs,
                 tiles1, tiles2, local_linkage, auto=False,
                 bin_max_angles=edges.edges.max(axis=1),
             )
@@ -359,7 +390,8 @@ def _blocked_loop(
             # happen in drain() while later block pairs pack and upload
             direct = edges.direct if backend != "oracle" else None
             if direct is not None:
-                cumulative = count_pairs_tiles(
+                cumulative = timed(
+                    "queue", count_pairs_tiles,
                     tiles1, tiles2, pairs, direct.combined_table(),
                     backend=backend, edges_radian=direct.edges,
                     mesh=mesh, data_sharding=data_sharding,
@@ -367,22 +399,28 @@ def _blocked_loop(
                 )
                 mapper = direct
             else:
-                cumulative = count_pairs_tiles(
+                cumulative = timed(
+                    "queue", count_pairs_tiles,
                     tiles1, tiles2, pairs, edges.chord2_table,
                     backend=backend, edges_radian=edges.edges,
                     mesh=mesh, data_sharding=data_sharding, defer=True,
                 )
                 mapper = edges
             pending.append((cumulative, mapper, pairs, lo1, lo2))
-            drain(PIPELINE_DEPTH - 1)
+            if len(pending) >= PIPELINE_DEPTH:
+                drain(PIPELINE_DEPTH // 2)
 
     drain(0)
     if indicator is not None:
         next(indicator, None)  # drain: prints the 100% line + newline
 
     logger.debug(
-        "processed %d resident block pairs of <=%d patches",
+        "processed %d resident block pairs of <=%d patches "
+        "(rows %.2fs, cols %.2fs, pair lists %.2fs, queue %.2fs, "
+        "drain %.2fs)",
         num_block_pairs,
         block,
+        phases["rows"], phases["cols"], phases["pairs"],
+        phases["queue"], phases["drain"],
     )
     return result
