@@ -402,8 +402,9 @@ def main() -> None:
         f"{np.corrcoef(nz_hp.data, nz.data)[0, 1]:.3f}"
     )
 
-    # stress configuration: 256 patches (multi-segment kernel launches,
-    # 32k+ linked patch-pair slots) on the same mock
+    # stress configuration: 256 patches (finer patch decomposition:
+    # thousands of linked patch-pair slots, shorter same-slot kernel
+    # runs) on the same mock
     reference_256 = Catalog.from_arrays(
         **mock["reference"], degrees=False, patch_num=256
     )

@@ -126,3 +126,54 @@ def test_get_paramspec():
     scales_spec = ScalesConfig.get_paramspec()
     assert {"rmin", "rmax", "unit", "rweight", "resolution"} <= set(scales_spec)
     assert scales_spec["unit"].help  # parameters carry metadata
+
+
+class TestCountingKnob:
+    """`scales.counting` selects the device counting formulation."""
+
+    def test_round_trip_and_validation(self):
+        from yet_another_wizz_tpu import Configuration
+        from yet_another_wizz_tpu.config import ConfigError
+
+        config = Configuration.create(
+            rmin=100, rmax=1000, unit="kpc", zmin=0.1, zmax=1.0,
+            num_bins=3, rweight=-1.0, resolution=32, counting="direct",
+        )
+        assert config.scales.counting == "direct"
+        restored = Configuration.from_dict(config.to_dict())
+        assert restored.scales.counting == "direct"
+        assert config.modify(counting="cumulative").scales.counting == (
+            "cumulative"
+        )
+        with pytest.raises(ConfigError, match="counting"):
+            Configuration.create(
+                rmin=100, rmax=1000, unit="kpc", zmin=0.1, zmax=1.0,
+                num_bins=3, counting="direct",  # no rweight
+            )
+        with pytest.raises(ConfigError, match="counting"):
+            Configuration.create(
+                rmin=100, rmax=1000, unit="kpc", zmin=0.1, zmax=1.0,
+                num_bins=3, counting="bogus",
+            )
+
+    def test_reaches_edge_tables(self):
+        from yet_another_wizz_tpu import Configuration
+        from yet_another_wizz_tpu.ops.thresholds import build_angular_edges
+
+        kwargs = dict(
+            rmin=100, rmax=1000, unit="kpc", zmin=0.1, zmax=1.0,
+            num_bins=3, rweight=-1.0, resolution=32,
+        )
+        for counting, has_direct in (
+            ("auto", True), ("cumulative", False), ("direct", True),
+        ):
+            config = Configuration.create(**kwargs, counting=counting)
+            edges = build_angular_edges(
+                config.scales.scales,
+                config.binning.binning.mids,
+                config.cosmology,
+                weight_scale=config.scales.rweight,
+                weight_res=config.scales.resolution,
+                counting=config.scales.counting,
+            )
+            assert (edges.direct is not None) is has_direct

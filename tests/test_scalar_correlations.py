@@ -203,3 +203,47 @@ class TestScalarExecutionOptions:
         assert_allclose(
             blocked.sample().data, single.sample().data, rtol=1e-4
         )
+
+
+def test_scalar_cross_with_rweight_direct_matches_oracle():
+    """Scalar (kappa-weighted) counting composes with the direct
+    separation-weighted mode: signed pair weights scale linearly with the
+    per-pair interval weight."""
+    import numpy as np
+    from numpy.testing import assert_allclose
+
+    from yet_another_wizz_tpu import Catalog, Configuration
+    from yet_another_wizz_tpu.correlation.measurements import (
+        PatchLinkage,
+        crosscorrelate_scalar,
+    )
+    from yet_another_wizz_tpu.examples import generate_mock_data
+
+    rng = np.random.default_rng(31)
+    mock = generate_mock_data(1200, 1800, 2500, seed=31)
+    mock["reference"]["kappa"] = rng.normal(0.0, 1.0, 1200)
+    ref = Catalog.from_arrays(**mock["reference"], degrees=False, patch_num=4)
+    unk = Catalog.from_arrays(
+        **mock["unknown"], degrees=False, patch_centers=ref.get_centers()
+    )
+    rand = Catalog.from_arrays(
+        **mock["randoms"], degrees=False, patch_centers=ref.get_centers()
+    )
+    config = Configuration.create(
+        rmin=[300, 800], rmax=[800, 3000], unit="kpc",
+        zmin=0.15, zmax=1.0, num_bins=3, rweight=-1.0, resolution=24,
+    )
+    links = PatchLinkage.from_catalogs(config, ref, unk, rand)
+    assert links.edges.direct is not None  # heuristic engaged
+
+    xla = crosscorrelate_scalar(
+        config, ref, unk, unk_rand=rand, backend="xla"
+    )
+    oracle = crosscorrelate_scalar(
+        config, ref, unk, unk_rand=rand, backend="oracle"
+    )
+    for corr_x, corr_o in zip(xla, oracle):
+        assert_allclose(
+            corr_x.sample().data, corr_o.sample().data,
+            rtol=1e-4, atol=1e-7,
+        )

@@ -33,6 +33,9 @@ correlation:
         # rweight: null
         # number of log bins used to approximate the separation weighting
         # resolution: 50
+        # device counting formulation for weighted configurations
+        # (auto, cumulative, direct)
+        # counting: auto
     binning:
         # lowest redshift edge
         zmin: 0.1

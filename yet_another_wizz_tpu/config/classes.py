@@ -112,15 +112,34 @@ class ScalesConfig(BaseConfig):
                 int,
                 default=50,
             ),
+            Parameter(
+                "counting",
+                "device counting formulation for weighted configurations",
+                str,
+                default="auto",
+                choices=("auto", "cumulative", "direct"),
+            ),
         ]
     )
 
-    def __init__(self, rmin, rmax, unit, rweight, resolution) -> None:
+    def __init__(
+        self, rmin, rmax, unit, rweight, resolution, counting="auto"
+    ) -> None:
         self.rmin = rmin if np.isscalar(rmin) else list(rmin)
         self.rmax = rmax if np.isscalar(rmax) else list(rmax)
         self.unit = Unit(unit)
         self.rweight = rweight
         self.resolution = resolution
+        if counting not in ("auto", "cumulative", "direct"):
+            raise ConfigError(
+                "must be one of auto, cumulative, direct", "counting"
+            )
+        if counting == "direct" and rweight is None:
+            raise ConfigError(
+                "direct counting requires separation weighting ('rweight')",
+                "counting",
+            )
+        self.counting = counting
         try:
             self.scales: Scales = new_scales(self.rmin, self.rmax, unit=self.unit)
         except ValueError as err:
@@ -315,6 +334,7 @@ class Configuration(BaseConfig):
         unit: Unit | str = Unit.kpc,
         rweight: float | None = None,
         resolution: int = 50,
+        counting: str = "auto",
         # binning
         zmin: float | None = None,
         zmax: float | None = None,
@@ -327,7 +347,7 @@ class Configuration(BaseConfig):
         # raw strings pass through so invalid choices surface as ConfigError
         scales = dict(
             rmin=rmin, rmax=rmax, unit=str(unit),
-            rweight=rweight, resolution=resolution,
+            rweight=rweight, resolution=resolution, counting=counting,
         )
         binning = dict(
             zmin=zmin, zmax=zmax, num_bins=num_bins,
@@ -358,6 +378,7 @@ class Configuration(BaseConfig):
             unit=str(self.scales.unit),
             rweight=self.scales.rweight,
             resolution=self.scales.resolution,
+            counting=self.scales.counting,
             closed=str(self.binning.closed),
         )
         if self.binning.method == BinMethod.custom:

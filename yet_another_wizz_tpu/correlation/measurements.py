@@ -128,6 +128,7 @@ class PatchLinkage:
             config.cosmology,
             weight_scale=config.scales.rweight,
             weight_res=config.scales.resolution,
+            counting=getattr(config.scales, "counting", "auto"),
         )
         logger.debug(
             "computing patch linkage with max. separation of %.2e rad",
