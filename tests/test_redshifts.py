@@ -138,3 +138,28 @@ class TestRedshiftData:
         )
         normed = nz.normalised(target)
         assert_allclose(normed.data, nz.data / popt[0], rtol=1e-6)
+
+
+def test_hist_from_lazy_catalog_matches_memory(tmp_path):
+    """HistData.from_catalog works on out-of-core LazyCatalogs with
+    bounded memory (block-by-block histogramming) and reproduces the
+    memory-resident result exactly."""
+    import numpy as np
+
+    from yet_another_wizz_tpu import Catalog
+    from yet_another_wizz_tpu.binning import Binning
+    from yet_another_wizz_tpu.catalog.lazy import LazyCatalog
+    from yet_another_wizz_tpu.examples import generate_mock_data
+    from yet_another_wizz_tpu.redshifts import HistData
+
+    mock = generate_mock_data(2000, 2000, 2000, seed=3)
+    cat = Catalog.from_arrays(
+        cache_directory=tmp_path / "c", **mock["reference"],
+        degrees=False, patch_num=5,
+    )
+    lazy = LazyCatalog(tmp_path / "c")
+    binning = Binning(np.linspace(0.15, 1.0, 5))
+    h_lazy = HistData.from_catalog(lazy, binning)
+    h_mem = HistData.from_catalog(cat, binning)
+    np.testing.assert_allclose(h_lazy.data, h_mem.data, rtol=1e-12)
+    np.testing.assert_allclose(h_lazy.samples, h_mem.samples, rtol=1e-12)

@@ -43,34 +43,62 @@ __all__ = [
 logger = logging.getLogger(__name__)
 
 
-def _patch_histograms(catalog: Catalog, binning: Binning) -> NDArray:
-    """Weighted redshift histogram per patch, shape (P, B).
+def _histogram_rows(
+    redshifts, weights, patch_ids, num_patches, binning: Binning
+) -> NDArray:
+    """Per-patch weighted histogram of one batch of rows, shape (P, B).
 
     Mirrors the reference's edge handling: numpy closes both outer edges,
     so the open outer edge is masked away explicitly.
     """
-    redshifts = catalog.redshifts
-    if redshifts is None:
-        raise ValueError("catalog has no 'redshifts' attached")
     if binning.closed == Closed.right:
         mask = redshifts > binning.edges[0]
     else:
         mask = redshifts < binning.edges[-1]
 
-    weights = catalog.weights
     weights = weights[mask] if weights is not None else None
-    patch_ids = catalog.patch_ids[mask]
+    patch_ids = patch_ids[mask]
 
-    counts = np.zeros((catalog.num_patches, len(binning)))
+    num_bins = len(binning)
     bin_idx = binning.digitize(redshifts[mask]) - 1
-    valid = (bin_idx >= 0) & (bin_idx < len(binning))
-    flat = patch_ids[valid] * len(binning) + bin_idx[valid]
+    valid = (bin_idx >= 0) & (bin_idx < num_bins)
+    flat = patch_ids[valid].astype(np.int64) * num_bins + bin_idx[valid]
     histogram = np.bincount(
         flat,
         weights=weights[valid] if weights is not None else None,
-        minlength=counts.size,
+        minlength=num_patches * num_bins,
     )
-    return histogram.reshape(counts.shape).astype(np.float64)
+    return histogram.reshape(num_patches, num_bins).astype(np.float64)
+
+
+def _patch_histograms(catalog: Catalog, binning: Binning) -> NDArray:
+    """Weighted redshift histogram per patch, shape (P, B).
+
+    Out-of-core catalogs (:class:`~yet_another_wizz_tpu.catalog.lazy.
+    LazyCatalog`) that expose ``load_block`` but no memory-resident
+    columns are histogrammed block by block with bounded host memory."""
+    num_patches = catalog.num_patches
+    if not hasattr(catalog, "redshifts"):
+        if not catalog.has_redshifts:
+            raise ValueError("catalog has no 'redshifts' attached")
+        block = 16
+        counts = np.zeros((num_patches, len(binning)))
+        for lo in range(0, num_patches, block):
+            hi = min(lo + block, num_patches)
+            data = catalog.load_block(lo, hi)
+            partial = _histogram_rows(
+                data.redshifts, data.weights,
+                data.patch_ids + lo, num_patches, binning,
+            )
+            counts += partial
+        return counts
+
+    redshifts = catalog.redshifts
+    if redshifts is None:
+        raise ValueError("catalog has no 'redshifts' attached")
+    return _histogram_rows(
+        redshifts, catalog.weights, catalog.patch_ids, num_patches, binning
+    )
 
 
 def resample_jackknife(observations: NDArray, patch_rows: bool = True) -> NDArray:
