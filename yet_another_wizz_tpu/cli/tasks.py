@@ -368,11 +368,11 @@ class HistTask(Task):
     def run(self) -> None:
         from yet_another_wizz_tpu.redshifts import HistData
 
+        lazy = self.config.execution.lazy
         for index, handle in self.project.cache.unknown.items():
-            # the histogram reads full redshift columns; always use the
-            # memory-resident catalog (one tomographic bin at a time)
+            # lazy catalogs histogram block by block (bounded memory)
             hist = HistData.from_catalog(
-                handle.load_data(),
+                handle.load_data(lazy=lazy),
                 self.config.correlation,
                 progress=self.progress,
                 max_workers=self.max_workers,
