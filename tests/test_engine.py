@@ -965,3 +965,31 @@ class TestDirectCounting:
             direct=edges.direct.spec,
         )
         assert_allclose(sharded, single, rtol=1e-5, atol=1e-4)
+
+
+def test_tile_pair_enumeration_chunked_identical(rng, monkeypatch):
+    """The bounded-memory candidate grouping (MAX_CANDIDATE_CHUNK) must
+    reproduce the single-pass enumeration exactly, including oversize
+    single slots and the slot-sorted row-major order."""
+    import yet_another_wizz_tpu.ops.linkage as linkage_mod
+
+    xyz1, w1, z1 = random_cap_catalog(rng, 3000, 3)
+    xyz2, w2, _ = random_cap_catalog(rng, 4000, 3)
+    p1 = simple_patches(xyz1, 6, np.random.default_rng(3))
+    p2 = simple_patches(xyz2, 6, np.random.default_rng(3))
+    ts1 = build_tile_set(
+        xyz1, p1, 6, weights=w1, zbins=z1, num_bins=3, tile_size=64
+    )
+    ts2 = build_tile_set(xyz2, p2, 6, weights=w2, tile_size=64)
+    centers, radii = patch_geometry(xyz1, p1, 6)
+    linkage = build_linkage(centers, radii, 0.02)
+    angles = np.array([0.015, 0.018, 0.02])
+
+    base = build_tile_pairs(ts1, ts2, linkage, auto=False, bin_max_angles=angles)
+    monkeypatch.setattr(linkage_mod, "MAX_CANDIDATE_CHUNK", 7)
+    tiny = linkage_mod.build_tile_pairs(
+        ts1, ts2, linkage, auto=False, bin_max_angles=angles
+    )
+    np.testing.assert_array_equal(tiny.tile1, base.tile1)
+    np.testing.assert_array_equal(tiny.tile2, base.tile2)
+    np.testing.assert_array_equal(tiny.slot, base.slot)

@@ -210,3 +210,42 @@ class TestDownload:
         finally:
             monkeypatch.undo()
             importlib.reload(examples)
+
+
+def test_download_to_custom_target(monkeypatch, tmp_path):
+    """download_and_update(target=...) registers the custom directory so
+    the example API actually switches to the downloaded files."""
+    import importlib
+
+    import yet_another_wizz_tpu.examples as examples
+
+    examples = importlib.reload(examples)
+    try:
+        monkeypatch.setattr(examples, "_BUNDLED_DIR", tmp_path / "nope")
+        monkeypatch.delenv("YAWT_EXAMPLE_DATA_DIR", raising=False)
+        monkeypatch.setenv("YAWT_EXAMPLE_CACHE", str(tmp_path / "cache"))
+        examples._refresh_paths()
+
+        rng = np.random.default_rng(7)
+        blob = TestDownload._fake_tarball(rng, 20)
+        import io
+        import urllib.request
+
+        class FakeResponse(io.BytesIO):
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *args):
+                return False
+
+        monkeypatch.setattr(
+            urllib.request, "urlopen",
+            lambda url, timeout=None: FakeResponse(blob),
+        )
+        custom = tmp_path / "elsewhere"
+        examples.ExampleData.download_and_update(custom)
+        assert examples.USES_REAL_DATA
+        assert examples.PATH.data.parent == custom
+    finally:
+        monkeypatch.undo()
+        importlib.reload(examples)

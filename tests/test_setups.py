@@ -452,7 +452,14 @@ def test_pipeline_deterministic_across_processes(data_files, tmp_path):
         )
         subprocess.run(
             [sys.executable, "-c", code], check=True,
-            env={**os.environ, "PYTHONHASHSEED": "random"},
+            env={
+                **os.environ,
+                "PYTHONHASHSEED": "random",
+                # never dial TPU hardware from test subprocesses: plugin
+                # registration against a flaky tunnel costs minutes
+                "PALLAS_AXON_POOL_IPS": "",
+                "JAX_PLATFORMS": "cpu",
+            },
         )
         outputs.append(
             (wdir / "estimate" / "nz_est_1.dat").read_bytes()

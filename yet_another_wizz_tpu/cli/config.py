@@ -329,9 +329,21 @@ class ExecutionConfig:
         and friends): blocked mode, audit, and the device mesh resolved
         from ``devices`` (``None`` leaves automatic pool detection to the
         engine; ``1`` pins single-device execution)."""
+        import jax
+
+        if jax.process_count() > 1 and self.devices is not None:
+            # multi-process pods run collectives over the GLOBAL mesh;
+            # a mesh built from the first N devices would exclude other
+            # processes' chips and hang/crash their collectives
+            if self.devices != len(jax.devices()):
+                raise ConfigError(
+                    "in a multi-process pod job 'devices' must be unset "
+                    f"or the global device count ({len(jax.devices())})",
+                    "execution.devices",
+                )
         if self.devices is None:
             mesh = None
-        elif self.devices == 1:
+        elif self.devices == 1 and jax.process_count() == 1:
             mesh = "single"
         else:
             from yet_another_wizz_tpu.parallel import default_mesh

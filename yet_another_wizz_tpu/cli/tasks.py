@@ -376,6 +376,9 @@ class HistTask(Task):
                 self.config.correlation,
                 progress=self.progress,
                 max_workers=self.max_workers,
+                max_resident_patches=(
+                    self.config.execution.max_resident_patches
+                ),
             )
             self.project.true.nz_true[index].save(hist)
 

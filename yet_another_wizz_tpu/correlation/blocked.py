@@ -249,13 +249,22 @@ def count_pairs_blocked(
     )
 
     import contextlib
+    import os
     import tempfile
 
     with contextlib.ExitStack() as stack:
         cache = None
         if tile_cache_bytes > 0 and len(starts) > 1:
+            # spill location: YAWT_SPILL_DIR, else the system temp dir.
+            # CAUTION for operators: on hosts where /tmp is tmpfs the
+            # spill is RAM-backed and competes with the bounded-memory
+            # goal of the blocked path — point YAWT_SPILL_DIR at real
+            # disk (e.g. next to the catalog caches) in that case.
+            spill_root = os.environ.get("YAWT_SPILL_DIR") or None
             cache_dir = stack.enter_context(
-                tempfile.TemporaryDirectory(prefix="yawt_blocked_tiles_")
+                tempfile.TemporaryDirectory(
+                    prefix="yawt_blocked_tiles_", dir=spill_root
+                )
             )
             cache = _ColumnTileCache(cache_dir, tile_cache_bytes)
         result = _blocked_loop(

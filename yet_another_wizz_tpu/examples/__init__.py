@@ -160,8 +160,15 @@ def _search_dirs() -> "list[_Path]":
     return candidates
 
 
+_EXPLICIT_TARGET: "_Path | None" = None
+"""Custom directory passed to :meth:`ExampleData.download_and_update`,
+registered so the example API finds the downloaded files there."""
+
+
 def _download_target() -> "_Path":
     """Writable directory :meth:`ExampleData.download_and_update` fills."""
+    if _EXPLICIT_TARGET is not None:
+        return _EXPLICIT_TARGET
     if env_dir := _os.environ.get("YAWT_EXAMPLE_DATA_DIR"):
         return _Path(env_dir)
     return (
@@ -429,6 +436,10 @@ class ExampleData:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        global _EXPLICIT_TARGET
+        if target is not None:
+            # register the custom directory so _search_dirs finds it
+            _EXPLICIT_TARGET = _Path(target)
         target = _Path(target) if target is not None else _download_target()
         target.mkdir(parents=True, exist_ok=True)
 
@@ -498,7 +509,18 @@ class ExampleData:
             return
         if not force and products_exist:
             return
-        PATH.cross.parent.mkdir(parents=True, exist_ok=True)
+        try:
+            PATH.cross.parent.mkdir(parents=True, exist_ok=True)
+            probe = PATH.cross.parent / ".yawt_write_probe"
+            probe.touch()
+            probe.unlink()
+        except OSError as err:
+            raise RuntimeError(
+                f"cannot write example products to {PATH.cross.parent} "
+                "(read-only survey-file directory?); set "
+                "YAWT_EXAMPLE_CACHE to a writable location or "
+                "YAWT_EXAMPLE_FORCE_MOCK=1 for the offline mock"
+            ) from err
         from yet_another_wizz_tpu.correlation.measurements import (
             autocorrelate,
             crosscorrelate,

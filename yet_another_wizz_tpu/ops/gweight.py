@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 __all__ = [
     "apply_direct_weight",
+    "counting_width",
     "num_param_cols",
 ]
 
@@ -29,6 +30,15 @@ def num_param_cols(num_below: int, num_above: int) -> int:
     """Width of the per-bin parameter block appended to the threshold
     table: ``[inv_d, lo_scaled, gc0, gc1]`` plus 3 columns per entry."""
     return 4 + 3 * (num_below + num_above)
+
+
+def counting_width(num_table_cols: int, direct: tuple | None) -> int:
+    """Counting-edge columns of a (possibly combined) threshold table:
+    the full width in cumulative mode, the width minus the parameter
+    block in direct mode (``direct = (num_sub, num_below, num_above)``)."""
+    if direct is None:
+        return num_table_cols
+    return num_table_cols - num_param_cols(direct[1], direct[2])
 
 
 def _asin_f32(s):

@@ -120,6 +120,13 @@ class TilePairs:
         return len(self.slot_patches)
 
 
+MAX_CANDIDATE_CHUNK = 8_000_000
+"""Upper bound on simultaneously materialised tile-pair candidates in
+:func:`build_tile_pairs` (~0.8 GB of temporaries); whole slots are
+grouped under this bound, so typical survey problems still run in one
+vectorised pass."""
+
+
 def _bin_range_max(bin_max_angles: NDArray) -> NDArray:
     """``(B, B)`` table of ``max(bin_max_angles[a..b])`` for bin ranges.
 
@@ -175,7 +182,11 @@ def build_tile_pairs(
     # was the dominant host cost at high patch counts): every linked
     # patch pair contributes its dense (tiles-in-p1 x tiles-in-p2) grid,
     # flattened row-major so the surviving order matches the historical
-    # per-slot np.nonzero order exactly (slot-sorted, row-tile-major)
+    # per-slot np.nonzero order exactly (slot-sorted, row-tile-major).
+    # Slots are processed in groups whose cumulative candidate count is
+    # bounded: materialising ALL candidates at once costs ~100 B each in
+    # temporaries, which at survey scale (1e8+ unpruned grid entries)
+    # would blow up peak host memory where the old loop was negligible.
     p1 = pairs[:, 0]
     p2 = pairs[:, 1]
     start1 = tiles1.patch_tile_start[p1].astype(np.int64)
@@ -187,42 +198,76 @@ def build_tile_pairs(
         np.int64
     )
     sizes = n1 * n2
-    total = int(sizes.sum())
-    slot_of = np.repeat(np.arange(len(pairs), dtype=np.int64), sizes)
-    offsets = np.concatenate([[0], np.cumsum(sizes)])[:-1]
-    k = np.arange(total, dtype=np.int64) - offsets[slot_of]
-    n2_r = n2[slot_of]
-    cand1 = start1[slot_of] + k // n2_r
-    cand2 = start2[slot_of] + k % n2_r
+    bounds = np.concatenate([[0], np.cumsum(sizes)])
+    num_slots = len(pairs)
+    # greedy slot grouping under the candidate bound (one iteration per
+    # GROUP; a single slot larger than the bound forms its own group)
+    group_edges = [0]
+    while group_edges[-1] < num_slots:
+        cut = int(
+            np.searchsorted(
+                bounds,
+                bounds[group_edges[-1]] + MAX_CANDIDATE_CHUNK,
+                side="right",
+            )
+            - 1
+        )
+        group_edges.append(min(max(cut, group_edges[-1] + 1), num_slots))
 
-    # angular cap cut over all candidates at once
-    c1 = tiles1.tile_center[cand1]
-    c2 = tiles2.tile_center[cand2]
-    dots = np.clip(np.einsum("ij,ij->i", c1, c2), -1.0, 1.0)
-    dist = 2.0 * np.arcsin(np.sqrt(np.maximum(0.5 * (1.0 - dots), 0.0)))
-    radii = tiles1.tile_radius[cand1] + tiles2.tile_radius[cand2]
-    if per_tile_cutoff:
-        zmin1 = tiles1.tile_zmin[cand1]
-        zmax1 = tiles1.tile_zmax[cand1]
-        if tiles2.binned:
-            # equal-bin counting: only the overlapping bin range matters
-            lo = np.maximum(zmin1, tiles2.tile_zmin[cand2])
-            hi = np.minimum(zmax1, tiles2.tile_zmax[cand2])
-            valid = lo <= hi
-            theta = range_max[np.minimum(lo, hi), np.maximum(hi, 0)]
+    kept1, kept2, kept_slot = [], [], []
+    for g_lo, g_hi in zip(group_edges[:-1], group_edges[1:]):
+        if g_hi <= g_lo:
+            continue
+        g_sizes = sizes[g_lo:g_hi]
+        total = int(g_sizes.sum())
+        if total == 0:
+            continue
+        slot_of = g_lo + np.repeat(
+            np.arange(g_hi - g_lo, dtype=np.int64), g_sizes
+        )
+        k = np.arange(total, dtype=np.int64) - (
+            bounds[slot_of] - bounds[g_lo]
+        )
+        n2_r = n2[slot_of]
+        cand1 = start1[slot_of] + k // n2_r
+        cand2 = start2[slot_of] + k % n2_r
+
+        # angular cap cut over the group's candidates at once
+        c1 = tiles1.tile_center[cand1]
+        c2 = tiles2.tile_center[cand2]
+        dots = np.clip(np.einsum("ij,ij->i", c1, c2), -1.0, 1.0)
+        dist = 2.0 * np.arcsin(
+            np.sqrt(np.maximum(0.5 * (1.0 - dots), 0.0))
+        )
+        radii = tiles1.tile_radius[cand1] + tiles2.tile_radius[cand2]
+        if per_tile_cutoff:
+            zmin1 = tiles1.tile_zmin[cand1]
+            zmax1 = tiles1.tile_zmax[cand1]
+            if tiles2.binned:
+                # equal-bin counting: only the overlapping range matters
+                lo = np.maximum(zmin1, tiles2.tile_zmin[cand2])
+                hi = np.minimum(zmax1, tiles2.tile_zmax[cand2])
+                valid = lo <= hi
+                theta = range_max[np.minimum(lo, hi), np.maximum(hi, 0)]
+            else:
+                valid = zmax1 >= zmin1
+                theta = range_max[
+                    np.minimum(zmin1, np.maximum(zmax1, 0)),
+                    np.maximum(zmax1, 0),
+                ]
+            keep = (dist < radii + theta) & valid
         else:
-            valid = zmax1 >= zmin1
-            theta = range_max[
-                np.minimum(zmin1, np.maximum(zmax1, 0)),
-                np.maximum(zmax1, 0),
-            ]
-        keep = (dist < radii + theta) & valid
-    else:
-        keep = dist < radii + cutoff_angle
+            keep = dist < radii + cutoff_angle
+        kept1.append(cand1[keep].astype(np.int32))
+        kept2.append(cand2[keep].astype(np.int32))
+        kept_slot.append(slot_of[keep].astype(np.int32))
 
+    if kept1:
+        tile1 = np.concatenate(kept1)
+        tile2 = np.concatenate(kept2)
+        slot = np.concatenate(kept_slot)
+    else:
+        tile1 = tile2 = slot = np.empty(0, dtype=np.int32)
     return TilePairs(
-        tile1=cand1[keep].astype(np.int32),
-        tile2=cand2[keep].astype(np.int32),
-        slot=slot_of[keep].astype(np.int32),
-        slot_patches=pairs,
+        tile1=tile1, tile2=tile2, slot=slot, slot_patches=pairs
     )

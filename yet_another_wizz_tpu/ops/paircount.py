@@ -163,11 +163,9 @@ def pair_block_counts(
 
 def _counting_width(chord2_table, direct: tuple | None) -> int:
     """Number of counting-edge columns of a (possibly combined) table."""
-    if direct is None:
-        return chord2_table.shape[1]
-    from yet_another_wizz_tpu.ops.gweight import num_param_cols
+    from yet_another_wizz_tpu.ops.gweight import counting_width
 
-    return chord2_table.shape[1] - num_param_cols(direct[1], direct[2])
+    return counting_width(chord2_table.shape[1], direct)
 
 
 @partial(

@@ -170,12 +170,10 @@ def _grid_size(num_pairs: int, maximum: int) -> int:
 
 
 def _counting_width(num_table_cols: int, direct: tuple | None) -> int:
-    """Counting-edge columns of a (possibly combined) threshold table."""
-    if direct is None:
-        return num_table_cols
-    from yet_another_wizz_tpu.ops.gweight import num_param_cols
+    """Counting-edge columns (shared helper, see ops.gweight)."""
+    from yet_another_wizz_tpu.ops.gweight import counting_width
 
-    return num_table_cols - num_param_cols(direct[1], direct[2])
+    return counting_width(num_table_cols, direct)
 
 
 @lru_cache(maxsize=256)
@@ -187,7 +185,6 @@ def _build_kernel_call(
     num_edges: int,
     cols_binned: bool,
     interpret: bool,
-    vma: frozenset | None = None,
     num_table_cols: int | None = None,
     direct: tuple | None = None,
 ):
@@ -234,10 +231,8 @@ def _build_kernel_call(
             direct=direct,
         ),
         grid_spec=grid_spec,
-        # vma: inside a shard_map program the kernel output varies over
-        # the mesh axes (jax's varying-mesh-axes check requires it named)
         out_shape=jax.ShapeDtypeStruct(
-            (num_slots_out, num_bins, num_edges), jnp.float32, vma=vma
+            (num_slots_out, num_bins, num_edges), jnp.float32
         ),
         interpret=interpret,
     )
@@ -256,7 +251,6 @@ def pallas_partial_counts(
     interpret: bool,
     segment: int,
     mask_always: bool = False,
-    vma: frozenset | None = None,
     direct: tuple | None = None,
 ) -> jnp.ndarray:
     """Traced core of the Pallas engine over a pre-padded pair list.
@@ -295,7 +289,6 @@ def pallas_partial_counts(
             num_edges,
             cols_binned,
             interpret,
-            vma,
             num_table_cols,
             direct,
         )
@@ -357,7 +350,6 @@ def _masked_segment_add(
         num_edges,
         cols_binned,
         interpret,
-        None,
         num_table_cols,
         direct,
     )

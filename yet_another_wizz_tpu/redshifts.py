@@ -71,17 +71,23 @@ def _histogram_rows(
     return histogram.reshape(num_patches, num_bins).astype(np.float64)
 
 
-def _patch_histograms(catalog: Catalog, binning: Binning) -> NDArray:
+def _patch_histograms(
+    catalog: Catalog,
+    binning: Binning,
+    max_resident_patches: int | None = None,
+) -> NDArray:
     """Weighted redshift histogram per patch, shape (P, B).
 
     Out-of-core catalogs (:class:`~yet_another_wizz_tpu.catalog.lazy.
     LazyCatalog`) that expose ``load_block`` but no memory-resident
-    columns are histogrammed block by block with bounded host memory."""
+    columns are histogrammed block by block with host memory bounded at
+    ``max_resident_patches`` patches (the same knob as the blocked
+    measurement path)."""
     num_patches = catalog.num_patches
     if not hasattr(catalog, "redshifts"):
         if not catalog.has_redshifts:
             raise ValueError("catalog has no 'redshifts' attached")
-        block = 16
+        block = max(1, int(max_resident_patches or 16))
         counts = np.zeros((num_patches, len(binning)))
         for lo in range(0, num_patches, block):
             hi = min(lo + block, num_patches)
@@ -134,9 +140,13 @@ class HistData(CorrData):
         method: ResamplingMethod | str = ResamplingMethod.jackknife,
         progress: bool = False,
         max_workers: int | None = None,
+        max_resident_patches: int | None = None,
     ) -> Self:
         """Histogram the catalog redshifts in the configured bins, with
-        jackknife (default) or bootstrap samples over the patches."""
+        jackknife (default) or bootstrap samples over the patches.
+
+        ``max_resident_patches`` bounds the host memory of out-of-core
+        (lazy) catalogs at that many resident patches."""
         logger.info("computing redshift histogram")
         binning_config = getattr(config, "binning", config)
         binning = getattr(binning_config, "binning", binning_config)
@@ -144,7 +154,9 @@ class HistData(CorrData):
             raise TypeError("'config' must provide a redshift binning")
 
         method = ResamplingMethod(method)
-        counts = _patch_histograms(catalog, binning)
+        counts = _patch_histograms(
+            catalog, binning, max_resident_patches=max_resident_patches
+        )
         if method == ResamplingMethod.jackknife:
             samples = resample_jackknife(counts)
         else:
