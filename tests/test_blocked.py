@@ -152,6 +152,106 @@ def test_column_tile_cache_round_trip(catalogs, config):
     )
     uncached = count_pairs_blocked(
         links.edges, links.linkage, reference, unknown, binning,
-        tile_cache_bytes=0, **kwargs,
+        tile_cache_bytes=0, resident_tile_bytes=0, **kwargs,
     )
     np.testing.assert_allclose(cached, uncached, rtol=1e-6, atol=1e-6)
+
+
+def test_resident_tile_cache(catalogs, config):
+    """The resident layer keeps the TileSet objects (and therefore their
+    cached device arrays) alive across revisits; blocks beyond the
+    resident budget spill to disk; results are identical either way."""
+    import tempfile
+
+    from yet_another_wizz_tpu.correlation.blocked import (
+        _ColumnTileCache, _build_block_tiles, count_pairs_blocked,
+    )
+    from yet_another_wizz_tpu.correlation.measurements import PatchLinkage
+
+    reference, unknown, randoms = catalogs
+    binning = config.binning.binning
+    tiles = _build_block_tiles(reference, binning, "n", 0, 4, 64)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        # generous resident budget: served from memory, nothing on disk
+        cache = _ColumnTileCache(tmp, 1 << 30, resident_bytes=1 << 30)
+        cache.store(0, tiles)
+        assert cache.load(0) is tiles  # the SAME object -> device cache too
+        assert cache._paths == {}
+
+        # budget too small for even one block: falls through to disk
+        spilled = _ColumnTileCache(tmp, 1 << 30, resident_bytes=1)
+        spilled.store(0, tiles)
+        assert 0 in spilled._paths
+        assert spilled.load(0) is not tiles
+
+        # resident-only cache (no spill directory)
+        no_disk = _ColumnTileCache(None, 0, resident_bytes=1 << 30)
+        no_disk.store(0, tiles)
+        assert no_disk.load(0) is tiles
+
+    # resident-only run equals the fully uncached run
+    links = PatchLinkage.from_catalogs(config, reference, unknown)
+    kwargs = dict(
+        auto=False, binned2=False, max_resident_patches=4, backend="xla"
+    )
+    resident = count_pairs_blocked(
+        links.edges, links.linkage, reference, unknown, binning,
+        tile_cache_bytes=0, resident_tile_bytes=1 << 30, **kwargs,
+    )
+    uncached = count_pairs_blocked(
+        links.edges, links.linkage, reference, unknown, binning,
+        tile_cache_bytes=0, resident_tile_bytes=0, **kwargs,
+    )
+    np.testing.assert_allclose(resident, uncached, rtol=1e-6, atol=1e-6)
+
+
+def test_measurement_scoped_cache(catalogs, config):
+    """A measurement-scoped cache shares column blocks between count
+    types (DD and RD both stream the unknown catalog as columns), while
+    keys keep genuinely different tile sets apart."""
+    from yet_another_wizz_tpu.correlation.blocked import (
+        count_pairs_blocked, measurement_tile_cache,
+    )
+    from yet_another_wizz_tpu.correlation.measurements import PatchLinkage
+
+    reference, unknown, randoms = catalogs
+    links = PatchLinkage.from_catalogs(config, reference, unknown, randoms)
+    binning = config.binning.binning
+    kwargs = dict(
+        auto=False, binned2=False, max_resident_patches=4, backend="xla"
+    )
+    num_blocks = -(-reference.num_patches // 2)  # block = 4 // 2
+
+    with measurement_tile_cache() as cache:
+        dd = count_pairs_blocked(
+            links.edges, links.linkage, reference, unknown, binning,
+            cache=cache, **kwargs,
+        )
+        misses_after_dd = cache.misses
+        # DD packed ref rows + unknown columns, one miss per block each
+        assert misses_after_dd == 2 * num_blocks
+        rd = count_pairs_blocked(
+            links.edges, links.linkage, randoms, unknown, binning,
+            cache=cache, **kwargs,
+        )
+        # RD only packs its own (randoms) row blocks; every column load
+        # hits the blocks the DD pass stored
+        assert cache.misses - misses_after_dd == num_blocks
+
+    np.testing.assert_allclose(
+        dd,
+        count_pairs_blocked(
+            links.edges, links.linkage, reference, unknown, binning,
+            tile_cache_bytes=0, resident_tile_bytes=0, **kwargs,
+        ),
+        rtol=1e-6, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        rd,
+        count_pairs_blocked(
+            links.edges, links.linkage, randoms, unknown, binning,
+            tile_cache_bytes=0, resident_tile_bytes=0, **kwargs,
+        ),
+        rtol=1e-6, atol=1e-6,
+    )

@@ -19,6 +19,7 @@ Enabled through ``max_resident_patches`` on the measurement functions.
 
 from __future__ import annotations
 
+import contextlib
 import logging
 from typing import TYPE_CHECKING
 
@@ -36,6 +37,7 @@ if TYPE_CHECKING:
 
 __all__ = [
     "count_pairs_blocked",
+    "measurement_tile_cache",
 ]
 
 logger = logging.getLogger(__name__)
@@ -104,34 +106,82 @@ _TILE_SET_ARRAYS = (
 
 
 class _ColumnTileCache:
-    """Per-measurement disk cache of packed column-block tile sets.
+    """Per-measurement cache of packed column-block tile sets.
 
     The blocked loop sweeps every column block once per ROW block; without
     a cache each sweep re-reads the patch data and re-packs the tiles
     (Morton sort + native scatter), i.e. O(num_blocks^2) packing work for
-    data that only changes per measurement. Spilling the packed arrays to
-    an uncompressed ``.npz`` per column block turns every revisit into a
-    single sequential file read while keeping HOST memory bounded at one
-    resident block pair — the defining property of the blocked path.
+    data that only changes per measurement, and re-uploads the packed
+    lanes through the host-device link. Two bounded layers:
 
-    The cache lives in a temporary directory for the duration of one
-    :func:`count_pairs_blocked` call and is capped at ``max_bytes`` on
-    disk; once full, later blocks are simply rebuilt each sweep (no
-    eviction: the sweep order revisits blocks uniformly, so evicting one
-    block to admit another buys nothing).
+    - **resident** (``resident_bytes`` of budget, accounted in
+      device-padded lane bytes): the :class:`TileSet` objects themselves
+      are kept alive, so their cached device arrays
+      (:meth:`TileSet.device_data`) stay in HBM and every revisit skips
+      BOTH the packing and the upload. On a tunneled device the upload is
+      the dominant per-revisit cost, so this layer is what makes the
+      blocked path stream each column block through the link once per
+      measurement instead of once per row sweep. Host memory holds the
+      same lane bytes (the TileSet's numpy arrays) — the budget bounds
+      both sides. (Under mesh-sharded execution the engine places lanes
+      per call with its own shardings, so this layer then saves the
+      packing but not the transfer.)
+    - **disk spill**: blocks beyond the resident budget go to an
+      uncompressed ``.npz`` per column block (capped at ``max_bytes``),
+      turning a revisit into a sequential file read + one upload while
+      keeping host memory bounded at one resident block pair.
+
+    Blocks beyond both budgets are simply rebuilt each sweep. No
+    eviction in either layer: the sweep order revisits blocks uniformly,
+    so evicting one block to admit another buys nothing. The cache lives
+    for the duration of one :func:`count_pairs_blocked` call — or, via
+    :func:`measurement_tile_cache`, for a whole measurement, sharing
+    blocks between its count types (e.g. DD and RD of a
+    cross-correlation both stream the unknown catalog as columns; DD
+    and DR share the reference as rows). Entries are keyed by
+    ``(catalog, binning, mode, layout, block size, block index)``, so
+    only genuinely identical tile sets are shared.
+
+    ``store_rows=True`` (set by :func:`measurement_tile_cache`) also
+    admits ROW blocks: within one count rows are visited once each, but
+    across the counts of a measurement the same catalog often returns
+    as the row side. Per-call caches leave rows out so one-shot row
+    blocks cannot crowd the column blocks out of the budgets.
     """
 
-    def __init__(self, directory: str, max_bytes: int) -> None:
+    def __init__(
+        self,
+        directory: str | None,
+        max_bytes: int,
+        resident_bytes: int = 0,
+        store_rows: bool = False,
+    ) -> None:
         self._dir = directory
-        self._max_bytes = max_bytes
+        self._max_bytes = max_bytes if directory is not None else 0
         self._used = 0
-        self._paths: dict[int, str] = {}
+        self._paths: dict[object, str] = {}
+        self._resident_bytes = resident_bytes
+        self._resident_used = 0
+        self._resident: dict[object, object] = {}
+        self.store_rows = store_rows
         self.hits = 0
         self.misses = 0
 
-    def load(self, key: int):
+    @staticmethod
+    def _device_nbytes(tiles) -> int:
+        """HBM bytes of the tile set's device array (padded lane data)."""
+        from yet_another_wizz_tpu.ops.tiles import bucket_size
+
+        padded = bucket_size(tiles.num_tiles, base=tiles.device_pad_base)
+        return padded * int(np.prod(tiles.lane_data.shape[1:])) * 4
+
+    def load(self, key):
         from yet_another_wizz_tpu.ops.tiles import TileSet
 
+        tiles = self._resident.get(key)
+        if tiles is not None:
+            self.hits += 1
+            return tiles
         path = self._paths.get(key)
         if path is None:
             self.misses += 1
@@ -150,15 +200,21 @@ class _ColumnTileCache:
             )
         return TileSet(**fields)
 
-    def store(self, key: int, tiles) -> None:
+    def store(self, key, tiles) -> None:
         import os
+
+        dev_size = self._device_nbytes(tiles)
+        if self._resident_used + dev_size <= self._resident_bytes:
+            self._resident[key] = tiles
+            self._resident_used += dev_size
+            return
 
         size = sum(  # arrays only; scalars are negligible
             getattr(tiles, name).nbytes for name in _TILE_SET_ARRAYS
         )
         if tiles.sum_kappa is not None:
             size += tiles.sum_kappa.nbytes
-        if self._used + size > self._max_bytes:
+        if self._dir is None or self._used + size > self._max_bytes:
             return
         payload = {
             name: getattr(tiles, name) for name in _TILE_SET_ARRAYS
@@ -171,10 +227,59 @@ class _ColumnTileCache:
         )
         if tiles.sum_kappa is not None:
             payload["sum_kappa"] = tiles.sum_kappa
-        path = os.path.join(self._dir, f"block_{key}.npz")
+        path = os.path.join(self._dir, f"block_{len(self._paths)}.npz")
         np.savez(path, **payload)
         self._paths[key] = path
         self._used += size
+
+
+def _resolve_resident_bytes(resident_tile_bytes: int | None) -> int:
+    if resident_tile_bytes is None:
+        import os
+
+        env = os.environ.get("YAWT_RESIDENT_TILE_BYTES")
+        resident_tile_bytes = int(env) if env else 4 << 30
+    return resident_tile_bytes
+
+
+@contextlib.contextmanager
+def measurement_tile_cache(
+    tile_cache_bytes: int = 16 << 30,
+    resident_tile_bytes: int | None = None,
+):
+    """A tile cache scoped to a whole measurement.
+
+    Passed as ``cache=`` to several :func:`count_pairs_blocked` calls, the
+    count types of one measurement share their packed (and, within the
+    resident budget, device-uploaded) patch blocks: DD and RD of a
+    cross-correlation both stream the unknown catalog as their column
+    side, DD and DR both stream the reference as rows — each catalog then
+    crosses the host-device link once per measurement instead of once per
+    count. Keys include the catalog identity, binning, counting mode and
+    tile layout, so only genuinely identical tile sets are ever shared;
+    both budget knobs behave exactly as on :func:`count_pairs_blocked`.
+    """
+    import os
+    import tempfile
+
+    resident_tile_bytes = _resolve_resident_bytes(resident_tile_bytes)
+    with contextlib.ExitStack() as stack:
+        cache_dir = None
+        if tile_cache_bytes > 0:
+            spill_root = os.environ.get("YAWT_SPILL_DIR") or None
+            cache_dir = stack.enter_context(
+                tempfile.TemporaryDirectory(
+                    prefix="yawt_blocked_tiles_", dir=spill_root
+                )
+            )
+        cache = _ColumnTileCache(
+            cache_dir, tile_cache_bytes, resident_tile_bytes, store_rows=True
+        )
+        yield cache
+        logger.debug(
+            "measurement tile cache: %d hits, %d rebuilds",
+            cache.hits, cache.misses,
+        )
 
 
 def count_pairs_blocked(
@@ -194,6 +299,8 @@ def count_pairs_blocked(
     data_sharding: str = "replicated",
     progress: bool = False,
     tile_cache_bytes: int = 16 << 30,
+    resident_tile_bytes: int | None = None,
+    cache: _ColumnTileCache | None = None,
 ) -> np.ndarray:
     """Count pairs block by block; returns per-scale counts with shape
     ``(num_scales, num_bins, num_patches, num_patches)`` (same contract as
@@ -206,10 +313,22 @@ def count_pairs_blocked(
     execution is the out-of-core layout for pod-scale runs where not even
     a patch block fits a single chip.
 
-    Column-block tile sets are spilled to a per-call disk cache (capped
-    at ``tile_cache_bytes``; 0 disables) so each column block is packed
-    once per measurement instead of once per (row, column) block pair —
-    see :class:`_ColumnTileCache`."""
+    Column-block tile sets are cached per call at two levels (see
+    :class:`_ColumnTileCache`): up to ``resident_tile_bytes`` of packed
+    blocks stay resident in device memory (env ``YAWT_RESIDENT_TILE_BYTES``
+    overrides; default 4 GiB; 0 disables), so revisits skip the
+    host-device upload entirely; blocks beyond that spill to a disk cache
+    (capped at ``tile_cache_bytes``; 0 disables) and are re-uploaded per
+    row sweep. The device working set is therefore bounded by
+    ``resident_tile_bytes`` plus the in-flight block pairs
+    (:data:`PIPELINE_DEPTH`). In autocorrelation-shaped counts (same
+    catalog, binning and layout on both sides) the row blocks reuse the
+    same cache, skipping the per-sweep row packing as well.
+
+    With ``cache=`` an externally created cache (see
+    :func:`measurement_tile_cache`) is used as-is — shared across the
+    calls of one measurement, with the budgets fixed at its creation
+    (``tile_cache_bytes``/``resident_tile_bytes`` are then ignored)."""
     from yet_another_wizz_tpu.ops.tiles import DEFAULT_TILE_SIZE
 
     tile_size = tile_size or DEFAULT_TILE_SIZE
@@ -248,25 +367,34 @@ def count_pairs_blocked(
         (edges.num_scales, num_bins, num_patches, num_patches)
     )
 
-    import contextlib
     import os
     import tempfile
 
+    resident_tile_bytes = _resolve_resident_bytes(resident_tile_bytes)
+
     with contextlib.ExitStack() as stack:
-        cache = None
-        if tile_cache_bytes > 0 and len(starts) > 1:
-            # spill location: YAWT_SPILL_DIR, else the system temp dir.
-            # CAUTION for operators: on hosts where /tmp is tmpfs the
-            # spill is RAM-backed and competes with the bounded-memory
-            # goal of the blocked path — point YAWT_SPILL_DIR at real
-            # disk (e.g. next to the catalog caches) in that case.
-            spill_root = os.environ.get("YAWT_SPILL_DIR") or None
-            cache_dir = stack.enter_context(
-                tempfile.TemporaryDirectory(
-                    prefix="yawt_blocked_tiles_", dir=spill_root
+        own_cache = cache is None
+        if (
+            own_cache
+            and (tile_cache_bytes > 0 or resident_tile_bytes > 0)
+            and len(starts) > 1
+        ):
+            cache_dir = None
+            if tile_cache_bytes > 0:
+                # spill location: YAWT_SPILL_DIR, else the system temp dir.
+                # CAUTION for operators: on hosts where /tmp is tmpfs the
+                # spill is RAM-backed and competes with the bounded-memory
+                # goal of the blocked path — point YAWT_SPILL_DIR at real
+                # disk (e.g. next to the catalog caches) in that case.
+                spill_root = os.environ.get("YAWT_SPILL_DIR") or None
+                cache_dir = stack.enter_context(
+                    tempfile.TemporaryDirectory(
+                        prefix="yawt_blocked_tiles_", dir=spill_root
+                    )
                 )
+            cache = _ColumnTileCache(
+                cache_dir, tile_cache_bytes, resident_tile_bytes
             )
-            cache = _ColumnTileCache(cache_dir, tile_cache_bytes)
         result = _blocked_loop(
             edges, linkage, catalog1, catalog2, binning, starts, block,
             auto=auto, binned2=binned2, mode=mode, tile_size=tile_size,
@@ -274,7 +402,7 @@ def count_pairs_blocked(
             layout1=layout1, layout2=layout2, indicator=indicator,
             num_patches=num_patches, result=result, cache=cache,
         )
-        if cache is not None:
+        if own_cache and cache is not None:
             logger.debug(
                 "column tile cache: %d hits, %d rebuilds",
                 cache.hits, cache.misses,
@@ -339,6 +467,22 @@ def _blocked_loop(
                 )
         phases["drain"] += time.perf_counter() - t0
 
+    # cache keys carry everything that shapes a block's tile set, so a
+    # measurement-scoped cache shares only genuinely identical blocks
+    # between count types (object identity: the measurement keeps its
+    # catalogs and binning alive for the cache's lifetime). Row blocks
+    # are admitted when the cache is measurement-scoped (store_rows) or
+    # when both sides are identical (autocorrelation-shaped counts, where
+    # the row key coincides with the column key).
+    cache_rows = False
+    if cache is not None:
+        row_base = (id(catalog1), id(binning), mode[0], layout1, block)
+        col_base = (
+            id(catalog2), id(binning) if binned2 else None, mode[1],
+            layout2, block,
+        )
+        cache_rows = cache.store_rows or row_base == col_base
+
     num_block_pairs = 0
     for lo1 in starts:
         hi1 = min(lo1 + block, num_patches)
@@ -359,13 +503,18 @@ def _blocked_loop(
                 continue
 
             if tiles1 is None:
-                tiles1 = timed(
-                    "rows", _build_block_tiles,
-                    catalog1, binning, mode[0], lo1, hi1, tile_size,
-                    layout=layout1,
-                )
+                if cache_rows:
+                    tiles1 = timed("rows", cache.load, row_base + (lo1,))
+                if tiles1 is None:
+                    tiles1 = timed(
+                        "rows", _build_block_tiles,
+                        catalog1, binning, mode[0], lo1, hi1, tile_size,
+                        layout=layout1,
+                    )
+                    if cache_rows:
+                        timed("rows", cache.store, row_base + (lo1,), tiles1)
             tiles2 = (
-                timed("cols", cache.load, lo2)
+                timed("cols", cache.load, col_base + (lo2,))
                 if cache is not None else None
             )
             if tiles2 is None:
@@ -376,7 +525,7 @@ def _blocked_loop(
                     layout=layout2,
                 )
                 if cache is not None:
-                    timed("cols", cache.store, lo2, tiles2)
+                    timed("cols", cache.store, col_base + (lo2,), tiles2)
 
             local_linkage = type(linkage)(
                 max_angle=linkage.max_angle, linked=linked

@@ -18,6 +18,7 @@ tensors on the host in float64.
 
 from __future__ import annotations
 
+import contextlib
 import logging
 from typing import TYPE_CHECKING
 
@@ -47,6 +48,24 @@ __all__ = [
 ]
 
 logger = logging.getLogger(__name__)
+
+
+@contextlib.contextmanager
+def _measurement_cache(max_resident_patches):
+    """Measurement-scoped tile cache when the blocked path is active:
+    the count types of one measurement share their packed/uploaded patch
+    blocks (see
+    :func:`yet_another_wizz_tpu.correlation.blocked.measurement_tile_cache`);
+    yields None for the in-memory engine path."""
+    if max_resident_patches is None:
+        yield None
+        return
+    from yet_another_wizz_tpu.correlation.blocked import (
+        measurement_tile_cache,
+    )
+
+    with measurement_tile_cache() as cache:
+        yield cache
 
 LINKAGE_SLACK = 1.0 + 1e-9
 """Relative slack on the linkage cutoff so pairs exactly at the maximum
@@ -185,6 +204,7 @@ class PatchLinkage:
         mesh=None,
         data_sharding: str = "replicated",
         _defer: bool = False,
+        _tile_cache=None,
     ) -> list[NormalisedCounts]:
         """Count pairs between two catalogs (or within one for an
         autocorrelation), one :class:`NormalisedCounts` per scale.
@@ -218,6 +238,7 @@ class PatchLinkage:
                 catalog1, catalog2, auto=auto, binned2=binned2, mode=mode,
                 backend=backend, max_resident_patches=max_resident_patches,
                 mesh=mesh, data_sharding=data_sharding, progress=progress,
+                tile_cache=_tile_cache,
             )
             result = [
                 NormalisedCounts(per_scale, sum_weights)
@@ -287,7 +308,7 @@ class PatchLinkage:
     def _run_blocked(
         self, catalog1, catalog2, *, auto, binned2, mode, backend,
         max_resident_patches, mesh=None, data_sharding="replicated",
-        progress=False,
+        progress=False, tile_cache=None,
     ):
         """Device-memory-bounded path: stream patch blocks through the
         engine (see :mod:`yet_another_wizz_tpu.correlation.blocked`)."""
@@ -311,6 +332,7 @@ class PatchLinkage:
             mesh=mesh,
             data_sharding=data_sharding,
             progress=progress,
+            cache=tile_cache,
         )
         counts = [
             PatchedCounts(binning, scale_counts, auto=auto)
@@ -490,18 +512,22 @@ def autocorrelate(
     # queue all count types on the device first, then finalize in order:
     # each count's result transfer and host post-processing overlap the
     # queued device compute of the following counts
-    dd = links.count_pairs(data, **kwargs, count_type_info="DD", _defer=True)
-    # data x random pairs are counted between matching redshift bins on
-    # both sides, like the reference's binned random trees
-    dr = links.count_pairs(
-        data, random, binned2=True, **kwargs, count_type_info="DR",
-        _defer=True,
-    )
-    optional_random = random if count_rr else None
-    rr = links.count_pairs_optional(
-        optional_random, **kwargs, count_type_info="RR", _defer=True
-    )
-    dd, dr, rr = dd(), dr(), rr()
+    with _measurement_cache(max_resident_patches) as tile_cache:
+        kwargs["_tile_cache"] = tile_cache
+        dd = links.count_pairs(
+            data, **kwargs, count_type_info="DD", _defer=True
+        )
+        # data x random pairs are counted between matching redshift bins
+        # on both sides, like the reference's binned random trees
+        dr = links.count_pairs(
+            data, random, binned2=True, **kwargs, count_type_info="DR",
+            _defer=True,
+        )
+        optional_random = random if count_rr else None
+        rr = links.count_pairs_optional(
+            optional_random, **kwargs, count_type_info="RR", _defer=True
+        )
+        dd, dr, rr = dd(), dr(), rr()
     return [CorrFunc(a, b, None, c) for a, b, c in zip(dd, dr, rr)]
 
 
@@ -555,19 +581,21 @@ def crosscorrelate(
 
     # queue all count types, then finalize in order (fetch/post-processing
     # of earlier counts overlaps the queued device compute of later ones)
-    dd = links.count_pairs(
-        reference, unknown, **kwargs, count_type_info="DD", _defer=True
-    )
-    dr = links.count_pairs_optional(
-        reference, unk_rand, **kwargs, count_type_info="DR", _defer=True
-    )
-    rd = links.count_pairs_optional(
-        ref_rand, unknown, **kwargs, count_type_info="RD", _defer=True
-    )
-    rr = links.count_pairs_optional(
-        ref_rand, unk_rand, **kwargs, count_type_info="RR", _defer=True
-    )
-    dd, dr, rd, rr = dd(), dr(), rd(), rr()
+    with _measurement_cache(max_resident_patches) as tile_cache:
+        kwargs["_tile_cache"] = tile_cache
+        dd = links.count_pairs(
+            reference, unknown, **kwargs, count_type_info="DD", _defer=True
+        )
+        dr = links.count_pairs_optional(
+            reference, unk_rand, **kwargs, count_type_info="DR", _defer=True
+        )
+        rd = links.count_pairs_optional(
+            ref_rand, unknown, **kwargs, count_type_info="RD", _defer=True
+        )
+        rr = links.count_pairs_optional(
+            ref_rand, unk_rand, **kwargs, count_type_info="RR", _defer=True
+        )
+        dd, dr, rd, rr = dd(), dr(), rd(), rr()
     return [CorrFunc(a, b, c, d) for a, b, c, d in zip(dd, dr, rd, rr)]
 
 
@@ -615,13 +643,14 @@ def autocorrelate_scalar(
     memory-bounded blocked path)."""
     logger.info("computing scalar auto-correlation with DD")
     links = PatchLinkage.from_catalogs(config, data)
-    dd = links.count_scalar_pairs(
-        data, mode="kk", backend=backend, progress=progress,
-        max_workers=max_workers, audit=audit, mesh=mesh,
-        data_sharding=data_sharding,
-        max_resident_patches=max_resident_patches,
-        count_type_info="DD",
-    )
+    with _measurement_cache(max_resident_patches) as tile_cache:
+        dd = links.count_scalar_pairs(
+            data, mode="kk", backend=backend, progress=progress,
+            max_workers=max_workers, audit=audit, mesh=mesh,
+            data_sharding=data_sharding,
+            max_resident_patches=max_resident_patches,
+            count_type_info="DD", _tile_cache=tile_cache,
+        )
     return [ScalarCorrFunc(counts) for counts in dd]
 
 
@@ -667,13 +696,16 @@ def crosscorrelate_scalar(
         audit=audit, mesh=mesh, data_sharding=data_sharding,
         max_resident_patches=max_resident_patches,
     )
-    dd = links.count_scalar_pairs(
-        reference, unknown, mode="kn", **kwargs, count_type_info="DD",
-    )
-    if count_dr:
-        dr = links.count_scalar_pairs(
-            reference, unk_rand, mode="kn", **kwargs, count_type_info="DR",
+    with _measurement_cache(max_resident_patches) as tile_cache:
+        kwargs["_tile_cache"] = tile_cache
+        dd = links.count_scalar_pairs(
+            reference, unknown, mode="kn", **kwargs, count_type_info="DD",
         )
-    else:
-        dr = [compute_scalar_normalisation(reference, config)] * len(dd)
+        if count_dr:
+            dr = links.count_scalar_pairs(
+                reference, unk_rand, mode="kn", **kwargs,
+                count_type_info="DR",
+            )
+        else:
+            dr = [compute_scalar_normalisation(reference, config)] * len(dd)
     return [ScalarCorrFunc(a, b) for a, b in zip(dd, dr)]
