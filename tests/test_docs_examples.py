@@ -121,4 +121,76 @@ def test_tutorial_runs_end_to_end(tmp_path, monkeypatch):
     assert (tmp_path / "nz_tutorial.png").exists()
     assert (tmp_path / "w_sp.hdf").exists()
     assert (tmp_path / "nz_tutorial.dat").exists()
-    importlib.reload(examples)  # restore module state for other tests
+    # restore module state for other tests: the env overrides must be
+    # gone BEFORE the reload, or the module re-imports in mock mode and
+    # later tests see stale state (e.g. the generated-API-docs check)
+    monkeypatch.delenv("YAWT_EXAMPLE_FORCE_MOCK")
+    monkeypatch.delenv("YAWT_EXAMPLE_CACHE")
+    importlib.reload(examples)
+
+def test_loading_page_runs(example_files, tmp_path, monkeypatch):
+    """Every python block of the data-loading page runs in sequence
+    against the miniature parquet catalogs."""
+    import shutil
+
+    for stem in ("reference", "unknown"):
+        shutil.copy(example_files / f"{stem}.pqt", tmp_path / f"{stem}.pqt")
+    monkeypatch.chdir(tmp_path)
+
+    blocks = python_blocks(DOCS / "user_guide" / "loading.md")
+    assert len(blocks) >= 5
+    namespace = {}
+    for i, block in enumerate(blocks):
+        exec(compile(block, f"loading.md block {i}", "exec"), namespace)
+
+    assert (tmp_path / "ref_cache" / "patch_0" / "data.bin").exists()
+    assert namespace["reopened"].num_patches == 8
+    assert namespace["lazy"].num_patches == 8
+    assert namespace["unknown"].num_patches == 8  # shared centers
+
+
+def test_randoms_page_runs(example_files, tmp_path, monkeypatch):
+    """The randoms page: box + healpix generators, external randoms and
+    the footprint check plot."""
+    import shutil
+
+    shutil.copy(example_files / "randoms.pqt", tmp_path / "randoms.pqt")
+    monkeypatch.chdir(tmp_path)
+
+    blocks = python_blocks(DOCS / "user_guide" / "randoms.md")
+    assert len(blocks) >= 4
+    namespace = {}
+    for i, block in enumerate(blocks):
+        # miniature sample sizes for the CPU test run
+        block = block.replace("num_randoms=100_000", "num_randoms=8_000")
+        exec(compile(block, f"randoms.md block {i}", "exec"), namespace)
+
+    assert namespace["randoms"].has_redshifts
+    masked = namespace["masked_randoms"]
+    assert masked.num_patches == namespace["randoms"].num_patches
+    assert namespace["ext_randoms"].num_patches == 16
+    assert (tmp_path / "randoms_check.png").exists()
+
+
+def test_logging_page_runs(tmp_path, monkeypatch):
+    """The logging page: handler setup, captured stream, file logging
+    and the profiler trace."""
+    import logging as stdlib_logging
+    import sys
+
+    from yet_another_wizz_tpu.utils.logging import LOGGER_NAME
+
+    monkeypatch.chdir(tmp_path)
+    pkg_logger = stdlib_logging.getLogger(LOGGER_NAME)
+    saved = (pkg_logger.handlers[:], pkg_logger.level, sys.excepthook)
+    try:
+        blocks = python_blocks(DOCS / "user_guide" / "logging.md")
+        assert len(blocks) >= 4
+        namespace = {}
+        for i, block in enumerate(blocks):
+            exec(compile(block, f"logging.md block {i}", "exec"), namespace)
+        assert "patch" in namespace["capture"].getvalue()
+        assert (tmp_path / "measurement.log").exists()
+    finally:
+        pkg_logger.handlers, pkg_logger.level = saved[0], saved[1]
+        sys.excepthook = saved[2]
