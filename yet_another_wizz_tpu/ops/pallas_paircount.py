@@ -12,12 +12,16 @@ tile-pair list (see :mod:`yet_another_wizz_tpu.ops.linkage`):
   :func:`yet_another_wizz_tpu.ops.paircount.pair_block_counts` exactly;
 - output blocks are indexed by the patch-pair slot; because the pair list
   is sorted by slot, consecutive grid steps revisit the same output block
-  and accumulate in VMEM, writing back to HBM only when the slot changes.
+  and accumulate in VMEM, writing back to HBM only when the slot changes;
+- row-side quantities (the transposed tile and the per-row threshold
+  rows) are precomputed per tile set by :func:`row_side_inputs` and
+  stream in as pipelined inputs keyed by the row-tile index.
 
-Numerical note: threshold selection uses exact elementwise one-hot
-arithmetic, never a plain matmul — default MXU matmul precision rounds
-operands to bfloat16 which would shift angular bin boundaries by ~0.4%.
-The final weighted reduction matmul uses ``Precision.HIGHEST``.
+Numerical note: per-row threshold selection is an exact gather
+(``row_side_inputs``), never a plain matmul — default MXU matmul
+precision rounds operands to bfloat16 which would shift angular bin
+boundaries by ~0.4%. The final weighted reduction matmul uses
+``Precision.HIGHEST``.
 """
 
 from __future__ import annotations
@@ -48,14 +52,12 @@ def _paircount_kernel(
     tile2_ref,
     slot_ref,
     # tensor inputs
-    lane1_ref,  # (1, 8, T)
-    lane2_ref,  # (1, 8, T)
-    table_ref,  # (B, E)
+    lane1_ref,  # (1, 8, T): row tile, lane layout (bin/weight rows)
+    tile1t_ref,  # (1, T, 8): row tile, transposed (precomputed)
+    thr_ref,  # (1, T, E [+ C]): per-row thresholds (precomputed)
+    lane2_ref,  # (1, 8, T): column tile
     # output
     out_ref,  # (1, B, E)
-    # scratch: row-side quantities cached across equal-tile1 runs
-    row_scratch_ref,  # (T, 8): transposed tile1
-    thr_scratch_ref,  # (T, num_edges): per-row thresholds
     *,
     cols_binned: bool,
     num_bins: int,
@@ -66,33 +68,16 @@ def _paircount_kernel(
     lane1 = lane1_ref[0]  # (8, T)
     lane2 = lane2_ref[0]  # (8, T)
 
-    # the slot-sorted pair list has long runs with the same row tile; the
-    # transpose and the per-row threshold selection are only recomputed
-    # when the row tile changes
-    prev_tile1 = tile1_ref[jnp.maximum(k - 1, 0)]
-    tile1_is_new = jnp.logical_or(k == 0, tile1_ref[k] != prev_tile1)
-
-    num_table_cols = table_ref.shape[1]
-
-    @pl.when(tile1_is_new)
-    def _():
-        tile1 = lane1.T  # (T, 8)
-        row_scratch_ref[:] = tile1
-        z_rows_col = tile1[:, 7:8]  # (T, 1)
-        selected = jnp.zeros(
-            (tile1.shape[0], num_table_cols), dtype=jnp.float32
-        )
-        # exact one-hot selection (see module docstring on precision);
-        # in direct mode the table carries the per-bin weight parameter
-        # block after the counting edges and is selected in the same pass
-        for b in range(num_bins):
-            row_b = table_ref[b : b + 1, :]  # (1, E [+ C])
-            match = (z_rows_col == np.float32(b)).astype(jnp.float32)
-            selected = selected + match * row_b
-        thr_scratch_ref[:] = selected
-
-    tile1 = row_scratch_ref[:]  # (T, 8)
-    selected = thr_scratch_ref[:]  # (T, E [+ C])
+    # the row-side transpose and per-row threshold selection are
+    # precomputed ON DEVICE by row_side_inputs (one XLA transpose +
+    # gather per tile set): an in-kernel transpose + B-pass one-hot
+    # select costs ~2.6 us per row-tile CHANGE, which the slot-sorted
+    # pair list amortises over long same-row runs at low patch counts
+    # but pays nearly every grid step at high patch counts (short runs).
+    # The pallas pipeline re-fetches these blocks only when the row-tile
+    # index actually changes.
+    tile1 = tile1t_ref[0]  # (T, 8)
+    selected = thr_ref[0]  # (T, E [+ C])
     thresholds = selected[:, :num_edges]
 
     # chord^2 with (hi, lo) compensation — all (T, T) VPU work
@@ -176,6 +161,29 @@ def _counting_width(num_table_cols: int, direct: tuple | None) -> int:
     return counting_width(num_table_cols, direct)
 
 
+def row_side_inputs(lane_data, chord2_table):
+    """Precompute the kernel's row-side inputs for one tile set.
+
+    Returns ``(tiles_t, thr)``: the tiles in transposed ``(N, T, 8)``
+    layout and the per-row threshold (+ direct-mode parameter) rows
+    ``(N, T, E [+ C])`` gathered from the per-bin table by each row's
+    bin id. Plain traced jax ops — they fuse into the surrounding jit /
+    shard_map program, or run as two cheap XLA launches when called
+    eagerly. The gather is EXACT selection (no arithmetic), numerically
+    identical to the one-hot select the kernel previously performed
+    (see the module docstring on why a matmul select is not allowed).
+
+    Padding rows (weight 0) gather the bin-0 table row instead of the
+    previous all-zero thresholds; their contributions still vanish
+    exactly because the final ``(B, T) x (T, E)`` reduction weights them
+    by their zero row weight.
+    """
+    tiles_t = jnp.swapaxes(lane_data, 1, 2)
+    bin_ids = lane_data[:, 7, :].astype(jnp.int32)  # (N, T)
+    thr = jnp.take(chord2_table, bin_ids, axis=0, mode="clip")
+    return tiles_t, thr
+
+
 @lru_cache(maxsize=256)
 def _build_kernel_call(
     segment: int,
@@ -205,22 +213,22 @@ def _build_kernel_call(
                 lambda k, t1, t2, sl: (t1[k], 0, 0),
             ),
             pl.BlockSpec(
-                (1, *tile_shape),
-                lambda k, t1, t2, sl: (t2[k], 0, 0),
+                (1, tile_shape[1], tile_shape[0]),
+                lambda k, t1, t2, sl: (t1[k], 0, 0),
             ),
             pl.BlockSpec(
-                (num_bins, num_table_cols),
-                lambda k, t1, t2, sl: (0, 0),
+                (1, tile_shape[1], num_table_cols),
+                lambda k, t1, t2, sl: (t1[k], 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, *tile_shape),
+                lambda k, t1, t2, sl: (t2[k], 0, 0),
             ),
         ],
         out_specs=pl.BlockSpec(
             (1, num_bins, num_edges),
             lambda k, t1, t2, sl: (sl[k], 0, 0),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((tile_shape[1], tile_shape[0]), jnp.float32),
-            pltpu.VMEM((tile_shape[1], num_table_cols), jnp.float32),
-        ],
     )
     return pl.pallas_call(
         partial(
@@ -279,6 +287,7 @@ def pallas_partial_counts(
     num_edges = _counting_width(num_table_cols, direct)
     tile_shape = tuple(lane_data1.shape[1:])  # (8, T)
     padded = tile1.shape[0]
+    tiles_t, thr = row_side_inputs(lane_data1, chord2_table)
 
     def build(size):
         return _build_kernel_call(
@@ -306,8 +315,9 @@ def pallas_partial_counts(
             jax.lax.slice(tile2, (lo,), (hi,)),
             seg_slots,
             lane_data1,
+            tiles_t,
+            thr,
             lane_data2,
-            chord2_table,
         )
         if padded == segment and not mask_always:
             return part
@@ -355,8 +365,9 @@ def _masked_segment_add(
     )
     idx = jax.lax.dynamic_slice(stacked, (0, lo), (3, segment))
     seg_slots = idx[2]
+    tiles_t, thr = row_side_inputs(lane_data1, chord2_table)
     part = kernel(
-        idx[0], idx[1], seg_slots, lane_data1, lane_data2, chord2_table
+        idx[0], idx[1], seg_slots, lane_data1, tiles_t, thr, lane_data2
     )
     visited = jnp.zeros(num_slots_out, dtype=bool).at[seg_slots].set(True)
     return total + jnp.where(visited[:, None, None], part, 0.0)
