@@ -203,6 +203,11 @@ class _ColumnTileCache:
     def store(self, key, tiles) -> None:
         import os
 
+        if key in self._resident or key in self._paths:
+            # duplicate store (e.g. a prefetched row block that is also a
+            # column block of an autocorrelation-shaped count): keep the
+            # first entry, avoid double-counting the budgets
+            return
         dev_size = self._device_nbytes(tiles)
         if self._resident_used + dev_size <= self._resident_bytes:
             self._resident[key] = tiles
@@ -321,7 +326,9 @@ def count_pairs_blocked(
     (capped at ``tile_cache_bytes``; 0 disables) and are re-uploaded per
     row sweep. The device working set is therefore bounded by
     ``resident_tile_bytes`` plus the in-flight block pairs
-    (:data:`PIPELINE_DEPTH`). In autocorrelation-shaped counts (same
+    (:data:`PIPELINE_DEPTH`); the host additionally holds at most one
+    PREFETCHED row block (the next sweep's rows are packed on a worker
+    thread while the current sweep queues device work). In autocorrelation-shaped counts (same
     catalog, binning and layout on both sides) the row blocks reuse the
     same cache, skipping the per-sweep row packing as well.
 
@@ -430,7 +437,8 @@ def _blocked_loop(
     import time
 
     phases = {"rows": 0.0, "cols": 0.0, "pairs": 0.0, "queue": 0.0,
-              "drain": 0.0}
+              "drain": 0.0, "drain_wait": 0.0, "drain_fetch": 0.0,
+              "drain_scatter": 0.0}
 
     def timed(key, fn, *args, **kwargs):
         t0 = time.perf_counter()
@@ -453,7 +461,16 @@ def _blocked_loop(
         if len(pending) > keep:
             take = pending[: len(pending) - keep]
             del pending[: len(pending) - keep]
-            fetched = jax.device_get([item[0] for item in take])
+            # wait / fetch split: block_until_ready isolates waiting out
+            # the device queue from the actual result transfer, so the
+            # debug phase log attributes tunnel-link time correctly
+            outs = [item[0] for item in take]
+            jax.block_until_ready(outs)
+            t1 = time.perf_counter()
+            phases["drain_wait"] += t1 - t0
+            fetched = jax.device_get(outs)
+            t2 = time.perf_counter()
+            phases["drain_fetch"] += t2 - t1
             for (_, mapper, pairs, lo1, lo2), values in zip(take, fetched):
                 cumulative = np.asarray(values, dtype=np.float64)
                 per_scale = mapper.counts_to_scales(cumulative)
@@ -465,6 +482,7 @@ def _blocked_loop(
                 result[:, :, global1, global2] += np.moveaxis(
                     per_scale, 1, -1
                 )
+            phases["drain_scatter"] += time.perf_counter() - t2
         phases["drain"] += time.perf_counter() - t0
 
     # cache keys carry everything that shapes a block's tile set, so a
@@ -475,6 +493,7 @@ def _blocked_loop(
     # when both sides are identical (autocorrelation-shaped counts, where
     # the row key coincides with the column key).
     cache_rows = False
+    row_base = col_base = None
     if cache is not None:
         row_base = (id(catalog1), id(binning), mode[0], layout1, block)
         col_base = (
@@ -482,6 +501,62 @@ def _blocked_loop(
             layout2, block,
         )
         cache_rows = cache.store_rows or row_base == col_base
+
+    def acquire_rows(lo1):
+        """Load-or-build the row tile set for one block (thread-safe:
+        cache loads are read-only, ``load_block`` is a stateless read,
+        and the store happens in the main thread afterwards)."""
+        hi1 = min(lo1 + block, num_patches)
+        if cache_rows:
+            tiles = cache.load(row_base + (lo1,))
+            if tiles is not None:
+                return tiles, False
+        tiles = _build_block_tiles(
+            catalog1, binning, mode[0], lo1, hi1, tile_size, layout=layout1
+        )
+        return tiles, True
+
+    def row_block_needed(lo1):
+        hi1 = min(lo1 + block, num_patches)
+        linked = linkage.linked[lo1:hi1]
+        if auto:
+            ids1 = np.arange(lo1, hi1)[:, None]
+            ids2 = np.arange(num_patches)[None, :]
+            linked = linked & (ids2 >= ids1)
+        return bool(linked.any())
+
+    # single-worker row-block prefetch: packing the NEXT row block (Morton
+    # sort + native scatter, seconds at survey scale) overlaps the current
+    # sweep's pair-list builds and queued device work. numpy sorting and
+    # the native packer release the GIL. Host working set grows to at most
+    # TWO row blocks plus the resident column budget.
+    from concurrent.futures import ThreadPoolExecutor
+
+    row_needed = [lo1 for lo1 in starts if row_block_needed(lo1)]
+    next_row = {
+        lo1: row_needed[i + 1]
+        for i, lo1 in enumerate(row_needed[:-1])
+    }
+    executor = (
+        ThreadPoolExecutor(max_workers=1, thread_name_prefix="yawt-rowpack")
+        if len(row_needed) > 1 else None
+    )
+    futures: dict = {}
+    if executor is not None and row_needed:
+        futures[row_needed[0]] = executor.submit(acquire_rows, row_needed[0])
+
+    def get_row_tiles(lo1):
+        fut = futures.pop(lo1, None)
+        if fut is not None:
+            tiles, built = timed("rows", fut.result)
+        else:
+            tiles, built = timed("rows", acquire_rows, lo1)
+        nxt = next_row.get(lo1)
+        if executor is not None and nxt is not None and nxt not in futures:
+            futures[nxt] = executor.submit(acquire_rows, nxt)
+        if built and cache_rows:
+            timed("rows", cache.store, row_base + (lo1,), tiles)
+        return tiles
 
     num_block_pairs = 0
     for lo1 in starts:
@@ -503,16 +578,7 @@ def _blocked_loop(
                 continue
 
             if tiles1 is None:
-                if cache_rows:
-                    tiles1 = timed("rows", cache.load, row_base + (lo1,))
-                if tiles1 is None:
-                    tiles1 = timed(
-                        "rows", _build_block_tiles,
-                        catalog1, binning, mode[0], lo1, hi1, tile_size,
-                        layout=layout1,
-                    )
-                    if cache_rows:
-                        timed("rows", cache.store, row_base + (lo1,), tiles1)
+                tiles1 = get_row_tiles(lo1)
             tiles2 = (
                 timed("cols", cache.load, col_base + (lo2,))
                 if cache is not None else None
@@ -569,16 +635,22 @@ def _blocked_loop(
                 drain(PIPELINE_DEPTH // 2)
 
     drain(0)
+    if executor is not None:
+        # on the success path all futures are consumed; on an exception
+        # the executor is simply garbage-collected — its worker finishes
+        # the (read-only, side-effect-free) in-flight build and exits
+        executor.shutdown(wait=True, cancel_futures=True)
     if indicator is not None:
         next(indicator, None)  # drain: prints the 100% line + newline
 
     logger.debug(
         "processed %d resident block pairs of <=%d patches "
         "(rows %.2fs, cols %.2fs, pair lists %.2fs, queue %.2fs, "
-        "drain %.2fs)",
+        "drain %.2fs = wait %.2fs + fetch %.2fs + scatter %.2fs)",
         num_block_pairs,
         block,
         phases["rows"], phases["cols"], phases["pairs"],
-        phases["queue"], phases["drain"],
+        phases["queue"], phases["drain"], phases["drain_wait"],
+        phases["drain_fetch"], phases["drain_scatter"],
     )
     return result
