@@ -34,6 +34,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np  # noqa: E402
 
+# the env vars above are not enough under the TPU plugin in use here:
+# the cache stays uninitialized unless set through the config API
+from yet_another_wizz_tpu.utils.compile_cache import (  # noqa: E402
+    enable_persistent_compile_cache,
+)
+
+enable_persistent_compile_cache()
+
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)

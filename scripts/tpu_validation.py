@@ -26,6 +26,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+from yet_another_wizz_tpu.utils.compile_cache import (
+    enable_persistent_compile_cache,
+)
+
+# the env vars above are not enough under the TPU plugin in use here:
+# the cache stays uninitialized unless set through the config API
+enable_persistent_compile_cache()
+
 
 def main() -> int:
     import jax

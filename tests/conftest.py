@@ -29,6 +29,14 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.2")
 
 import jax  # noqa: E402
 
+from yet_another_wizz_tpu.utils.compile_cache import (  # noqa: E402
+    enable_persistent_compile_cache,
+)
+
+# the env vars above do not reliably initialize the cache (see the
+# compile_cache module docstring); the config API does
+enable_persistent_compile_cache()
+
 jax.config.update("jax_platforms", "cpu")
 if jax.default_backend() != "cpu" or len(jax.devices()) < 8:
     # jax was initialised (e.g. by sitecustomize) before this file ran

@@ -173,3 +173,30 @@ def test_get_options():
     from yet_another_wizz_tpu.options import Closed, get_options
 
     assert set(get_options(Closed)) == {"left", "right"}
+
+
+class TestCompileCache:
+    def test_enables_at_directory(self, tmp_path):
+        import jax
+
+        from yet_another_wizz_tpu.utils.compile_cache import (
+            enable_persistent_compile_cache,
+        )
+
+        before = jax.config.jax_compilation_cache_dir
+        target = tmp_path / "xla_cache"
+        try:
+            used = enable_persistent_compile_cache(str(target))
+            assert used == str(target)
+            assert target.is_dir()
+            assert jax.config.jax_compilation_cache_dir == str(target)
+        finally:
+            jax.config.update("jax_compilation_cache_dir", before)
+
+    def test_noop_without_directory(self, monkeypatch):
+        from yet_another_wizz_tpu.utils.compile_cache import (
+            enable_persistent_compile_cache,
+        )
+
+        monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
+        assert enable_persistent_compile_cache(None) is None

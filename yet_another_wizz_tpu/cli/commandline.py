@@ -186,8 +186,14 @@ def create_parser() -> argparse.ArgumentParser:
 def main(args: list[str] | None = None) -> int:
     from yet_another_wizz_tpu.cli.pipeline import run_setup
     from yet_another_wizz_tpu.parallel import initialize
+    from yet_another_wizz_tpu.utils.compile_cache import (
+        enable_persistent_compile_cache,
+    )
 
     parsed = create_parser().parse_args(args)
+    # honors JAX_COMPILATION_CACHE_DIR; remote TPU compiles cost minutes,
+    # so pipeline reruns should never recompile unchanged programs
+    enable_persistent_compile_cache()
     # multi-host pod launches: one process per host with YAWT_COORDINATOR /
     # YAWT_NUM_PROCESSES / YAWT_PROCESS_ID exported (no-op single-host)
     initialize()

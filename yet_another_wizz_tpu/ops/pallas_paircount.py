@@ -246,6 +246,13 @@ def _build_kernel_call(
     )
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "num_slots_out", "cols_binned", "interpret", "segment",
+        "mask_always", "direct",
+    ),
+)
 def pallas_partial_counts(
     lane_data1,
     lane_data2,
@@ -273,8 +280,10 @@ def pallas_partial_counts(
     single-launch list skips the mask: every real slot is visited and the
     caller slices off the garbage rows at ``>= num_slots + 1``.
 
-    This function contains no host-side work, so it can be traced inside
-    ``jax.jit`` or a per-device ``shard_map`` program. With
+    This function contains no host-side work and is itself ``jax.jit``-ed
+    (an eager run would pay one remote dispatch per slice/mask op, which
+    dominates on a tunneled device); tracing it inside an outer ``jit``
+    or per-device ``shard_map`` program simply inlines it. With
     ``mask_always=True`` even a single launch is masked — required under
     ``shard_map``, where each device sees only a chunk of the pair list
     and unmasked garbage rows would be summed into real slots by the
@@ -327,6 +336,26 @@ def pallas_partial_counts(
         part = jnp.where(visited[:, None, None], part, 0.0)
         total = part if total is None else total + part
     return total
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "num_slots_out", "cols_binned", "interpret", "segment",
+        "mask_always", "direct",
+    ),
+)
+def _partial_counts_stacked(
+    lane_data1, lane_data2, stacked, chord2_table, **static
+):
+    """Single-launch entry taking the stacked ``(3, padded)`` index array:
+    the three index rows are sliced inside the traced program, so the
+    host pays ONE upload and ONE dispatch per call."""
+    return pallas_partial_counts(
+        lane_data1, lane_data2,
+        stacked[0], stacked[1], stacked[2],
+        chord2_table, **static,
+    )
 
 
 @partial(
@@ -437,10 +466,9 @@ def count_pairs_pallas(
         covered = len(real) > 0 and (
             1 + int(np.count_nonzero(np.diff(real))) == num_slots
         )
-        total = pallas_partial_counts(
-            lane_data1, lane_data2,
-            stacked[0], stacked[1], stacked[2],
-            chord2_table, **static, mask_always=not covered,
+        total = _partial_counts_stacked(
+            lane_data1, lane_data2, stacked, chord2_table,
+            **static, mask_always=not covered,
         )
         return total[:num_slots]
 
