@@ -516,34 +516,70 @@ def _blocked_loop(
         )
         return tiles, True
 
-    def row_block_needed(lo1):
+    def acquire_cols(lo2):
+        """Column-side counterpart of :func:`acquire_rows`."""
+        hi2 = min(lo2 + block, num_patches)
+        if cache is not None:
+            tiles = cache.load(col_base + (lo2,))
+            if tiles is not None:
+                return tiles, False
+        tiles = _build_block_tiles(
+            catalog2, binning if binned2 else None, mode[1],
+            lo2, hi2, tile_size, layout=layout2,
+        )
+        return tiles, True
+
+    def block_pair_qualifies(lo1, lo2):
         hi1 = min(lo1 + block, num_patches)
-        linked = linkage.linked[lo1:hi1]
+        hi2 = min(lo2 + block, num_patches)
+        if auto and hi2 <= lo1:
+            return False
+        linked = linkage.linked[lo1:hi1, lo2:hi2]
         if auto:
             ids1 = np.arange(lo1, hi1)[:, None]
-            ids2 = np.arange(num_patches)[None, :]
+            ids2 = np.arange(lo2, hi2)[None, :]
             linked = linked & (ids2 >= ids1)
         return bool(linked.any())
 
-    # single-worker row-block prefetch: packing the NEXT row block (Morton
-    # sort + native scatter, seconds at survey scale) overlaps the current
-    # sweep's pair-list builds and queued device work. numpy sorting and
-    # the native packer release the GIL. Host working set grows to at most
-    # TWO row blocks plus the resident column budget.
+    # single-worker prefetch per side: packing the NEXT row/column block
+    # (Morton sort + native scatter, seconds at survey scale) overlaps
+    # the current block pair's pair-list build and queued device work.
+    # numpy sorting and the native packer release the GIL. The column
+    # prefetch matters on the FIRST row sweep (and whenever the cache is
+    # disabled); afterwards column loads hit the resident cache. Host
+    # working set grows to at most one extra in-flight block per side.
     from concurrent.futures import ThreadPoolExecutor
 
-    row_needed = [lo1 for lo1 in starts if row_block_needed(lo1)]
+    pair_seq = [
+        (lo1, lo2)
+        for lo1 in starts
+        for lo2 in starts
+        if block_pair_qualifies(lo1, lo2)
+    ]
+    row_needed = list(dict.fromkeys(lo1 for lo1, _ in pair_seq))
     next_row = {
         lo1: row_needed[i + 1]
         for i, lo1 in enumerate(row_needed[:-1])
+    }
+    next_col = {
+        pair_seq[i]: pair_seq[i + 1][1]
+        for i in range(len(pair_seq) - 1)
     }
     executor = (
         ThreadPoolExecutor(max_workers=1, thread_name_prefix="yawt-rowpack")
         if len(row_needed) > 1 else None
     )
+    col_executor = (
+        ThreadPoolExecutor(max_workers=1, thread_name_prefix="yawt-colpack")
+        if len(pair_seq) > 1 else None
+    )
     futures: dict = {}
+    col_futures: dict = {}
     if executor is not None and row_needed:
         futures[row_needed[0]] = executor.submit(acquire_rows, row_needed[0])
+    if col_executor is not None and pair_seq:
+        first_col = pair_seq[0][1]
+        col_futures[first_col] = col_executor.submit(acquire_cols, first_col)
 
     def get_row_tiles(lo1):
         fut = futures.pop(lo1, None)
@@ -556,6 +592,23 @@ def _blocked_loop(
             futures[nxt] = executor.submit(acquire_rows, nxt)
         if built and cache_rows:
             timed("rows", cache.store, row_base + (lo1,), tiles)
+        return tiles
+
+    def get_col_tiles(lo1, lo2):
+        fut = col_futures.pop(lo2, None)
+        if fut is not None:
+            tiles, built = timed("cols", fut.result)
+        else:
+            tiles, built = timed("cols", acquire_cols, lo2)
+        nxt = next_col.get((lo1, lo2))
+        if (
+            col_executor is not None
+            and nxt is not None
+            and nxt not in col_futures
+        ):
+            col_futures[nxt] = col_executor.submit(acquire_cols, nxt)
+        if built and cache is not None:
+            timed("cols", cache.store, col_base + (lo2,), tiles)
         return tiles
 
     num_block_pairs = 0
@@ -579,19 +632,7 @@ def _blocked_loop(
 
             if tiles1 is None:
                 tiles1 = get_row_tiles(lo1)
-            tiles2 = (
-                timed("cols", cache.load, col_base + (lo2,))
-                if cache is not None else None
-            )
-            if tiles2 is None:
-                tiles2 = timed(
-                    "cols", _build_block_tiles,
-                    catalog2, binning if binned2 else None, mode[1],
-                    lo2, hi2, tile_size,
-                    layout=layout2,
-                )
-                if cache is not None:
-                    timed("cols", cache.store, col_base + (lo2,), tiles2)
+            tiles2 = get_col_tiles(lo1, lo2)
 
             local_linkage = type(linkage)(
                 max_angle=linkage.max_angle, linked=linked
@@ -635,11 +676,13 @@ def _blocked_loop(
                 drain(PIPELINE_DEPTH // 2)
 
     drain(0)
-    if executor is not None:
+    for pool in (executor, col_executor):
         # on the success path all futures are consumed; on an exception
-        # the executor is simply garbage-collected — its worker finishes
-        # the (read-only, side-effect-free) in-flight build and exits
-        executor.shutdown(wait=True, cancel_futures=True)
+        # the executors are simply garbage-collected — their workers
+        # finish the (read-only, side-effect-free) in-flight build and
+        # exit
+        if pool is not None:
+            pool.shutdown(wait=True, cancel_futures=True)
     if indicator is not None:
         next(indicator, None)  # drain: prints the 100% line + newline
 
