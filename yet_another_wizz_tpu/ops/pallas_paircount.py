@@ -365,7 +365,7 @@ def _partial_counts_stacked(
     ),
 )
 def _masked_segment_add(
-    stacked, lo, lane_data1, lane_data2, chord2_table, total,
+    stacked, lo, lane_data1, tiles_t, thr, lane_data2, chord2_table, total,
     *,
     num_slots_out: int,
     cols_binned: bool,
@@ -377,7 +377,10 @@ def _masked_segment_add(
 
     ``lo`` is a traced offset into the stacked index arrays, so every
     segment of a multi-launch pair list reuses ONE compiled program (a
-    static offset would compile per segment position)."""
+    static offset would compile per segment position). The row-side
+    inputs (``tiles_t``, ``thr``) are precomputed ONCE by the caller —
+    recomputing the full-tile-set transpose + gather per segment would
+    redo O(tiles) work on every launch."""
     num_bins, num_table_cols = chord2_table.shape
     num_edges = _counting_width(num_table_cols, direct)
     tile_shape = tuple(lane_data1.shape[1:])
@@ -394,7 +397,6 @@ def _masked_segment_add(
     )
     idx = jax.lax.dynamic_slice(stacked, (0, lo), (3, segment))
     seg_slots = idx[2]
-    tiles_t, thr = row_side_inputs(lane_data1, chord2_table)
     part = kernel(
         idx[0], idx[1], seg_slots, lane_data1, tiles_t, thr, lane_data2
     )
@@ -480,9 +482,10 @@ def count_pairs_pallas(
         ),
         dtype=jnp.float32,
     )
+    tiles_t, thr = row_side_inputs(lane_data1, chord2_table)
     for lo in range(0, padded, segment):
         total = _masked_segment_add(
-            stacked, lo, lane_data1, lane_data2, chord2_table, total,
-            **static,
+            stacked, lo, lane_data1, tiles_t, thr, lane_data2,
+            chord2_table, total, **static,
         )
     return total[:num_slots]
