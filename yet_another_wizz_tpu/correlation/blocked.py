@@ -175,18 +175,25 @@ class _ColumnTileCache:
         padded = bucket_size(tiles.num_tiles, base=tiles.device_pad_base)
         return padded * int(np.prod(tiles.lane_data.shape[1:])) * 4
 
-    def load(self, key):
+    def load(self, key, count: bool = True):
+        """Fetch a cached tile set (None on miss). ``count=False`` leaves
+        the hit/miss statistics alone — used for twin re-checks that are
+        bookkeeping, not packing work (the counters are asserted on by
+        tests as a proxy for how many blocks were actually packed)."""
         from yet_another_wizz_tpu.ops.tiles import TileSet
 
         tiles = self._resident.get(key)
         if tiles is not None:
-            self.hits += 1
+            if count:
+                self.hits += 1
             return tiles
         path = self._paths.get(key)
         if path is None:
-            self.misses += 1
+            if count:
+                self.misses += 1
             return None
-        self.hits += 1
+        if count:
+            self.hits += 1
         with np.load(path) as payload:
             fields = {name: payload[name] for name in _TILE_SET_ARRAYS}
             fields.update(
@@ -327,8 +334,9 @@ def count_pairs_blocked(
     row sweep. The device working set is therefore bounded by
     ``resident_tile_bytes`` plus the in-flight block pairs
     (:data:`PIPELINE_DEPTH`); the host additionally holds at most one
-    PREFETCHED row block (the next sweep's rows are packed on a worker
-    thread while the current sweep queues device work). In autocorrelation-shaped counts (same
+    PREFETCHED block per side — the next row block and the next column
+    block are packed on worker threads while the current block pair
+    queues device work. In autocorrelation-shaped counts (same
     catalog, binning and layout on both sides) the row blocks reuse the
     same cache, skipping the per-sweep row packing as well.
 
@@ -529,17 +537,22 @@ def _blocked_loop(
         )
         return tiles, True
 
-    def block_pair_qualifies(lo1, lo2):
+    def qualifying_linkage(lo1, lo2):
+        """The masked linked matrix of a block pair, or None when the
+        pair contributes nothing. The single source of truth for which
+        block pairs run — the prefetch schedules (``pair_seq``) and the
+        main loop both consume it, so they cannot drift apart."""
         hi1 = min(lo1 + block, num_patches)
         hi2 = min(lo2 + block, num_patches)
         if auto and hi2 <= lo1:
-            return False
+            return None  # only patch pairs with id2 >= id1 contribute
         linked = linkage.linked[lo1:hi1, lo2:hi2]
         if auto:
+            # mask patch pairs below the diagonal
             ids1 = np.arange(lo1, hi1)[:, None]
             ids2 = np.arange(lo2, hi2)[None, :]
             linked = linked & (ids2 >= ids1)
-        return bool(linked.any())
+        return linked if linked.any() else None
 
     # single-worker prefetch per side: packing the NEXT row/column block
     # (Morton sort + native scatter, seconds at survey scale) overlaps
@@ -554,7 +567,7 @@ def _blocked_loop(
         (lo1, lo2)
         for lo1 in starts
         for lo2 in starts
-        if block_pair_qualifies(lo1, lo2)
+        if qualifying_linkage(lo1, lo2) is not None
     ]
     row_needed = list(dict.fromkeys(lo1 for lo1, _ in pair_seq))
     next_row = {
@@ -581,17 +594,31 @@ def _blocked_loop(
         first_col = pair_seq[0][1]
         col_futures[first_col] = col_executor.submit(acquire_cols, first_col)
 
+    # on built=True both getters re-check the cache before storing: in
+    # autocorrelation-shaped counts row and column keys coincide, so a
+    # prefetch worker can build a block whose twin landed in the cache
+    # (with device arrays already uploaded) while it was packing.
+    # Preferring the cached twin turns the waste from "packed twice,
+    # uploaded twice, 2x HBM for a sweep" into "packed twice in a worker
+    # whose time was hidden anyway".
     def get_row_tiles(lo1):
         fut = futures.pop(lo1, None)
         if fut is not None:
             tiles, built = timed("rows", fut.result)
         else:
             tiles, built = timed("rows", acquire_rows, lo1)
+        if built and cache_rows:
+            cached = (
+                cache.load(row_base + (lo1,), count=False)
+                if row_base == col_base else None
+            )
+            if cached is not None:
+                tiles = cached  # twin stored by the column path meanwhile
+            else:
+                timed("rows", cache.store, row_base + (lo1,), tiles)
         nxt = next_row.get(lo1)
         if executor is not None and nxt is not None and nxt not in futures:
             futures[nxt] = executor.submit(acquire_rows, nxt)
-        if built and cache_rows:
-            timed("rows", cache.store, row_base + (lo1,), tiles)
         return tiles
 
     def get_col_tiles(lo1, lo2):
@@ -600,6 +627,15 @@ def _blocked_loop(
             tiles, built = timed("cols", fut.result)
         else:
             tiles, built = timed("cols", acquire_cols, lo2)
+        if built and cache is not None:
+            cached = (
+                cache.load(col_base + (lo2,), count=False)
+                if cache_rows and row_base == col_base else None
+            )
+            if cached is not None:
+                tiles = cached  # twin stored by the row path meanwhile
+            else:
+                timed("cols", cache.store, col_base + (lo2,), tiles)
         nxt = next_col.get((lo1, lo2))
         if (
             col_executor is not None
@@ -607,82 +643,74 @@ def _blocked_loop(
             and nxt not in col_futures
         ):
             col_futures[nxt] = col_executor.submit(acquire_cols, nxt)
-        if built and cache is not None:
-            timed("cols", cache.store, col_base + (lo2,), tiles)
         return tiles
 
     num_block_pairs = 0
-    for lo1 in starts:
-        hi1 = min(lo1 + block, num_patches)
-        tiles1 = None  # built lazily: the block pair may be fully pruned
-        for lo2 in starts:
-            if indicator is not None:
-                next(indicator, None)
-            hi2 = min(lo2 + block, num_patches)
-            if auto and hi2 <= lo1:
-                continue  # only patch pairs with id2 >= id1 contribute
-            linked = linkage.linked[lo1:hi1, lo2:hi2]
-            if auto:
-                # mask patch pairs below the diagonal
-                ids1 = np.arange(lo1, hi1)[:, None]
-                ids2 = np.arange(lo2, hi2)[None, :]
-                linked = linked & (ids2 >= ids1)
-            if not linked.any():
-                continue
+    try:
+        for lo1 in starts:
+            tiles1 = None  # built lazily: the block pair may be pruned
+            for lo2 in starts:
+                if indicator is not None:
+                    next(indicator, None)
+                linked = qualifying_linkage(lo1, lo2)
+                if linked is None:
+                    continue
 
-            if tiles1 is None:
-                tiles1 = get_row_tiles(lo1)
-            tiles2 = get_col_tiles(lo1, lo2)
+                if tiles1 is None:
+                    tiles1 = get_row_tiles(lo1)
+                tiles2 = get_col_tiles(lo1, lo2)
 
-            local_linkage = type(linkage)(
-                max_angle=linkage.max_angle, linked=linked
-            )
-            # enumerate tile pairs with LOCAL patch ids; auto-diagonal
-            # handling was already applied to the linked matrix above
-            pairs = timed(
-                "pairs", build_tile_pairs,
-                tiles1, tiles2, local_linkage, auto=False,
-                bin_max_angles=edges.edges.max(axis=1),
-            )
-            if pairs.num_pairs == 0:
-                continue
-            num_block_pairs += 1
-
-            # direct separation-weighted counting when available (the
-            # blocked path never audits and the oracle backend requires
-            # the union representation, see measurements._run_engine);
-            # defer=True queues the device work and the fetch + scatter
-            # happen in drain() while later block pairs pack and upload
-            direct = edges.direct if backend != "oracle" else None
-            if direct is not None:
-                cumulative = timed(
-                    "queue", count_pairs_tiles,
-                    tiles1, tiles2, pairs, direct.combined_table(),
-                    backend=backend, edges_radian=direct.edges,
-                    mesh=mesh, data_sharding=data_sharding,
-                    direct=direct.spec, defer=True,
+                local_linkage = type(linkage)(
+                    max_angle=linkage.max_angle, linked=linked
                 )
-                mapper = direct
-            else:
-                cumulative = timed(
-                    "queue", count_pairs_tiles,
-                    tiles1, tiles2, pairs, edges.chord2_table,
-                    backend=backend, edges_radian=edges.edges,
-                    mesh=mesh, data_sharding=data_sharding, defer=True,
+                # enumerate tile pairs with LOCAL patch ids; the
+                # auto-diagonal handling is already applied to the
+                # linked matrix by qualifying_linkage
+                pairs = timed(
+                    "pairs", build_tile_pairs,
+                    tiles1, tiles2, local_linkage, auto=False,
+                    bin_max_angles=edges.edges.max(axis=1),
                 )
-                mapper = edges
-            pending.append((cumulative, mapper, pairs, lo1, lo2))
-            if len(pending) >= PIPELINE_DEPTH:
-                drain(PIPELINE_DEPTH // 2)
+                if pairs.num_pairs == 0:
+                    continue
+                num_block_pairs += 1
 
-    drain(0)
-    for pool in (executor, col_executor):
-        # on the success path all futures are consumed; on an exception
-        # the executors are simply garbage-collected — their workers
-        # finish the (read-only, side-effect-free) in-flight build and
-        # exit
-        if pool is not None:
-            pool.shutdown(wait=True, cancel_futures=True)
+                # direct separation-weighted counting when available
+                # (the blocked path never audits and the oracle backend
+                # requires the union representation, see
+                # measurements._run_engine); defer=True queues the
+                # device work and the fetch + scatter happen in drain()
+                # while later block pairs pack and upload
+                direct = edges.direct if backend != "oracle" else None
+                if direct is not None:
+                    cumulative = timed(
+                        "queue", count_pairs_tiles,
+                        tiles1, tiles2, pairs, direct.combined_table(),
+                        backend=backend, edges_radian=direct.edges,
+                        mesh=mesh, data_sharding=data_sharding,
+                        direct=direct.spec, defer=True,
+                    )
+                    mapper = direct
+                else:
+                    cumulative = timed(
+                        "queue", count_pairs_tiles,
+                        tiles1, tiles2, pairs, edges.chord2_table,
+                        backend=backend, edges_radian=edges.edges,
+                        mesh=mesh, data_sharding=data_sharding, defer=True,
+                    )
+                    mapper = edges
+                pending.append((cumulative, mapper, pairs, lo1, lo2))
+                if len(pending) >= PIPELINE_DEPTH:
+                    drain(PIPELINE_DEPTH // 2)
+
+        drain(0)
+    finally:
+        # shut the prefetch workers down on EVERY path: an exception
+        # mid-sweep must not leak two live executors whose pending
+        # futures pin packed blocks (GBs of host memory at survey scale)
+        for pool in (executor, col_executor):
+            if pool is not None:
+                pool.shutdown(wait=True, cancel_futures=True)
     if indicator is not None:
         next(indicator, None)  # drain: prints the 100% line + newline
 

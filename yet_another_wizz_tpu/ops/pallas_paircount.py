@@ -22,6 +22,15 @@ Numerical note: per-row threshold selection is an exact gather
 precision rounds operands to bfloat16 which would shift angular bin
 boundaries by ~0.4%. The final weighted reduction matmul uses
 ``Precision.HIGHEST``.
+
+Memory note: the precomputed row-side inputs cost HBM — the ROW tile
+set holds ``32 + 32 + 4*(E+C)`` bytes/point (lanes + transpose +
+threshold rows) instead of the bare 32 B/point lanes (columns stay at
+32 B/point): 72 B/point for the common cumulative ``E=2`` survey
+config, ~210 B/point for a wide direct-mode table. Catalogs anywhere
+near HBM capacity should run through the blocked out-of-core path
+(``max_resident_patches``), whose per-block tile sets keep this growth
+trivially bounded.
 """
 
 from __future__ import annotations

@@ -38,16 +38,26 @@ def enable_persistent_compile_cache(
     jax.config.update("jax_compilation_cache_dir", directory)
     jax.config.update(
         "jax_persistent_cache_min_entry_size_bytes",
-        int(
-            os.environ.get("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+        _env_number(
+            "JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", -1, int
         ),
     )
     jax.config.update(
         "jax_persistent_cache_min_compile_time_secs",
-        float(
-            os.environ.get(
-                "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5"
-            )
+        _env_number(
+            "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", 0.5, float
         ),
     )
     return directory
+
+
+def _env_number(name, default, parse):
+    """Env override with the default on empty/malformed values (a broken
+    threshold must degrade the cache policy, not kill the entry point)."""
+    raw = os.environ.get(name)
+    if raw is None or raw.strip() == "":
+        return default
+    try:
+        return parse(raw)
+    except ValueError:
+        return default
