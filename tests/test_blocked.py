@@ -206,6 +206,71 @@ def test_resident_tile_cache(catalogs, config):
     np.testing.assert_allclose(resident, uncached, rtol=1e-6, atol=1e-6)
 
 
+def test_cache_load_uncounted(catalogs, config):
+    """``load(key, count=False)`` serves the twin re-check without moving
+    the hit/miss statistics (the counters are asserted on by tests as a
+    proxy for packing work, see ``_ColumnTileCache.load``)."""
+    import tempfile
+
+    from yet_another_wizz_tpu.correlation.blocked import (
+        _ColumnTileCache, _build_block_tiles,
+    )
+
+    reference, _, _ = catalogs
+    binning = config.binning.binning
+    tiles = _build_block_tiles(reference, binning, "n", 0, 4, 64)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cache = _ColumnTileCache(tmp, 1 << 30, resident_bytes=1 << 30)
+        assert cache.load(0, count=False) is None  # miss: uncounted
+        assert (cache.hits, cache.misses) == (0, 0)
+        cache.store(0, tiles)
+        assert cache.load(0, count=False) is tiles  # resident: uncounted
+        assert (cache.hits, cache.misses) == (0, 0)
+
+        spilled = _ColumnTileCache(tmp, 1 << 30, resident_bytes=1)
+        spilled.store(1, tiles)
+        assert spilled.load(1, count=False) is not None  # disk: uncounted
+        assert (spilled.hits, spilled.misses) == (0, 0)
+        # the counted path still counts
+        assert spilled.load(1) is not None
+        assert (spilled.hits, spilled.misses) == (1, 0)
+
+
+def test_auto_blocked_shared_cache(catalogs, config):
+    """Autocorrelation-shaped counts share ONE cache between the row and
+    column sides (their keys coincide): results match the uncached run
+    and each block is packed at most twice (once per racing prefetch
+    side, the twin re-check then collapses them to one stored object)."""
+    from yet_another_wizz_tpu.correlation.blocked import (
+        count_pairs_blocked, measurement_tile_cache,
+    )
+    from yet_another_wizz_tpu.correlation.measurements import PatchLinkage
+
+    reference, _, _ = catalogs
+    links = PatchLinkage.from_catalogs(config, reference)
+    binning = config.binning.binning
+    kwargs = dict(
+        auto=True, binned2=True, max_resident_patches=4, backend="xla"
+    )
+    num_blocks = -(-reference.num_patches // 2)
+
+    with measurement_tile_cache() as cache:
+        counted = count_pairs_blocked(
+            links.edges, links.linkage, reference, reference, binning,
+            cache=cache, **kwargs,
+        )
+        # one counted miss per block per side at most; revisits must hit
+        assert cache.misses <= 2 * num_blocks
+        assert cache.hits > 0
+
+    uncached = count_pairs_blocked(
+        links.edges, links.linkage, reference, reference, binning,
+        tile_cache_bytes=0, resident_tile_bytes=0, **kwargs,
+    )
+    np.testing.assert_allclose(counted, uncached, rtol=1e-6, atol=1e-6)
+
+
 def test_measurement_scoped_cache(catalogs, config):
     """A measurement-scoped cache shares column blocks between count
     types (DD and RD both stream the unknown catalog as columns), while
