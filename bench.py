@@ -196,6 +196,34 @@ def run_survey_scale(rooflines: dict) -> dict:
     }
 
 
+def probe_link(jax) -> dict:
+    """Median round-trip latency and fetch bandwidth of the host-device
+    link. On the tunneled chip used for CI benches these dominate the
+    warm wall-clock of small configs (every result fetch pays a full
+    RTT) and swing between runs — recording them alongside the timings
+    lets a regression in OUR code be told apart from a slow tunnel day."""
+    import jax.numpy as jnp
+
+    tiny = jax.device_put(jnp.zeros((), jnp.float32))
+    jax.device_get(tiny)  # connection warm-up
+    rtts = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        jax.device_get(tiny)
+        rtts.append(time.perf_counter() - t0)
+
+    big = jax.device_put(jnp.zeros((4 << 20,), jnp.float32))  # 16 MiB
+    big.block_until_ready()
+    t0 = time.perf_counter()
+    jax.device_get(big)
+    fetch_s = time.perf_counter() - t0
+    rtt = float(np.median(rtts))
+    return {
+        "rtt_ms": round(rtt * 1e3, 2),
+        "fetch_mb_s": round(16.0 / max(fetch_s - rtt, 1e-9), 1),
+    }
+
+
 def main() -> None:
     import jax
 
@@ -213,6 +241,11 @@ def main() -> None:
     from yet_another_wizz_tpu.redshifts import RedshiftData
 
     log(f"jax backend: {jax.default_backend()} devices: {jax.devices()}")
+    link = probe_link(jax)
+    log(
+        f"device link: rtt {link['rtt_ms']:.1f} ms, "
+        f"fetch bandwidth {link['fetch_mb_s']:.0f} MB/s"
+    )
 
     t0 = time.perf_counter()
     mock = generate_mock_data(
@@ -473,6 +506,7 @@ def main() -> None:
         "stress_256_pairs_per_s": round(stress_pairs_per_sec, 1),
         "survey_scale": survey_scale,
         "roofline": rooflines,
+        "link": link,
         "oracle_max_rel_err": float(f"{max_rel_err:.3e}"),
     }
     print(json.dumps(result), flush=True)
