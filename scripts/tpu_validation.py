@@ -84,6 +84,21 @@ def main() -> int:
     nz_device = run("auto")
     print(f"device measurement (warm): {time.perf_counter() - t0:.2f}s")
 
+    # the blocked out-of-core path must reproduce the in-memory device
+    # result (same kernel, different streaming) — gate it on hardware too
+    t0 = time.perf_counter()
+    (w_sp_blocked,) = crosscorrelate(
+        config, reference, unknown, ref_rand=randoms, backend="auto",
+        max_resident_patches=8,
+    )
+    (w_ss_blocked,) = autocorrelate(
+        config, reference, randoms, backend="auto", max_resident_patches=8
+    )
+    nz_blocked = RedshiftData.from_corrfuncs(w_sp_blocked, w_ss_blocked)
+    print(f"blocked measurement (warm): {time.perf_counter() - t0:.2f}s")
+    blocked_rel = np.nanmax(np.abs(nz_blocked.data / nz_device.data - 1.0))
+    print(f"blocked vs in-memory max rel deviation: {blocked_rel:.2e}")
+
     print("computing float64 oracle (single-core, takes a while)...")
     nz_oracle = run("oracle")
 
@@ -92,7 +107,7 @@ def main() -> int:
     print(f"n(z) oracle: {np.round(nz_oracle.data, 4)}")
     print(f"max rel deviation: {np.nanmax(rel):.2e}")
 
-    ok = np.nanmax(rel) < 1e-4
+    ok = np.nanmax(rel) < 1e-4 and blocked_rel < 1e-5
     print("PASS" if ok else "FAIL")
     return 0 if ok else 1
 

@@ -237,6 +237,47 @@ def test_cache_load_uncounted(catalogs, config):
         assert (spilled.hits, spilled.misses) == (1, 0)
 
 
+def test_cache_load_resident_only(catalogs, config):
+    """``resident_only=True`` never deserializes a disk-spilled block —
+    the twin re-check must not trade an already-built tile set for an
+    npz read plus a fresh upload."""
+    import tempfile
+
+    from yet_another_wizz_tpu.correlation.blocked import (
+        _ColumnTileCache, _build_block_tiles,
+    )
+
+    reference, _, _ = catalogs
+    binning = config.binning.binning
+    tiles = _build_block_tiles(reference, binning, "n", 0, 4, 64)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        resident = _ColumnTileCache(tmp, 1 << 30, resident_bytes=1 << 30)
+        resident.store(0, tiles)
+        assert resident.load(0, count=False, resident_only=True) is tiles
+
+        spilled = _ColumnTileCache(tmp, 1 << 30, resident_bytes=1)
+        spilled.store(0, tiles)
+        assert spilled.load(0, count=False, resident_only=True) is None
+        assert spilled.load(0, count=False) is not None  # disk layer
+
+
+def test_malformed_resident_bytes_env(monkeypatch):
+    """A malformed YAWT_RESIDENT_TILE_BYTES degrades to the default
+    instead of aborting the measurement."""
+    from yet_another_wizz_tpu.correlation.blocked import (
+        _resolve_resident_bytes,
+    )
+
+    monkeypatch.setenv("YAWT_RESIDENT_TILE_BYTES", "4GB")
+    assert _resolve_resident_bytes(None) == 4 << 30
+    monkeypatch.setenv("YAWT_RESIDENT_TILE_BYTES", "")
+    assert _resolve_resident_bytes(None) == 4 << 30
+    monkeypatch.setenv("YAWT_RESIDENT_TILE_BYTES", "123")
+    assert _resolve_resident_bytes(None) == 123
+    assert _resolve_resident_bytes(7) == 7
+
+
 def test_auto_blocked_shared_cache(catalogs, config):
     """Autocorrelation-shaped counts share ONE cache between the row and
     column sides (their keys coincide): results match the uncached run

@@ -311,6 +311,16 @@ class TestThresholds:
         with pytest.raises(ValueError):
             validate_angle_range([0.1, 0.2], [0.3])
 
+    def test_weighted_rejects_zero_ang_min(self):
+        # a zero lower limit feeds log10(0) into the weighted sub-edge
+        # grid; without the explicit check every count becomes NaN
+        scales = new_scales(0.0, 2.0, unit="rad")
+        build_angular_edges(scales, np.array([0.4]))  # unweighted: fine
+        with pytest.raises(ValueError, match="strictly positive"):
+            build_angular_edges(
+                scales, np.array([0.4]), weight_scale=-1.0
+            )
+
     def test_single_scale_edges(self):
         scales = new_scales(1.0, 2.0, unit="deg")
         ae = build_angular_edges(scales, np.array([0.3, 0.5]))

@@ -175,11 +175,13 @@ class _ColumnTileCache:
         padded = bucket_size(tiles.num_tiles, base=tiles.device_pad_base)
         return padded * int(np.prod(tiles.lane_data.shape[1:])) * 4
 
-    def load(self, key, count: bool = True):
+    def load(self, key, count: bool = True, resident_only: bool = False):
         """Fetch a cached tile set (None on miss). ``count=False`` leaves
         the hit/miss statistics alone — used for twin re-checks that are
         bookkeeping, not packing work (the counters are asserted on by
-        tests as a proxy for how many blocks were actually packed)."""
+        tests as a proxy for how many blocks were actually packed).
+        ``resident_only=True`` skips the disk layer: a deserialization +
+        re-upload is never cheaper than tiles the caller already holds."""
         from yet_another_wizz_tpu.ops.tiles import TileSet
 
         tiles = self._resident.get(key)
@@ -187,7 +189,7 @@ class _ColumnTileCache:
             if count:
                 self.hits += 1
             return tiles
-        path = self._paths.get(key)
+        path = None if resident_only else self._paths.get(key)
         if path is None:
             if count:
                 self.misses += 1
@@ -250,8 +252,48 @@ def _resolve_resident_bytes(resident_tile_bytes: int | None) -> int:
         import os
 
         env = os.environ.get("YAWT_RESIDENT_TILE_BYTES")
-        resident_tile_bytes = int(env) if env else 4 << 30
+        try:
+            # malformed values (e.g. "4GB") degrade to the default: a
+            # broken tuning knob must not abort a measurement
+            resident_tile_bytes = int(env) if env and env.strip() else None
+        except ValueError:
+            logger.warning(
+                "ignoring malformed YAWT_RESIDENT_TILE_BYTES=%r", env
+            )
+            resident_tile_bytes = None
+        if resident_tile_bytes is None:
+            resident_tile_bytes = 4 << 30
     return resident_tile_bytes
+
+
+def _make_tile_cache(
+    stack: contextlib.ExitStack,
+    tile_cache_bytes: int,
+    resident_tile_bytes: int,
+    *,
+    store_rows: bool = False,
+) -> _ColumnTileCache:
+    """Construct a tile cache, registering its spill directory on the
+    caller's exit stack. Spill location: ``YAWT_SPILL_DIR``, else the
+    system temp dir. CAUTION for operators: on hosts where /tmp is tmpfs
+    the spill is RAM-backed and competes with the bounded-memory goal of
+    the blocked path — point ``YAWT_SPILL_DIR`` at real disk (e.g. next
+    to the catalog caches) in that case."""
+    import os
+    import tempfile
+
+    cache_dir = None
+    if tile_cache_bytes > 0:
+        spill_root = os.environ.get("YAWT_SPILL_DIR") or None
+        cache_dir = stack.enter_context(
+            tempfile.TemporaryDirectory(
+                prefix="yawt_blocked_tiles_", dir=spill_root
+            )
+        )
+    return _ColumnTileCache(
+        cache_dir, tile_cache_bytes, resident_tile_bytes,
+        store_rows=store_rows,
+    )
 
 
 @contextlib.contextmanager
@@ -271,21 +313,10 @@ def measurement_tile_cache(
     tile layout, so only genuinely identical tile sets are ever shared;
     both budget knobs behave exactly as on :func:`count_pairs_blocked`.
     """
-    import os
-    import tempfile
-
     resident_tile_bytes = _resolve_resident_bytes(resident_tile_bytes)
     with contextlib.ExitStack() as stack:
-        cache_dir = None
-        if tile_cache_bytes > 0:
-            spill_root = os.environ.get("YAWT_SPILL_DIR") or None
-            cache_dir = stack.enter_context(
-                tempfile.TemporaryDirectory(
-                    prefix="yawt_blocked_tiles_", dir=spill_root
-                )
-            )
-        cache = _ColumnTileCache(
-            cache_dir, tile_cache_bytes, resident_tile_bytes, store_rows=True
+        cache = _make_tile_cache(
+            stack, tile_cache_bytes, resident_tile_bytes, store_rows=True
         )
         yield cache
         logger.debug(
@@ -382,9 +413,6 @@ def count_pairs_blocked(
         (edges.num_scales, num_bins, num_patches, num_patches)
     )
 
-    import os
-    import tempfile
-
     resident_tile_bytes = _resolve_resident_bytes(resident_tile_bytes)
 
     with contextlib.ExitStack() as stack:
@@ -394,21 +422,8 @@ def count_pairs_blocked(
             and (tile_cache_bytes > 0 or resident_tile_bytes > 0)
             and len(starts) > 1
         ):
-            cache_dir = None
-            if tile_cache_bytes > 0:
-                # spill location: YAWT_SPILL_DIR, else the system temp dir.
-                # CAUTION for operators: on hosts where /tmp is tmpfs the
-                # spill is RAM-backed and competes with the bounded-memory
-                # goal of the blocked path — point YAWT_SPILL_DIR at real
-                # disk (e.g. next to the catalog caches) in that case.
-                spill_root = os.environ.get("YAWT_SPILL_DIR") or None
-                cache_dir = stack.enter_context(
-                    tempfile.TemporaryDirectory(
-                        prefix="yawt_blocked_tiles_", dir=spill_root
-                    )
-                )
-            cache = _ColumnTileCache(
-                cache_dir, tile_cache_bytes, resident_tile_bytes
+            cache = _make_tile_cache(
+                stack, tile_cache_bytes, resident_tile_bytes
             )
         result = _blocked_loop(
             edges, linkage, catalog1, catalog2, binning, starts, block,
@@ -594,13 +609,15 @@ def _blocked_loop(
         first_col = pair_seq[0][1]
         col_futures[first_col] = col_executor.submit(acquire_cols, first_col)
 
-    # on built=True both getters re-check the cache before storing: in
-    # autocorrelation-shaped counts row and column keys coincide, so a
-    # prefetch worker can build a block whose twin landed in the cache
-    # (with device arrays already uploaded) while it was packing.
-    # Preferring the cached twin turns the waste from "packed twice,
-    # uploaded twice, 2x HBM for a sweep" into "packed twice in a worker
-    # whose time was hidden anyway".
+    # on built=True both getters re-check the RESIDENT cache layer before
+    # storing: in autocorrelation-shaped counts row and column keys
+    # coincide, so a prefetch worker can build a block whose twin landed
+    # in the cache (with device arrays already uploaded) while it was
+    # packing. Preferring the resident twin turns the waste from "packed
+    # twice, uploaded twice, 2x HBM for a sweep" into "packed twice in a
+    # worker whose time was hidden anyway". A DISK-spilled twin is never
+    # preferred — deserializing and re-uploading it loses to the
+    # just-built tiles the getter already holds.
     def get_row_tiles(lo1):
         fut = futures.pop(lo1, None)
         if fut is not None:
@@ -609,7 +626,7 @@ def _blocked_loop(
             tiles, built = timed("rows", acquire_rows, lo1)
         if built and cache_rows:
             cached = (
-                cache.load(row_base + (lo1,), count=False)
+                cache.load(row_base + (lo1,), count=False, resident_only=True)
                 if row_base == col_base else None
             )
             if cached is not None:
@@ -629,7 +646,7 @@ def _blocked_loop(
             tiles, built = timed("cols", acquire_cols, lo2)
         if built and cache is not None:
             cached = (
-                cache.load(col_base + (lo2,), count=False)
+                cache.load(col_base + (lo2,), count=False, resident_only=True)
                 if cache_rows and row_base == col_base else None
             )
             if cached is not None:
@@ -646,6 +663,12 @@ def _blocked_loop(
         return tiles
 
     num_block_pairs = 0
+    # direct separation-weighted counting when available (the blocked
+    # path never audits and the oracle backend requires the union
+    # representation, see measurements._run_engine); the combined device
+    # table is built once — not per block pair on the queueing hot path
+    direct = edges.direct if backend != "oracle" else None
+    direct_table = direct.combined_table() if direct is not None else None
     try:
         for lo1 in starts:
             tiles1 = None  # built lazily: the block pair may be pruned
@@ -675,17 +698,13 @@ def _blocked_loop(
                     continue
                 num_block_pairs += 1
 
-                # direct separation-weighted counting when available
-                # (the blocked path never audits and the oracle backend
-                # requires the union representation, see
-                # measurements._run_engine); defer=True queues the
-                # device work and the fetch + scatter happen in drain()
-                # while later block pairs pack and upload
-                direct = edges.direct if backend != "oracle" else None
+                # defer=True queues the device work; the fetch + scatter
+                # happen in drain() while later block pairs pack and
+                # upload
                 if direct is not None:
                     cumulative = timed(
                         "queue", count_pairs_tiles,
-                        tiles1, tiles2, pairs, direct.combined_table(),
+                        tiles1, tiles2, pairs, direct_table,
                         backend=backend, edges_radian=direct.edges,
                         mesh=mesh, data_sharding=data_sharding,
                         direct=direct.spec, defer=True,

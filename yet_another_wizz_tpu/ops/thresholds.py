@@ -367,6 +367,14 @@ def build_angular_edges(
     for z in zmids:
         ang_min, ang_max = scales.get_angle_radian(z, cosmology=cosmology)
         limits = validate_angle_range(ang_min, ang_max)
+        if weight_scale is not None and np.any(limits <= 0.0):
+            # the log-spaced sub-edge grid (and the direct-mode
+            # coefficients) work in log10(theta): a zero lower limit
+            # would silently turn every weighted count into NaN
+            raise ValueError(
+                "separation weighting requires strictly positive "
+                f"angular limits, got ang_min=0 at z={z:.4g}"
+            )
         edges = _edges_for_limits(limits, weight_scale, weight_res)
         weights = _interval_weights(edges, weight_scale)
         per_bin_edges.append(edges)
