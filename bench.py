@@ -171,7 +171,18 @@ def run_survey_scale(rooflines: dict) -> dict:
     t0 = time.perf_counter()
     run()
     log(f"survey-scale (cold, incl. compile): {time.perf_counter() - t0:.2f}s")
+
+    from yet_another_wizz_tpu.correlation import blocked
+
+    blocked.reset_phase_totals()
     t_sv, lo, hi, nz = timed_median(run)
+    # per-run phase attribution: on the tunneled chip the link fetch and
+    # device-queue wait dominate; locally attached hardware does not pay them
+    phases = {
+        key: round(value / WARM_RUNS, 2)
+        for key, value in blocked.PHASE_TOTALS.items()
+        if key != "num_block_pairs"
+    }
 
     links = PatchLinkage.from_catalogs(config, reference, unknown, randoms)
     pairs = sum(
@@ -185,7 +196,8 @@ def run_survey_scale(rooflines: dict) -> dict:
         f"max_resident_patches={SURVEY_RESIDENT}): {t_sv:.2f}s warm median "
         f"[{lo:.2f}, {hi:.2f}], {pairs:.3e} candidate pairs -> "
         f"{pairs_per_s:.3e} pairs/s, roofline {rooflines['survey_scale']}, "
-        f"n(z) finite: {bool(np.all(np.isfinite(nz.data)))}"
+        f"n(z) finite: {bool(np.all(np.isfinite(nz.data)))}, "
+        f"phases/run {phases}"
     )
     return {
         "rows": SURVEY_REFERENCE + SURVEY_UNKNOWN + SURVEY_RANDOMS,
@@ -193,6 +205,7 @@ def run_survey_scale(rooflines: dict) -> dict:
         "max_resident_patches": SURVEY_RESIDENT,
         "warm_median_s": [round(t_sv, 3), round(lo, 3), round(hi, 3)],
         "pairs_per_s": round(pairs_per_s, 1),
+        "phases_per_run_s": phases,
     }
 
 

@@ -65,6 +65,25 @@ def test_cross_blocked_equals_in_memory(catalogs, config, max_resident):
     assert_allclose(sample_blocked.samples, sample_full.samples, rtol=1e-5)
 
 
+def test_phase_totals_accumulate(catalogs, config):
+    from yet_another_wizz_tpu.correlation import blocked as blocked_mod
+
+    reference, unknown, randoms = catalogs
+    blocked_mod.reset_phase_totals()
+    assert blocked_mod.PHASE_TOTALS == {}
+    crosscorrelate(
+        config, reference, unknown, ref_rand=randoms, backend="xla",
+        max_resident_patches=2,
+    )
+    totals = blocked_mod.PHASE_TOTALS
+    # two counts (DD, RD) ran; totals cover both and all phases exist
+    assert totals["num_block_pairs"] > 0
+    for key in ("rows", "cols", "pairs", "queue", "drain",
+                "drain_wait", "drain_fetch", "drain_scatter"):
+        assert totals[key] >= 0.0
+    assert totals["drain"] > 0.0
+
+
 def test_auto_blocked_equals_in_memory(catalogs, config):
     reference, _, randoms = catalogs
     (full,) = autocorrelate(config, reference, randoms, backend="xla")

@@ -43,6 +43,23 @@ class TestMisc:
         assert format_time(0.0) == "0m00.00s"
         assert format_time(83.5) == "1m23.50s"
 
+    def test_host_thread_count(self, monkeypatch):
+        from yet_another_wizz_tpu.utils.misc import host_thread_count
+
+        monkeypatch.delenv("YAWT_NUM_THREADS", raising=False)
+        monkeypatch.delenv("YAW_NUM_THREADS", raising=False)
+        assert host_thread_count() is None
+        assert host_thread_count(4) == 4
+        # the reference's variable works as an alias
+        monkeypatch.setenv("YAW_NUM_THREADS", "3")
+        assert host_thread_count(4) == 3
+        # ours wins when both are set; values clamp to >= 1
+        monkeypatch.setenv("YAWT_NUM_THREADS", "0")
+        assert host_thread_count() == 1
+        # invalid values fall through
+        monkeypatch.setenv("YAWT_NUM_THREADS", "lots")
+        assert host_thread_count() == 3
+
 
 class TestLogging:
     def test_get_logger_banner(self):

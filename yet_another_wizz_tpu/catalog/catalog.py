@@ -251,7 +251,10 @@ class Catalog(Mapping):
             _, data = read_patch_data(path / "data.bin")
             return pid, data
 
-        max_workers = min(16, max(1, len(patch_dirs)))
+        from yet_another_wizz_tpu.utils.misc import host_thread_count
+
+        max_workers = host_thread_count(16)
+        max_workers = min(max_workers, max(1, len(patch_dirs)))
         with ThreadPoolExecutor(max_workers=max_workers) as pool:
             loaded = list(pool.map(load, patch_dirs))
 

@@ -743,4 +743,25 @@ def _blocked_loop(
         phases["queue"], phases["drain"], phases["drain_wait"],
         phases["drain_fetch"], phases["drain_scatter"],
     )
+    for key, value in phases.items():
+        PHASE_TOTALS[key] = PHASE_TOTALS.get(key, 0.0) + value
+    PHASE_TOTALS["num_block_pairs"] = (
+        PHASE_TOTALS.get("num_block_pairs", 0) + num_block_pairs
+    )
     return result
+
+
+PHASE_TOTALS: dict = {}
+"""Accumulated wall-clock phase breakdown of the blocked counts run on
+this process (diagnostic, read by bench.py; reset with
+:func:`reset_phase_totals`): host tile packing (``rows``, ``cols``),
+pair-list builds (``pairs``), device dispatch (``queue``) and result
+drains split into device-queue ``drain_wait``, host-device link
+``drain_fetch`` and host ``drain_scatter``. Attributes where a blocked
+run's wall time goes — on a tunneled chip the link fetch dominates,
+which locally attached hardware does not pay."""
+
+
+def reset_phase_totals() -> None:
+    """Clear :data:`PHASE_TOTALS` (start of a timed window)."""
+    PHASE_TOTALS.clear()

@@ -123,21 +123,12 @@ def count_pairs_oracle_multiprocess(
     patch pairs, /root/reference/src/yaw/utils/parallel.py:318-343).
 
     Worker count defaults to the ``YAWT_NUM_THREADS`` environment
-    variable (reference parity: ``YAW_NUM_THREADS``,
+    variable (or the reference's ``YAW_NUM_THREADS`` as an alias,
     /root/reference/src/yaw/utils/parallel.py:75-85) or the CPU count."""
     if max_workers is None:
-        import os
+        from yet_another_wizz_tpu.utils.misc import host_thread_count
 
-        env = os.environ.get("YAWT_NUM_THREADS")
-        if env:
-            try:
-                max_workers = max(1, int(env))
-            except ValueError:
-                import logging
-
-                logging.getLogger(__name__).warning(
-                    "ignoring invalid YAWT_NUM_THREADS=%r", env
-                )
+        max_workers = host_thread_count()
     tasks = list(
         _build_tasks(
             xyz1, w1, zbin1, patch1, xyz2, w2, zbin2, patch2, slot_patches,

@@ -40,6 +40,29 @@ HDF_COMPRESSION = dict(fletcher32=True, compression="gzip", shuffle=True)
 """Default compression options applied to HDF5 datasets."""
 
 
+def host_thread_count(default: int | None = None) -> int | None:
+    """Host-side worker-pool size from the environment.
+
+    Reads ``YAWT_NUM_THREADS`` and falls back to the reference's
+    ``YAW_NUM_THREADS`` (/root/reference/src/yaw/utils/parallel.py:75-85)
+    so existing deployments keep their knob. Invalid values are ignored
+    with a warning. Returns ``default`` when neither is set."""
+    import os
+
+    for name in ("YAWT_NUM_THREADS", "YAW_NUM_THREADS"):
+        env = os.environ.get(name)
+        if env:
+            try:
+                return max(1, int(env))
+            except ValueError:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "ignoring invalid %s=%r", name, env
+                )
+    return default
+
+
 def groupby(keys: NDArray, values: NDArray) -> Generator[tuple[Any, NDArray]]:
     """Group ``values`` along their first axis by unique entries of ``keys``.
 
