@@ -176,6 +176,41 @@ def test_column_tile_cache_round_trip(catalogs, config):
     np.testing.assert_allclose(cached, uncached, rtol=1e-6, atol=1e-6)
 
 
+def test_shared_cache_distinguishes_tile_size(catalogs, config):
+    """A measurement-scoped cache serving calls with different tile
+    sizes must key them apart (a cached TileSet packed at the wrong
+    tile size feeds the engine mismatched lane shapes), and it must pin
+    the keyed objects so id-reuse cannot collide entries."""
+    from yet_another_wizz_tpu.correlation.blocked import (
+        count_pairs_blocked, measurement_tile_cache,
+    )
+    from yet_another_wizz_tpu.correlation.measurements import PatchLinkage
+
+    reference, unknown, _ = catalogs
+    binning = config.binning.binning
+    links = PatchLinkage.from_catalogs(config, reference, unknown)
+    kwargs = dict(
+        auto=False, binned2=False, max_resident_patches=4, backend="xla"
+    )
+    expected = count_pairs_blocked(
+        links.edges, links.linkage, reference, unknown, binning,
+        tile_size=64, **kwargs,
+    )
+    with measurement_tile_cache(resident_tile_bytes=1 << 30) as cache:
+        first = count_pairs_blocked(
+            links.edges, links.linkage, reference, unknown, binning,
+            tile_size=128, cache=cache, **kwargs,
+        )
+        second = count_pairs_blocked(
+            links.edges, links.linkage, reference, unknown, binning,
+            tile_size=64, cache=cache, **kwargs,
+        )
+        assert any(obj is reference for obj in cache._pins)
+        assert any(obj is unknown for obj in cache._pins)
+    np.testing.assert_allclose(first, expected, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(second, expected, rtol=1e-6, atol=1e-6)
+
+
 def test_resident_tile_cache(catalogs, config):
     """The resident layer keeps the TileSet objects (and therefore their
     cached device arrays) alive across revisits; blocks beyond the

@@ -283,6 +283,31 @@ class TestAutoMesh:
         monkeypatch.setenv("YAWT_NUM_DEVICES", "1")
         assert auto_mesh() is None
 
+    def test_malformed_env_degrades_to_default(self, monkeypatch, caplog):
+        """A broken tuning knob must not abort a measurement: malformed
+        YAWT_NUM_DEVICES warns and falls back to the backend default
+        (no pool on virtual CPU devices)."""
+        from yet_another_wizz_tpu.parallel import auto_mesh
+
+        monkeypatch.setenv("YAWT_NUM_DEVICES", "all")
+        with caplog.at_level("WARNING"):
+            assert auto_mesh() is None
+        assert "YAWT_NUM_DEVICES" in caplog.text
+
+    def test_pad_chunk_length_odd_chunk_above_segment_bound(self):
+        """Pair lists longer than one Pallas launch must pad to a length
+        divisible by BOTH the XLA chunk size and the segment bound."""
+        from yet_another_wizz_tpu.ops.pallas_paircount import (
+            MAX_PAIRS_PER_CALL,
+        )
+        from yet_another_wizz_tpu.parallel.sharded import _pad_chunk_length
+
+        for chunk in (8, 24, 1000):
+            length = _pad_chunk_length(MAX_PAIRS_PER_CALL + 1, chunk)
+            assert length % chunk == 0
+            assert length % MAX_PAIRS_PER_CALL == 0
+            assert length >= MAX_PAIRS_PER_CALL + 1
+
     def test_bare_engine_call_engages_all_devices(self, problem, monkeypatch):
         """`count_pairs_tiles` without an explicit mesh must route through
         the sharded engine over the full device pool (all 8 virtual

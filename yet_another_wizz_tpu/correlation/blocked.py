@@ -156,6 +156,8 @@ class _ColumnTileCache:
         resident_bytes: int = 0,
         store_rows: bool = False,
     ) -> None:
+        import threading
+
         self._dir = directory
         self._max_bytes = max_bytes if directory is not None else 0
         self._used = 0
@@ -163,9 +165,22 @@ class _ColumnTileCache:
         self._resident_bytes = resident_bytes
         self._resident_used = 0
         self._resident: dict[object, object] = {}
+        self._pins: list[object] = []
+        self._stats_lock = threading.Lock()
         self.store_rows = store_rows
         self.hits = 0
         self.misses = 0
+
+    def pin(self, *objects) -> None:
+        """Hold strong references to the objects whose ``id()`` appears in
+        cache keys (catalogs, binnings) for the cache's lifetime. Without
+        the pin, a caller that drops a catalog while keeping a
+        measurement-scoped cache open could see CPython reuse the freed
+        object's id for a NEW catalog — colliding keys would then serve
+        the previous catalog's tiles silently."""
+        for obj in objects:
+            if obj is not None and not any(obj is p for p in self._pins):
+                self._pins.append(obj)
 
     @staticmethod
     def _device_nbytes(tiles) -> int:
@@ -187,15 +202,18 @@ class _ColumnTileCache:
         tiles = self._resident.get(key)
         if tiles is not None:
             if count:
-                self.hits += 1
+                with self._stats_lock:  # loads run on prefetch threads
+                    self.hits += 1
             return tiles
         path = None if resident_only else self._paths.get(key)
         if path is None:
             if count:
-                self.misses += 1
+                with self._stats_lock:
+                    self.misses += 1
             return None
         if count:
-            self.hits += 1
+            with self._stats_lock:
+                self.hits += 1
         with np.load(path) as payload:
             fields = {name: payload[name] for name in _TILE_SET_ARRAYS}
             fields.update(
@@ -510,18 +528,22 @@ def _blocked_loop(
 
     # cache keys carry everything that shapes a block's tile set, so a
     # measurement-scoped cache shares only genuinely identical blocks
-    # between count types (object identity: the measurement keeps its
-    # catalogs and binning alive for the cache's lifetime). Row blocks
-    # are admitted when the cache is measurement-scoped (store_rows) or
-    # when both sides are identical (autocorrelation-shaped counts, where
-    # the row key coincides with the column key).
+    # between count types. Object identity (id) is made safe by pinning
+    # the keyed objects on the cache — freed-id reuse cannot collide.
+    # Row blocks are admitted when the cache is measurement-scoped
+    # (store_rows) or when both sides are identical
+    # (autocorrelation-shaped counts, where the row key coincides with
+    # the column key).
     cache_rows = False
     row_base = col_base = None
     if cache is not None:
-        row_base = (id(catalog1), id(binning), mode[0], layout1, block)
+        cache.pin(catalog1, catalog2, binning)
+        row_base = (
+            id(catalog1), id(binning), mode[0], layout1, block, tile_size,
+        )
         col_base = (
             id(catalog2), id(binning) if binned2 else None, mode[1],
-            layout2, block,
+            layout2, block, tile_size,
         )
         cache_rows = cache.store_rows or row_base == col_base
 
@@ -578,12 +600,15 @@ def _blocked_loop(
     # working set grows to at most one extra in-flight block per side.
     from concurrent.futures import ThreadPoolExecutor
 
-    pair_seq = [
-        (lo1, lo2)
+    # evaluated once per (lo1, lo2); the main loop reuses the slices
+    # (at survey scale the full grid is large and each entry allocates)
+    linked_by_pair = {
+        (lo1, lo2): linked
         for lo1 in starts
         for lo2 in starts
-        if qualifying_linkage(lo1, lo2) is not None
-    ]
+        if (linked := qualifying_linkage(lo1, lo2)) is not None
+    }
+    pair_seq = list(linked_by_pair)
     row_needed = list(dict.fromkeys(lo1 for lo1, _ in pair_seq))
     next_row = {
         lo1: row_needed[i + 1]
@@ -675,7 +700,7 @@ def _blocked_loop(
             for lo2 in starts:
                 if indicator is not None:
                     next(indicator, None)
-                linked = qualifying_linkage(lo1, lo2)
+                linked = linked_by_pair.get((lo1, lo2))
                 if linked is None:
                     continue
 

@@ -23,6 +23,7 @@ ICI/DCN across hosts.
 
 from __future__ import annotations
 
+import logging
 from functools import lru_cache, partial
 from typing import TYPE_CHECKING
 
@@ -47,6 +48,8 @@ __all__ = [
 ]
 
 MESH_AXIS = "shards"
+
+logger = logging.getLogger(__name__)
 
 NUM_DEVICES_ENV = "YAWT_NUM_DEVICES"
 """Environment override for the automatic device pool: the number of
@@ -93,10 +96,20 @@ def auto_mesh() -> Mesh | None:
     env = os.environ.get(NUM_DEVICES_ENV, "").strip()
     num_devices = None
     if env:
-        num_devices = int(env)
-        if num_devices <= 1:
-            return None
-    elif jax.default_backend() == "cpu":
+        try:
+            num_devices = int(env)
+        except ValueError:
+            # a broken tuning knob must not abort a measurement (same
+            # policy as YAWT_RESIDENT_TILE_BYTES / YAWT_NUM_THREADS)
+            logger.warning(
+                "ignoring malformed %s=%r", NUM_DEVICES_ENV, env
+            )
+        else:
+            if num_devices <= 1:
+                return None
+    if num_devices is None and jax.default_backend() == "cpu":
+        # without an explicit (valid) opt-in, virtual CPU "devices" are
+        # slices of the same cores — no automatic pool
         return None
 
     available = len(jax.devices())
@@ -138,7 +151,16 @@ def _pad_chunk_length(n: int, chunk_size: int) -> int:
         n, base=16 * chunk_size, multiple_of=chunk_size
     )
     if length > MAX_PAIRS_PER_CALL:
-        length = -(-length // MAX_PAIRS_PER_CALL) * MAX_PAIRS_PER_CALL
+        # the padded length must stay a chunk_size multiple for the XLA
+        # scan's reshape AND become a segment-bound multiple for the
+        # multi-launch Pallas path: round to the lcm (equal to
+        # MAX_PAIRS_PER_CALL, a power of two, whenever chunk_size is one
+        # too; the odd part of an unusual chunk_size inflates the step,
+        # which only costs padding)
+        import math
+
+        step = math.lcm(chunk_size, MAX_PAIRS_PER_CALL)
+        length = -(-length // step) * step
     return length
 
 
