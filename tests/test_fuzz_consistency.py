@@ -185,3 +185,62 @@ def test_random_measurement_execution_matrix(trial):
             result, baseline, rtol=1e-4, atol=1e-2,
             err_msg=f"trial {trial}: {name} diverged",
         )
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("trial", range(4))
+def test_random_rweight_counting_formulations_agree(trial):
+    """Randomised separation-weighted configs: the direct per-pair
+    sub-interval formulation and the cumulative union-edge histogram are
+    mathematically equal counts — through the public API they must agree
+    for any weighting exponent, resolution and scale layout."""
+    from yet_another_wizz_tpu import Catalog, Configuration
+    from yet_another_wizz_tpu.correlation.measurements import crosscorrelate
+
+    rng = np.random.default_rng(9000 + trial)
+    num_bins = int(rng.integers(2, 5))
+    num_patches = int(rng.integers(3, 7))
+    alpha = float(rng.uniform(-2.0, 2.0))
+    resolution = int(rng.integers(12, 48))  # >= direct crossover
+    num_scales = int(rng.integers(1, 4))
+
+    ra0 = rng.uniform(0, 2 * np.pi)
+    dec0 = rng.uniform(-0.9, 0.9)
+    width = rng.uniform(0.1, 0.4)
+
+    def catalog(n, centers=None):
+        data = dict(
+            ra=ra0 + rng.uniform(0, width, n),
+            dec=np.clip(dec0 + rng.uniform(0, width, n), -1.45, 1.45),
+            redshifts=rng.uniform(0.2, 0.95, n),
+            weights=rng.uniform(0.25, 2.0, n),
+            degrees=False,
+        )
+        if centers is None:
+            return Catalog.from_arrays(**data, patch_num=num_patches)
+        return Catalog.from_arrays(**data, patch_centers=centers)
+
+    data = catalog(3000)
+    other = catalog(4000, centers=data.get_centers())
+    randoms = catalog(4000, centers=data.get_centers())
+
+    # overlapping multi-scale limits exercise the interior-limit splits
+    rmin = np.sort(rng.uniform(40, 300, num_scales))
+    rmax = np.sort(rng.uniform(500, 2500, num_scales))
+
+    def run(counting):
+        config = Configuration.create(
+            rmin=rmin.tolist(), rmax=rmax.tolist(), unit="kpc",
+            rweight=alpha, resolution=resolution, counting=counting,
+            zmin=0.2, zmax=0.95, num_bins=num_bins,
+        )
+        funcs = crosscorrelate(config, data, other, unk_rand=randoms,
+                               backend="xla")
+        return np.stack([w.dd.counts.get_array() for w in funcs])
+
+    direct = run("direct")
+    cumulative = run("cumulative")
+    assert_allclose(
+        direct, cumulative, rtol=5e-5, atol=1e-2,
+        err_msg=f"trial {trial}: alpha={alpha} res={resolution}",
+    )
