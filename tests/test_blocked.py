@@ -176,6 +176,49 @@ def test_column_tile_cache_round_trip(catalogs, config):
     np.testing.assert_allclose(cached, uncached, rtol=1e-6, atol=1e-6)
 
 
+def test_ambient_cache_shared_across_measurements(catalogs, config):
+    """A measurement_tile_cache held open around SEVERAL measurements is
+    picked up as the ambient cache: a repeated measurement rebuilds no
+    blocks (every load hits), even through a different-but-equal
+    Configuration (binning is keyed by value, not object identity), and
+    the results are unchanged."""
+    from yet_another_wizz_tpu.correlation.blocked import (
+        active_tile_cache, measurement_tile_cache,
+    )
+
+    reference, unknown, randoms = catalogs
+    kwargs = dict(backend="xla", max_resident_patches=4)
+    (plain,) = crosscorrelate(
+        config, reference, unknown, ref_rand=randoms, **kwargs
+    )
+
+    assert active_tile_cache() is None
+    with measurement_tile_cache(resident_tile_bytes=1 << 30) as cache:
+        assert active_tile_cache() is cache
+        (first,) = crosscorrelate(
+            config, reference, unknown, ref_rand=randoms, **kwargs
+        )
+        misses_first = cache.misses
+        assert misses_first > 0  # the first measurement packed blocks
+
+        twin_config = Configuration.create(
+            rmin=500, rmax=3000, unit="kpc", zmin=0.15, zmax=1.0, num_bins=4
+        )
+        (second,) = crosscorrelate(
+            twin_config, reference, unknown, ref_rand=randoms, **kwargs
+        )
+        assert cache.misses == misses_first  # served entirely from cache
+        assert cache.hits > 0
+    assert active_tile_cache() is None
+
+    assert_allclose(
+        first.dd.counts.counts, plain.dd.counts.counts, rtol=1e-6, atol=1e-6
+    )
+    assert_allclose(
+        second.dd.counts.counts, plain.dd.counts.counts, rtol=1e-6, atol=1e-6
+    )
+
+
 def test_shared_cache_distinguishes_tile_size(catalogs, config):
     """A measurement-scoped cache serving calls with different tile
     sizes must key them apart (a cached TileSet packed at the wrong

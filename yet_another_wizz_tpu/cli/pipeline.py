@@ -172,23 +172,47 @@ class Pipeline:
         return cls(project, config, tasks, progress=progress)
 
     def run(self) -> None:
-        """Execute the scheduled tasks in order, guarded by the lock."""
+        """Execute the scheduled tasks in order, guarded by the lock.
+
+        When the blocked engine path is configured
+        (``execution: max_resident_patches``), one ambient tile cache
+        spans the whole task list: catalogs that recur across tasks (the
+        reference sample appears in the autocorrelation AND every
+        tomographic bin's cross-correlation) are packed and
+        device-uploaded once per pipeline run instead of once per
+        measurement — the budgets of
+        :func:`~yet_another_wizz_tpu.correlation.blocked.measurement_tile_cache`
+        bound the resident/spilled bytes for the whole run."""
+        import contextlib
+
+        session_cache = contextlib.nullcontext()
+        if self.config.execution.max_resident_patches is not None:
+            from yet_another_wizz_tpu.correlation.blocked import (
+                measurement_tile_cache,
+            )
+
+            session_cache = measurement_tile_cache()
+
         lock = LockFile(self.project.lock_path)
         lock.acquire("starting")
         try:
             logger.info("running %d task(s)", len(self.tasks))
-            for task in self.tasks:
-                lock.update(task.name)
-                logger.info("running task '%s'", task.name)
-                start = default_timer()
-                task.run()
-                logger.info(
-                    "task '%s' finished after %s",
-                    task.name,
-                    format_time(default_timer() - start),
-                )
+            with session_cache:
+                self._run_tasks(lock)
         finally:
             lock.release()
+
+    def _run_tasks(self, lock) -> None:
+        for task in self.tasks:
+            lock.update(task.name)
+            logger.info("running task '%s'", task.name)
+            start = default_timer()
+            task.run()
+            logger.info(
+                "task '%s' finished after %s",
+                task.name,
+                format_time(default_timer() - start),
+            )
 
     def drop_cache(self) -> None:
         """Remove the cached catalogs (the reference's ``--drop`` flag)."""

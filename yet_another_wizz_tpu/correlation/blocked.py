@@ -36,6 +36,7 @@ if TYPE_CHECKING:
     from yet_another_wizz_tpu.ops.thresholds import AngularEdges
 
 __all__ = [
+    "active_tile_cache",
     "count_pairs_blocked",
     "measurement_tile_cache",
 ]
@@ -314,12 +315,21 @@ def _make_tile_cache(
     )
 
 
+_ACTIVE_CACHES: list[_ColumnTileCache] = []
+
+
+def active_tile_cache() -> _ColumnTileCache | None:
+    """The innermost ambient tile cache (see
+    :func:`measurement_tile_cache`), or None."""
+    return _ACTIVE_CACHES[-1] if _ACTIVE_CACHES else None
+
+
 @contextlib.contextmanager
 def measurement_tile_cache(
     tile_cache_bytes: int = 16 << 30,
     resident_tile_bytes: int | None = None,
 ):
-    """A tile cache scoped to a whole measurement.
+    """A tile cache scoped to one or more measurements.
 
     Passed as ``cache=`` to several :func:`count_pairs_blocked` calls, the
     count types of one measurement share their packed (and, within the
@@ -330,13 +340,38 @@ def measurement_tile_cache(
     count. Keys include the catalog identity, binning, counting mode and
     tile layout, so only genuinely identical tile sets are ever shared;
     both budget knobs behave exactly as on :func:`count_pairs_blocked`.
+
+    While the context is open it is also the AMBIENT cache: blocked
+    measurements started inside it (``max_resident_patches`` set, no
+    explicit ``cache=``) reuse it instead of creating their own. Holding
+    one context around several measurements therefore shares packed and
+    device-resident blocks between them — the production pattern where
+    the same reference catalog appears in every tomographic bin's
+    cross-correlation then streams that catalog through the host-device
+    link once per SESSION instead of once per measurement::
+
+        with measurement_tile_cache():
+            w_ss = autocorrelate(config, reference, ref_rand,
+                                 max_resident_patches=24)
+            for unknown in tomographic_bins:
+                crosscorrelate(config, reference, unknown,
+                               ref_rand=ref_rand,
+                               max_resident_patches=24)
+
+    The memory bounds are unchanged (the budgets cap the resident and
+    spilled bytes for the whole session); the keyed catalogs stay pinned
+    (alive) until the context closes.
     """
     resident_tile_bytes = _resolve_resident_bytes(resident_tile_bytes)
     with contextlib.ExitStack() as stack:
         cache = _make_tile_cache(
             stack, tile_cache_bytes, resident_tile_bytes, store_rows=True
         )
-        yield cache
+        _ACTIVE_CACHES.append(cache)
+        try:
+            yield cache
+        finally:
+            _ACTIVE_CACHES.remove(cache)
         logger.debug(
             "measurement tile cache: %d hits, %d rebuilds",
             cache.hits, cache.misses,
@@ -537,12 +572,17 @@ def _blocked_loop(
     cache_rows = False
     row_base = col_base = None
     if cache is not None:
-        cache.pin(catalog1, catalog2, binning)
+        cache.pin(catalog1, catalog2)
+        # binning is keyed by VALUE so measurements built from equal but
+        # distinct Configuration objects still share blocks (catalogs
+        # stay id-keyed — their data has no cheap content fingerprint —
+        # and are pinned above so id reuse cannot collide)
+        binning_key = (binning.edges.tobytes(), str(binning.closed))
         row_base = (
-            id(catalog1), id(binning), mode[0], layout1, block, tile_size,
+            id(catalog1), binning_key, mode[0], layout1, block, tile_size,
         )
         col_base = (
-            id(catalog2), id(binning) if binned2 else None, mode[1],
+            id(catalog2), binning_key if binned2 else None, mode[1],
             layout2, block, tile_size,
         )
         cache_rows = cache.store_rows or row_base == col_base

@@ -61,9 +61,18 @@ def _measurement_cache(max_resident_patches):
         yield None
         return
     from yet_another_wizz_tpu.correlation.blocked import (
+        active_tile_cache,
         measurement_tile_cache,
     )
 
+    ambient = active_tile_cache()
+    if ambient is not None:
+        # a caller-held cache spans this measurement: blocks (and their
+        # device-resident uploads) are shared across all measurements
+        # inside the context (e.g. one reference catalog reused by every
+        # tomographic bin's cross-correlation)
+        yield ambient
+        return
     with measurement_tile_cache() as cache:
         yield cache
 
