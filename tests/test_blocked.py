@@ -222,8 +222,8 @@ def test_ambient_cache_shared_across_measurements(catalogs, config):
 def test_shared_cache_distinguishes_tile_size(catalogs, config):
     """A measurement-scoped cache serving calls with different tile
     sizes must key them apart (a cached TileSet packed at the wrong
-    tile size feeds the engine mismatched lane shapes), and it must pin
-    the keyed objects so id-reuse cannot collide entries."""
+    tile size feeds the engine mismatched lane shapes); the catalogs
+    are keyed weakly so the cache never extends their lifetime."""
     from yet_another_wizz_tpu.correlation.blocked import (
         count_pairs_blocked, measurement_tile_cache,
     )
@@ -248,10 +248,61 @@ def test_shared_cache_distinguishes_tile_size(catalogs, config):
             links.edges, links.linkage, reference, unknown, binning,
             tile_size=64, cache=cache, **kwargs,
         )
-        assert any(obj is reference for obj in cache._pins)
-        assert any(obj is unknown for obj in cache._pins)
+        # keys hold weak identity tokens, not the catalogs themselves
+        from yet_another_wizz_tpu.correlation.blocked import _WeakId
+
+        assert all(
+            isinstance(key[0], _WeakId) for key in cache._resident
+        )
     np.testing.assert_allclose(first, expected, rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(second, expected, rtol=1e-6, atol=1e-6)
+
+
+def test_cache_purges_entries_of_freed_catalogs(config):
+    """A session cache must not accumulate blocks of catalogs the caller
+    has dropped: once the budget is under pressure, dead-keyed entries
+    (resident AND disk-spilled) are reclaimed, bytes and files included."""
+    import gc
+    import os
+
+    from yet_another_wizz_tpu.correlation.blocked import (
+        count_pairs_blocked, measurement_tile_cache,
+    )
+    from yet_another_wizz_tpu.correlation.measurements import PatchLinkage
+
+    def make_catalogs(seed):
+        mock = generate_mock_data(
+            num_reference=2000, num_unknown=3000, num_randoms=1, seed=seed
+        )
+        reference = Catalog.from_arrays(
+            **mock["reference"], degrees=False, patch_num=8
+        )
+        unknown = Catalog.from_arrays(
+            **mock["unknown"], degrees=False,
+            patch_centers=reference.get_centers(),
+        )
+        return reference, unknown
+
+    binning = config.binning.binning
+    with measurement_tile_cache(
+        tile_cache_bytes=1 << 20, resident_tile_bytes=1 << 20
+    ) as cache:
+        for seed in (31, 32, 33):
+            reference, unknown = make_catalogs(seed)
+            links = PatchLinkage.from_catalogs(config, reference, unknown)
+            count_pairs_blocked(
+                links.edges, links.linkage, reference, unknown, binning,
+                auto=False, binned2=False, max_resident_patches=4,
+                backend="xla", cache=cache,
+            )
+            del reference, unknown, links
+            gc.collect()
+        # all keyed catalogs are dead; one more store purges them
+        cache._purge_dead()
+        assert not cache._resident and cache._resident_used == 0
+        assert not cache._paths and cache._used == 0
+        if cache._dir is not None:
+            assert not any(os.scandir(cache._dir))
 
 
 def test_resident_tile_cache(catalogs, config):

@@ -234,6 +234,7 @@ class Catalog(Mapping):
         "patch_radii",
         "num_patches",
         "_tile_cache",
+        "__weakref__",  # blocked-path tile caches key catalogs weakly
     )
 
     def __init__(self, cache_directory: Path | str) -> None:

@@ -75,6 +75,8 @@ class LazyCatalog(HandlesDataChunk):
         "_chunk_info",
         "_patch_paths",
         "_bin_sums_cache",
+        # weakref support (for the blocked-path tile-cache keys) comes
+        # from the slot-less HandlesDataChunk base
     )
 
     def __init__(self, cache_directory: Path | str) -> None:

@@ -96,6 +96,40 @@ def _build_block_tiles(
     )
 
 
+class _WeakId:
+    """Hashable weak-identity token for cache keys.
+
+    Catalogs are Mappings (unhashable), so ``weakref.ref`` cannot key a
+    dict directly. Tokens of the same LIVE object compare equal (hash =
+    the object's id); once the referent is garbage-collected a token
+    only equals itself — a new object reusing the freed id hashes into
+    the same bucket but never compares equal, so stale entries cannot be
+    served and are reclaimed by :meth:`_ColumnTileCache._purge_dead`."""
+
+    __slots__ = ("_ref", "_id")
+
+    def __init__(self, obj) -> None:
+        import weakref
+
+        self._ref = weakref.ref(obj)
+        self._id = id(obj)
+
+    def __hash__(self) -> int:
+        return self._id
+
+    def __eq__(self, other) -> bool:
+        if not isinstance(other, _WeakId):
+            return NotImplemented
+        mine, theirs = self._ref(), other._ref()
+        if mine is None or theirs is None:
+            return self._ref is other._ref
+        return mine is theirs
+
+    @property
+    def dead(self) -> bool:
+        return self._ref() is None
+
+
 _TILE_SET_SCALARS = (
     "num_bins", "num_points", "tile_size", "device_pad_base",
 )
@@ -133,8 +167,11 @@ class _ColumnTileCache:
       keeping host memory bounded at one resident block pair.
 
     Blocks beyond both budgets are simply rebuilt each sweep. No
-    eviction in either layer: the sweep order revisits blocks uniformly,
-    so evicting one block to admit another buys nothing. The cache lives
+    eviction of LIVE entries in either layer: the sweep order revisits
+    blocks uniformly, so evicting one block to admit another buys
+    nothing. Entries whose weakly-keyed catalog has been freed can never
+    be hit again and are purged (with their budget bytes and spill
+    files) when a store runs out of budget. The cache lives
     for the duration of one :func:`count_pairs_blocked` call — or, via
     :func:`measurement_tile_cache`, for a whole measurement, sharing
     blocks between its count types (e.g. DD and RD of a
@@ -162,26 +199,44 @@ class _ColumnTileCache:
         self._dir = directory
         self._max_bytes = max_bytes if directory is not None else 0
         self._used = 0
-        self._paths: dict[object, str] = {}
+        self._paths: dict[object, tuple[str, int]] = {}
         self._resident_bytes = resident_bytes
         self._resident_used = 0
         self._resident: dict[object, object] = {}
-        self._pins: list[object] = []
         self._stats_lock = threading.Lock()
+        self._stored = 0  # monotonic: unique spill file names
         self.store_rows = store_rows
         self.hits = 0
         self.misses = 0
 
-    def pin(self, *objects) -> None:
-        """Hold strong references to the objects whose ``id()`` appears in
-        cache keys (catalogs, binnings) for the cache's lifetime. Without
-        the pin, a caller that drops a catalog while keeping a
-        measurement-scoped cache open could see CPython reuse the freed
-        object's id for a NEW catalog — colliding keys would then serve
-        the previous catalog's tiles silently."""
-        for obj in objects:
-            if obj is not None and not any(obj is p for p in self._pins):
-                self._pins.append(obj)
+    def _purge_dead(self) -> None:
+        """Drop entries whose keyed catalog has been garbage-collected.
+
+        Keys lead with a ``weakref.ref`` to the catalog: a dead referent
+        can never match a future lookup (a new catalog is a new object,
+        and dead weakrefs only equal themselves), so these entries are
+        pure budget waste. Called under budget pressure in store()."""
+        import os
+
+        def dead(key) -> bool:
+            return (
+                isinstance(key, tuple)
+                and key
+                and isinstance(key[0], _WeakId)
+                and key[0].dead
+            )
+
+        for key in [k for k in self._resident if dead(k)]:
+            self._resident_used -= self._device_nbytes(
+                self._resident.pop(key)
+            )
+        for key in [k for k in self._paths if dead(k)]:
+            path, size = self._paths.pop(key)
+            self._used -= size
+            try:
+                os.unlink(path)
+            except OSError:
+                pass
 
     @staticmethod
     def _device_nbytes(tiles) -> int:
@@ -206,12 +261,13 @@ class _ColumnTileCache:
                 with self._stats_lock:  # loads run on prefetch threads
                     self.hits += 1
             return tiles
-        path = None if resident_only else self._paths.get(key)
-        if path is None:
+        entry = None if resident_only else self._paths.get(key)
+        if entry is None:
             if count:
                 with self._stats_lock:
                     self.misses += 1
             return None
+        path, _ = entry
         if count:
             with self._stats_lock:
                 self.hits += 1
@@ -237,6 +293,8 @@ class _ColumnTileCache:
             # first entry, avoid double-counting the budgets
             return
         dev_size = self._device_nbytes(tiles)
+        if self._resident_used + dev_size > self._resident_bytes:
+            self._purge_dead()  # reclaim entries of freed catalogs
         if self._resident_used + dev_size <= self._resident_bytes:
             self._resident[key] = tiles
             self._resident_used += dev_size
@@ -260,9 +318,10 @@ class _ColumnTileCache:
         )
         if tiles.sum_kappa is not None:
             payload["sum_kappa"] = tiles.sum_kappa
-        path = os.path.join(self._dir, f"block_{len(self._paths)}.npz")
+        self._stored += 1  # len(_paths) shrinks on purge: not name-safe
+        path = os.path.join(self._dir, f"block_{self._stored}.npz")
         np.savez(path, **payload)
-        self._paths[key] = path
+        self._paths[key] = (path, size)
         self._used += size
 
 
@@ -359,8 +418,9 @@ def measurement_tile_cache(
                                max_resident_patches=24)
 
     The memory bounds are unchanged (the budgets cap the resident and
-    spilled bytes for the whole session); the keyed catalogs stay pinned
-    (alive) until the context closes.
+    spilled bytes for the whole session). Catalogs are keyed weakly:
+    the cache never extends their lifetime, and entries of freed
+    catalogs are reclaimed under budget pressure.
     """
     resident_tile_bytes = _resolve_resident_bytes(resident_tile_bytes)
     with contextlib.ExitStack() as stack:
@@ -563,8 +623,8 @@ def _blocked_loop(
 
     # cache keys carry everything that shapes a block's tile set, so a
     # measurement-scoped cache shares only genuinely identical blocks
-    # between count types. Object identity (id) is made safe by pinning
-    # the keyed objects on the cache — freed-id reuse cannot collide.
+    # between count types. Catalog identity is keyed through weakrefs —
+    # freed-id reuse cannot collide and lifetimes are not extended.
     # Row blocks are admitted when the cache is measurement-scoped
     # (store_rows) or when both sides are identical
     # (autocorrelation-shaped counts, where the row key coincides with
@@ -572,18 +632,22 @@ def _blocked_loop(
     cache_rows = False
     row_base = col_base = None
     if cache is not None:
-        cache.pin(catalog1, catalog2)
         # binning is keyed by VALUE so measurements built from equal but
-        # distinct Configuration objects still share blocks (catalogs
-        # stay id-keyed — their data has no cheap content fingerprint —
-        # and are pinned above so id reuse cannot collide)
+        # distinct Configuration objects still share blocks; catalogs are
+        # keyed by WEAK identity (their data has no cheap content
+        # fingerprint): while a catalog lives, its tokens are equal; once
+        # freed, its entries can never match again and are purged under
+        # budget pressure — id reuse cannot collide and the cache never
+        # extends catalog lifetimes (a pipeline-long ambient cache must
+        # not accumulate every task's in-memory catalogs)
         binning_key = (binning.edges.tobytes(), str(binning.closed))
         row_base = (
-            id(catalog1), binning_key, mode[0], layout1, block, tile_size,
+            _WeakId(catalog1), binning_key, mode[0], layout1, block,
+            tile_size,
         )
         col_base = (
-            id(catalog2), binning_key if binned2 else None, mode[1],
-            layout2, block, tile_size,
+            _WeakId(catalog2), binning_key if binned2 else None,
+            mode[1], layout2, block, tile_size,
         )
         cache_rows = cache.store_rows or row_base == col_base
 
