@@ -52,6 +52,19 @@ class TestLazyMetadata:
         )
         assert lazy.has_weights and lazy.has_redshifts
 
+    def test_catalogs_support_weakrefs(self, caches):
+        """The blocked-path tile caches key catalogs through weakrefs
+        (`correlation.blocked._WeakId`); both catalog types must stay
+        weak-referenceable (Catalog slots __weakref__ explicitly,
+        LazyCatalog gets it from its slot-less HandlesDataChunk base —
+        this test pins the dependency either way)."""
+        import weakref
+
+        tmp, reference, _, _ = caches
+        lazy = LazyCatalog(tmp / "ref")
+        assert weakref.ref(reference)() is reference
+        assert weakref.ref(lazy)() is lazy
+
     def test_load_block_matches_resident(self, caches):
         tmp, reference, _, _ = caches
         lazy = LazyCatalog(tmp / "ref")

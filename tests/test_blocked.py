@@ -297,8 +297,8 @@ def test_cache_purges_entries_of_freed_catalogs(config):
             )
             del reference, unknown, links
             gc.collect()
-        # all keyed catalogs are dead; one more store purges them
-        cache._purge_dead()
+        # all keyed catalogs are dead; the purge reclaims everything
+        cache.purge_dead()
         assert not cache._resident and cache._resident_used == 0
         assert not cache._paths and cache._used == 0
         if cache._dir is not None:

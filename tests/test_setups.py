@@ -491,6 +491,36 @@ class TestExecutionConfig:
             lazy = np.loadtxt(tmp_path / f"lazy/project/{product}.dat")
             np.testing.assert_allclose(lazy, default, rtol=1e-5, atol=1e-8)
 
+    def test_catalog_memo_shares_instances(self, tmp_path):
+        """Inside catalog_memo (held by Pipeline.run in blocked mode),
+        handle loads of the same cache return the SAME object — the
+        identity the session tile cache needs for cross-task block
+        sharing; outside it, loads stay fresh."""
+        from yet_another_wizz_tpu import Catalog
+        from yet_another_wizz_tpu.cli.directory import (
+            CacheHandle, catalog_memo,
+        )
+        from yet_another_wizz_tpu.examples import generate_mock_data
+
+        mock = generate_mock_data(
+            num_reference=300, num_unknown=1, num_randoms=1, seed=5
+        )
+        Catalog.from_arrays(
+            **mock["reference"], degrees=False, patch_num=2,
+            cache_directory=tmp_path / "pair" / "data",
+        )
+        handle = CacheHandle(tmp_path / "pair")
+        assert handle.load_data(lazy=True) is not handle.load_data(lazy=True)
+        with catalog_memo():
+            memoised = handle.load_data(lazy=True)
+            assert handle.load_data(lazy=True) is memoised
+            # a freshly constructed handle (every project property access
+            # builds one) must hit the same memo entry
+            fresh = CacheHandle(tmp_path / "pair")
+            assert fresh.load_data(lazy=True) is memoised
+            assert handle.load_data(lazy=False) is not memoised
+        assert handle.load_data(lazy=True) is not memoised
+
     def test_execution_round_trips_through_pipeline_yml(
         self, data_files, tmp_path
     ):

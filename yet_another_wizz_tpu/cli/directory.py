@@ -43,6 +43,36 @@ __all__ = [
 ]
 
 
+_CATALOG_MEMO: dict | None = None
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def catalog_memo():
+    """Memoise catalogs loaded through :class:`CacheHandle` for the
+    duration of the context.
+
+    Handles are rebuilt on every project-directory property access, so
+    without the memo each task loads a FRESH (Lazy)Catalog instance from
+    the same cache directory. The session tile cache keys blocks by weak
+    catalog identity — cross-task block sharing (the reference sample
+    recurring in every tomographic bin's cross-correlation) therefore
+    requires the tasks to receive the SAME catalog objects, which this
+    memo provides. Held by ``Pipeline.run`` together with the session
+    tile cache; catalogs stay alive for the duration of the context
+    (cheap for the blocked path's default LazyCatalogs, which hold
+    per-patch metadata only)."""
+    global _CATALOG_MEMO
+    previous = _CATALOG_MEMO
+    _CATALOG_MEMO = {}
+    try:
+        yield
+    finally:
+        _CATALOG_MEMO = previous
+
+
 class Handle:
     """A typed path with existence check and load/save hooks."""
 
@@ -70,17 +100,26 @@ class CacheHandle(Handle):
     def exists(self) -> bool:
         return self.data.path.exists()
 
-    def load_data(self, *, lazy: bool = False):
+    @staticmethod
+    def _load(path: Path, lazy: bool):
         from yet_another_wizz_tpu.catalog import Catalog, LazyCatalog
 
-        return (LazyCatalog if lazy else Catalog)(self.data.path)
+        if _CATALOG_MEMO is None:
+            return (LazyCatalog if lazy else Catalog)(path)
+        key = (path.resolve(), lazy)
+        catalog = _CATALOG_MEMO.get(key)
+        if catalog is None:
+            catalog = (LazyCatalog if lazy else Catalog)(path)
+            _CATALOG_MEMO[key] = catalog
+        return catalog
+
+    def load_data(self, *, lazy: bool = False):
+        return self._load(self.data.path, lazy)
 
     def load_rand(self, *, lazy: bool = False):
-        from yet_another_wizz_tpu.catalog import Catalog, LazyCatalog
-
         if not self.rand.path.exists():
             return None
-        return (LazyCatalog if lazy else Catalog)(self.rand.path)
+        return self._load(self.rand.path, lazy)
 
 
 class CorrFuncHandle(Handle):

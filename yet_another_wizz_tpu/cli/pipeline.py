@@ -186,18 +186,23 @@ class Pipeline:
         import contextlib
 
         session_cache = contextlib.nullcontext()
+        memo = contextlib.nullcontext()
         if self.config.execution.max_resident_patches is not None:
+            from yet_another_wizz_tpu.cli.directory import catalog_memo
             from yet_another_wizz_tpu.correlation.blocked import (
                 measurement_tile_cache,
             )
 
             session_cache = measurement_tile_cache()
+            # cross-task block sharing needs the SAME catalog objects:
+            # handles memoise their loads for the run (see catalog_memo)
+            memo = catalog_memo()
 
         lock = LockFile(self.project.lock_path)
         lock.acquire("starting")
         try:
             logger.info("running %d task(s)", len(self.tasks))
-            with session_cache:
+            with session_cache, memo:
                 self._run_tasks(lock)
         finally:
             lock.release()

@@ -204,18 +204,29 @@ class _ColumnTileCache:
         self._resident_used = 0
         self._resident: dict[object, object] = {}
         self._stats_lock = threading.Lock()
+        self._mutate_lock = threading.Lock()  # store/purge serialisation
         self._stored = 0  # monotonic: unique spill file names
         self.store_rows = store_rows
         self.hits = 0
         self.misses = 0
 
+    def purge_dead(self) -> None:
+        """Drop entries whose keyed catalog has been garbage-collected
+        (thread-safe wrapper; see :meth:`_purge_dead`)."""
+        with self._mutate_lock:
+            self._purge_dead()
+
     def _purge_dead(self) -> None:
         """Drop entries whose keyed catalog has been garbage-collected.
 
-        Keys lead with a ``weakref.ref`` to the catalog: a dead referent
-        can never match a future lookup (a new catalog is a new object,
-        and dead weakrefs only equal themselves), so these entries are
-        pure budget waste. Called under budget pressure in store()."""
+        Keys lead with a weak identity token for the catalog: a dead
+        referent can never match a future lookup (a new catalog is a new
+        object, and dead tokens only equal themselves), so these entries
+        are pure budget waste — including HBM held by resident device
+        arrays. Called under budget pressure in store() and at the start
+        of every blocked count (so a session cache does not retain the
+        blocks of freed catalogs indefinitely once no further stores
+        happen). Caller must hold ``_mutate_lock``."""
         import os
 
         def dead(key) -> bool:
@@ -287,6 +298,13 @@ class _ColumnTileCache:
     def store(self, key, tiles) -> None:
         import os
 
+        # one mutation at a time: an ambient cache may be shared by
+        # concurrent measurements (user threads), and the budget
+        # accounting plus the purge are read-modify-write sequences
+        with self._mutate_lock:
+            self._store_locked(key, tiles, os)
+
+    def _store_locked(self, key, tiles, os) -> None:
         if key in self._resident or key in self._paths:
             # duplicate store (e.g. a prefetched row block that is also a
             # column block of an autocorrelation-shaped count): keep the
@@ -650,6 +668,9 @@ def _blocked_loop(
             mode[1], layout2, block, tile_size,
         )
         cache_rows = cache.store_rows or row_base == col_base
+        # a long-lived (session) cache may hold blocks of catalogs that
+        # have since been freed; reclaim them before admitting new ones
+        cache.purge_dead()
 
     def acquire_rows(lo1):
         """Load-or-build the row tile set for one block (thread-safe:

@@ -306,6 +306,16 @@ def count_pairs_sharded(
     num_slots = pairs.num_slots
     num_slots_out = bucket_size(num_slots + 1, base=64)
     cols_binned = tiles2.binned
+    # chunk_size is a perf knob (the XLA scan's step width); normalising
+    # it to a power of two (capped at the Pallas segment bound) keeps
+    # the padded pair-list step at MAX_PAIRS_PER_CALL — an odd chunk
+    # size would otherwise multiply the lcm padding step by its odd part
+    # (e.g. chunk_size=1000 -> 8.2M-slot padding cliff)
+    from yet_another_wizz_tpu.ops.pallas_paircount import MAX_PAIRS_PER_CALL
+
+    chunk_size = min(
+        1 << max(0, int(chunk_size) - 1).bit_length(), MAX_PAIRS_PER_CALL
+    )
     if engine == "auto":
         engine = "pallas" if jax.default_backend() == "tpu" else "xla"
     interpret = jax.default_backend() != "tpu"
