@@ -672,6 +672,18 @@ def _blocked_loop(
         # have since been freed; reclaim them before admitting new ones
         cache.purge_dead()
 
+    def warm_upload(tiles):
+        """Start the async host-to-device transfer of a block's lanes
+        from the prefetch worker (single-device engines only: under a
+        mesh the engine places lanes per call with its own shardings).
+        jax transfers are thread-safe and asynchronous, so the upload
+        overlaps the CURRENT block pair's queued compute — on a
+        link-bound device the uncached path then runs at the transfer
+        rate instead of serialising pack -> upload -> compute."""
+        if mesh is None:
+            tiles.device_data()
+        return tiles
+
     def acquire_rows(lo1):
         """Load-or-build the row tile set for one block (thread-safe:
         cache loads are read-only, ``load_block`` is a stateless read,
@@ -680,11 +692,11 @@ def _blocked_loop(
         if cache_rows:
             tiles = cache.load(row_base + (lo1,))
             if tiles is not None:
-                return tiles, False
+                return warm_upload(tiles), False
         tiles = _build_block_tiles(
             catalog1, binning, mode[0], lo1, hi1, tile_size, layout=layout1
         )
-        return tiles, True
+        return warm_upload(tiles), True
 
     def acquire_cols(lo2):
         """Column-side counterpart of :func:`acquire_rows`."""
@@ -692,12 +704,12 @@ def _blocked_loop(
         if cache is not None:
             tiles = cache.load(col_base + (lo2,))
             if tiles is not None:
-                return tiles, False
+                return warm_upload(tiles), False
         tiles = _build_block_tiles(
             catalog2, binning if binned2 else None, mode[1],
             lo2, hi2, tile_size, layout=layout2,
         )
-        return tiles, True
+        return warm_upload(tiles), True
 
     def qualifying_linkage(lo1, lo2):
         """The masked linked matrix of a block pair, or None when the
