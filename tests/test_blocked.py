@@ -116,12 +116,23 @@ def test_audit_through_public_api(catalogs, config):
     assert_allclose(audited.sample().data, plain.sample().data, rtol=1e-4)
 
 
-def test_audit_rejects_blocked_mode(catalogs, config):
+def test_audit_through_blocked_mode(catalogs, config):
+    """The exact-boundary audit composes with the blocked path: per
+    block pair the float64 repair runs on the local counts, and the
+    result matches the in-memory audited measurement."""
     reference, _, randoms = catalogs
-    with pytest.raises(NotImplementedError, match="audit"):
-        autocorrelate(
-            config, reference, randoms, audit=True, max_resident_patches=5
-        )
+    (plain,) = autocorrelate(
+        config, reference, randoms, backend="xla", audit=True
+    )
+    (blocked,) = autocorrelate(
+        config, reference, randoms, backend="xla", audit=True,
+        max_resident_patches=5,
+    )
+    assert_allclose(
+        blocked.dd.counts.counts, plain.dd.counts.counts,
+        rtol=1e-6, atol=1e-6,
+    )
+    assert_allclose(blocked.sample().data, plain.sample().data, rtol=1e-5)
 
 
 def test_column_tile_cache_round_trip(catalogs, config):

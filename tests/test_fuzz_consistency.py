@@ -178,6 +178,9 @@ def test_random_measurement_execution_matrix(trial):
         "mesh-ring": dict(mesh=default_mesh(4), data_sharding="ring"),
         "blocked": dict(backend="xla", max_resident_patches=3),
         "audit": dict(backend="xla", audit=True),
+        "blocked-audit": dict(
+            backend="xla", audit=True, max_resident_patches=3
+        ),
     }
     for name, kwargs in variants.items():
         result = run(**kwargs)

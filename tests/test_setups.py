@@ -580,9 +580,11 @@ class TestExecutionDevices:
         setup["execution"] = dict(data_sharding="rows")
         with pytest.raises(ConfigError, match="execution.data_sharding"):
             ProjectConfig.from_dict(setup)
+        # audit composes with the blocked path (per-block repair)
         setup["execution"] = dict(audit=True, max_resident_patches=2)
-        with pytest.raises(ConfigError, match="execution.audit"):
-            ProjectConfig.from_dict(setup)
+        config = ProjectConfig.from_dict(setup)
+        assert config.execution.audit
+        assert config.execution.max_resident_patches == 2
 
     def test_measurement_kwargs_mesh_resolution(self):
         from yet_another_wizz_tpu.cli.config import ExecutionConfig

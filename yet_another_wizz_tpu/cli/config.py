@@ -246,7 +246,8 @@ class ExecutionConfig:
     the mesh (``replicated``, ``columns`` or ``ring``, see
     :func:`yet_another_wizz_tpu.parallel.count_pairs_sharded`).
     ``audit`` enables the exact-boundary float64 repair pass on every
-    pair count (not available together with ``max_resident_patches``).
+    pair count (with ``max_resident_patches`` it runs per block pair;
+    certification costs throughput).
     """
 
     DATA_SHARDINGS = ("replicated", "columns", "ring")
@@ -284,12 +285,6 @@ class ExecutionConfig:
                 "data_sharding",
             )
         audit = bool(audit)
-        if audit and max_resident_patches is not None:
-            raise ConfigError(
-                "the exact-boundary audit is not available with the "
-                "blocked 'max_resident_patches' path",
-                "audit",
-            )
         self.max_resident_patches = max_resident_patches
         self.lazy = bool(lazy)
         self.devices = devices

@@ -475,6 +475,7 @@ def count_pairs_blocked(
     tile_cache_bytes: int = 16 << 30,
     resident_tile_bytes: int | None = None,
     cache: _ColumnTileCache | None = None,
+    audit: bool = False,
 ) -> np.ndarray:
     """Count pairs block by block; returns per-scale counts with shape
     ``(num_scales, num_bins, num_patches, num_patches)`` (same contract as
@@ -505,7 +506,13 @@ def count_pairs_blocked(
     With ``cache=`` an externally created cache (see
     :func:`measurement_tile_cache`) is used as-is — shared across the
     calls of one measurement, with the budgets fixed at its creation
-    (``tile_cache_bytes``/``resident_tile_bytes`` are then ignored)."""
+    (``tile_cache_bytes``/``resident_tile_bytes`` are then ignored).
+
+    ``audit=True`` runs the exact-boundary float64 repair per block pair
+    (see :func:`yet_another_wizz_tpu.ops.paircount.audit_boundary_counts`);
+    each block pair's count is then evaluated synchronously (no deferred
+    pipeline) and separation-weighted configs use the cumulative
+    union-edge formulation — certification costs throughput."""
     from yet_another_wizz_tpu.ops.tiles import DEFAULT_TILE_SIZE
 
     tile_size = tile_size or DEFAULT_TILE_SIZE
@@ -562,6 +569,7 @@ def count_pairs_blocked(
             backend=backend, mesh=mesh, data_sharding=data_sharding,
             layout1=layout1, layout2=layout2, indicator=indicator,
             num_patches=num_patches, result=result, cache=cache,
+            audit=audit,
         )
         if own_cache and cache is not None:
             logger.debug(
@@ -587,6 +595,7 @@ def _blocked_loop(
     edges, linkage, catalog1, catalog2, binning, starts, block,
     *, auto, binned2, mode, tile_size, backend, mesh, data_sharding,
     layout1, layout2, indicator, num_patches, result, cache,
+    audit=False,
 ):
     import time
 
@@ -825,11 +834,11 @@ def _blocked_loop(
         return tiles
 
     num_block_pairs = 0
-    # direct separation-weighted counting when available (the blocked
-    # path never audits and the oracle backend requires the union
-    # representation, see measurements._run_engine); the combined device
-    # table is built once — not per block pair on the queueing hot path
-    direct = edges.direct if backend != "oracle" else None
+    # direct separation-weighted counting when available (audit and the
+    # oracle backend require the union representation, see
+    # measurements._run_engine); the combined device table is built
+    # once — not per block pair on the queueing hot path
+    direct = edges.direct if backend != "oracle" and not audit else None
     direct_table = direct.combined_table() if direct is not None else None
     try:
         for lo1 in starts:
@@ -873,11 +882,16 @@ def _blocked_loop(
                     )
                     mapper = direct
                 else:
+                    # audit=True runs the boundary-flag pass and float64
+                    # repair per block pair and returns HOST counts
+                    # (count_pairs_tiles forces sync when auditing; the
+                    # drain machinery passes host arrays through)
                     cumulative = timed(
                         "queue", count_pairs_tiles,
                         tiles1, tiles2, pairs, edges.chord2_table,
                         backend=backend, edges_radian=edges.edges,
-                        mesh=mesh, data_sharding=data_sharding, defer=True,
+                        mesh=mesh, data_sharding=data_sharding,
+                        audit=audit, defer=True,
                     )
                     mapper = edges
                 pending.append((cumulative, mapper, pairs, lo1, lo2))

@@ -239,15 +239,11 @@ class PatchLinkage:
             binned2 = auto
 
         if max_resident_patches is not None:
-            if audit:
-                raise NotImplementedError(
-                    "audit=True is not supported with max_resident_patches"
-                )
             counts, sum_weights = self._run_blocked(
                 catalog1, catalog2, auto=auto, binned2=binned2, mode=mode,
                 backend=backend, max_resident_patches=max_resident_patches,
                 mesh=mesh, data_sharding=data_sharding, progress=progress,
-                tile_cache=_tile_cache,
+                tile_cache=_tile_cache, audit=audit,
             )
             result = [
                 NormalisedCounts(per_scale, sum_weights)
@@ -317,7 +313,7 @@ class PatchLinkage:
     def _run_blocked(
         self, catalog1, catalog2, *, auto, binned2, mode, backend,
         max_resident_patches, mesh=None, data_sharding="replicated",
-        progress=False, tile_cache=None,
+        progress=False, tile_cache=None, audit=False,
     ):
         """Device-memory-bounded path: stream patch blocks through the
         engine (see :mod:`yet_another_wizz_tpu.correlation.blocked`)."""
@@ -342,6 +338,7 @@ class PatchLinkage:
             data_sharding=data_sharding,
             progress=progress,
             cache=tile_cache,
+            audit=audit,
         )
         counts = [
             PatchedCounts(binning, scale_counts, auto=auto)
