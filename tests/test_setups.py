@@ -491,6 +491,44 @@ class TestExecutionConfig:
             lazy = np.loadtxt(tmp_path / f"lazy/project/{product}.dat")
             np.testing.assert_allclose(lazy, default, rtol=1e-5, atol=1e-8)
 
+    def test_pipeline_session_cache_spans_tasks(
+        self, data_files, tmp_path, monkeypatch
+    ):
+        """A blocked pipeline run creates exactly ONE tile cache (the
+        session cache held by Pipeline.run) — the measurements adopt it
+        ambiently instead of creating their own — and it serves hits, so
+        blocks are genuinely shared between the count types and tasks."""
+        from yet_another_wizz_tpu.correlation import blocked
+
+        created = []
+        original = blocked.measurement_tile_cache
+
+        def spying(*args, **kwargs):
+            ctx = original(*args, **kwargs)
+
+            class Spy:
+                def __enter__(self):
+                    cache = ctx.__enter__()
+                    created.append(cache)
+                    return cache
+
+                def __exit__(self, *exc):
+                    return ctx.__exit__(*exc)
+
+            return Spy()
+
+        monkeypatch.setattr(blocked, "measurement_tile_cache", spying)
+        # the pipeline imports it lazily from the module, so patching the
+        # module attribute covers both Pipeline.run and _measurement_cache
+        from yet_another_wizz_tpu.cli import pipeline as pipeline_mod  # noqa: F401
+
+        setup = base_setup(data_files, ["auto_ref", "cross_corr", "estimate"])
+        setup["execution"] = dict(max_resident_patches=2)
+        run(tmp_path, setup)
+
+        assert len(created) == 1, "measurements must adopt the session cache"
+        assert created[0].hits > 0
+
     def test_catalog_memo_shares_instances(self, tmp_path):
         """Inside catalog_memo (held by Pipeline.run in blocked mode),
         handle loads of the same cache return the SAME object — the
