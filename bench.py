@@ -47,7 +47,15 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-WARM_RUNS = 3
+WARM_RUNS = 5
+"""Warm repetitions for the sub-second configs: the tunneled link swings
+enough run-to-run that a median of 3 can still land on an outlier pair;
+5 costs ~1.5 s total and tightens the record."""
+
+SURVEY_WARM_RUNS = 3
+"""The 7M-row blocked config costs tens of seconds per run; 3 runs keep
+the bench's total wall bounded (its variance is attributed separately by
+the link/phase fields)."""
 
 
 def timed_median(fn, runs: int = WARM_RUNS):
@@ -175,11 +183,11 @@ def run_survey_scale(rooflines: dict, link: dict | None = None) -> dict:
     from yet_another_wizz_tpu.correlation import blocked
 
     blocked.reset_phase_totals()
-    t_sv, lo, hi, nz = timed_median(run)
+    t_sv, lo, hi, nz = timed_median(run, runs=SURVEY_WARM_RUNS)
     # per-run phase attribution: on the tunneled chip the link fetch and
     # device-queue wait dominate; locally attached hardware does not pay them
     phases = {
-        key: round(value / WARM_RUNS, 2)
+        key: round(value / SURVEY_WARM_RUNS, 2)
         for key, value in blocked.PHASE_TOTALS.items()
         if key != "num_block_pairs"
     }
