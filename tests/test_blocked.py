@@ -269,6 +269,41 @@ def test_shared_cache_distinguishes_tile_size(catalogs, config):
     np.testing.assert_allclose(second, expected, rtol=1e-6, atol=1e-6)
 
 
+def test_stale_generation_eviction(catalogs, config):
+    """Under budget pressure the cache evicts entries of PREVIOUS
+    counts (generations) to admit the current count's blocks — a
+    session-long cache must not let one measurement's blocks starve
+    later measurements of caching — while entries of the current
+    generation are never evicted."""
+    from yet_another_wizz_tpu.correlation.blocked import (
+        _ColumnTileCache, _build_block_tiles,
+    )
+
+    reference, _, _ = catalogs
+    binning = config.binning.binning
+    tiles = _build_block_tiles(reference, binning, "n", 0, 4, 64)
+    nbytes = _ColumnTileCache._device_nbytes(tiles)
+
+    cache = _ColumnTileCache(None, 0, resident_bytes=nbytes + nbytes // 2)
+    cache.new_generation()
+    cache.store("a", tiles)
+    assert cache.load("a", count=False) is tiles
+    # same generation: "a" is protected, "b" is simply not admitted
+    cache.store("b", tiles)
+    assert cache.load("b", count=False) is None
+    assert cache.load("a", count=False) is tiles
+    # next count: "a" is stale and evicted to make room for "c"
+    cache.new_generation()
+    cache.store("c", tiles)
+    assert cache.load("c", count=False) is tiles
+    assert cache.load("a", count=False) is None
+    # a stale entry REVISITED by the current count is re-protected
+    cache.new_generation()
+    assert cache.load("c", count=False) is tiles  # stamps current gen
+    cache.store("d", tiles)
+    assert cache.load("d", count=False) is None  # "c" was protected
+
+
 def test_cache_purges_entries_of_freed_catalogs(config):
     """A session cache must not accumulate blocks of catalogs the caller
     has dropped: once the budget is under pressure, dead-keyed entries

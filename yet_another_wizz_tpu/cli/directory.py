@@ -20,6 +20,8 @@ handles.py:22-241)::
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 from pathlib import Path
 from typing import TYPE_CHECKING, Generic, TypeVar
 
@@ -43,10 +45,9 @@ __all__ = [
 ]
 
 
-_CATALOG_MEMO: dict | None = None
-
-
-import contextlib
+_CATALOG_MEMO: contextvars.ContextVar[dict | None] = contextvars.ContextVar(
+    "yawt_catalog_memo", default=None
+)
 
 
 @contextlib.contextmanager
@@ -61,16 +62,16 @@ def catalog_memo():
     recurring in every tomographic bin's cross-correlation) therefore
     requires the tasks to receive the SAME catalog objects, which this
     memo provides. Held by ``Pipeline.run`` together with the session
-    tile cache; catalogs stay alive for the duration of the context
-    (cheap for the blocked path's default LazyCatalogs, which hold
-    per-patch metadata only)."""
-    global _CATALOG_MEMO
-    previous = _CATALOG_MEMO
-    _CATALOG_MEMO = {}
+    tile cache (lazy mode only — memoising full in-memory catalogs for
+    a whole run would hold every task's data simultaneously; the blocked
+    path's default LazyCatalogs hold per-patch metadata only). A
+    ContextVar keeps concurrent pipelines in different threads from
+    clobbering each other's memo."""
+    token = _CATALOG_MEMO.set({})
     try:
         yield
     finally:
-        _CATALOG_MEMO = previous
+        _CATALOG_MEMO.reset(token)
 
 
 class Handle:
@@ -104,13 +105,14 @@ class CacheHandle(Handle):
     def _load(path: Path, lazy: bool):
         from yet_another_wizz_tpu.catalog import Catalog, LazyCatalog
 
-        if _CATALOG_MEMO is None:
+        memo = _CATALOG_MEMO.get()
+        if memo is None:
             return (LazyCatalog if lazy else Catalog)(path)
         key = (path.resolve(), lazy)
-        catalog = _CATALOG_MEMO.get(key)
+        catalog = memo.get(key)
         if catalog is None:
             catalog = (LazyCatalog if lazy else Catalog)(path)
-            _CATALOG_MEMO[key] = catalog
+            memo[key] = catalog
         return catalog
 
     def load_data(self, *, lazy: bool = False):

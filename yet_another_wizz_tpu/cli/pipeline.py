@@ -194,9 +194,13 @@ class Pipeline:
             )
 
             session_cache = measurement_tile_cache()
-            # cross-task block sharing needs the SAME catalog objects:
-            # handles memoise their loads for the run (see catalog_memo)
-            memo = catalog_memo()
+            if self.config.execution.lazy:
+                # cross-task block sharing needs the SAME catalog
+                # objects: handles memoise their loads for the run (see
+                # catalog_memo). Lazy catalogs only — memoising full
+                # in-memory catalogs (`lazy: false`) would hold every
+                # task's data in host memory simultaneously.
+                memo = catalog_memo()
 
         lock = LockFile(self.project.lock_path)
         lock.acquire("starting")

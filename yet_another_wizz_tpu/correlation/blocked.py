@@ -166,12 +166,16 @@ class _ColumnTileCache:
       turning a revisit into a sequential file read + one upload while
       keeping host memory bounded at one resident block pair.
 
-    Blocks beyond both budgets are simply rebuilt each sweep. No
-    eviction of LIVE entries in either layer: the sweep order revisits
+    Blocks beyond both budgets are simply rebuilt each sweep. Within one
+    count, no eviction of its own entries: the sweep order revisits
     blocks uniformly, so evicting one block to admit another buys
-    nothing. Entries whose weakly-keyed catalog has been freed can never
-    be hit again and are purged (with their budget bytes and spill
-    files) when a store runs out of budget. The cache lives
+    nothing. Across counts (generations, see :meth:`new_generation`)
+    stale entries ARE evicted under budget pressure, oldest generation
+    first — a session-long cache must not let one measurement's blocks
+    permanently starve later measurements of their (load-bearing)
+    within-count caching. Entries whose weakly-keyed catalog has been
+    freed can never be hit again and are purged eagerly (with their
+    budget bytes and spill files). The cache lives
     for the duration of one :func:`count_pairs_blocked` call — or, via
     :func:`measurement_tile_cache`, for a whole measurement, sharing
     blocks between its count types (e.g. DD and RD of a
@@ -209,12 +213,54 @@ class _ColumnTileCache:
         self.store_rows = store_rows
         self.hits = 0
         self.misses = 0
+        self.generation = 0
+        self._gen: dict[object, int] = {}  # last use per entry
+
+    def new_generation(self) -> None:
+        """Mark the start of a new count (thread-safe).
+
+        Entries last used in an EARLIER generation become evictable
+        under budget pressure: a session-long cache whose budgets fill
+        with one measurement's blocks must not starve every later
+        measurement of caching (the within-count column reuse is the
+        load-bearing layer — without it each row sweep re-packs every
+        column block). Entries of the current generation are never
+        evicted: the sweep revisits them uniformly, so evicting one to
+        admit another buys nothing."""
+        with self._mutate_lock:
+            self.generation += 1
+            self._purge_dead()
 
     def purge_dead(self) -> None:
         """Drop entries whose keyed catalog has been garbage-collected
         (thread-safe wrapper; see :meth:`_purge_dead`)."""
         with self._mutate_lock:
             self._purge_dead()
+
+    def _evict_stale(self, layer: dict, needed: int, budget_left) -> None:
+        """Evict entries of PREVIOUS generations (oldest first) from one
+        cache layer until ``needed`` bytes fit or none remain. Caller
+        holds ``_mutate_lock``."""
+        import os
+
+        stale = sorted(
+            (key for key in layer if self._gen.get(key, 0) < self.generation),
+            key=lambda key: self._gen.get(key, 0),
+        )
+        for key in stale:
+            if budget_left() >= needed:
+                return
+            entry = layer.pop(key)
+            self._gen.pop(key, None)
+            if layer is self._resident:
+                self._resident_used -= self._device_nbytes(entry)
+            else:
+                path, size = entry
+                self._used -= size
+                try:
+                    os.unlink(path)
+                except OSError:
+                    pass
 
     def _purge_dead(self) -> None:
         """Drop entries whose keyed catalog has been garbage-collected.
@@ -241,9 +287,11 @@ class _ColumnTileCache:
             self._resident_used -= self._device_nbytes(
                 self._resident.pop(key)
             )
+            self._gen.pop(key, None)
         for key in [k for k in self._paths if dead(k)]:
             path, size = self._paths.pop(key)
             self._used -= size
+            self._gen.pop(key, None)
             try:
                 os.unlink(path)
             except OSError:
@@ -268,6 +316,7 @@ class _ColumnTileCache:
 
         tiles = self._resident.get(key)
         if tiles is not None:
+            self._gen[key] = self.generation  # atomic dict write
             if count:
                 with self._stats_lock:  # loads run on prefetch threads
                     self.hits += 1
@@ -279,20 +328,31 @@ class _ColumnTileCache:
                     self.misses += 1
             return None
         path, _ = entry
+        self._gen[key] = self.generation
+        try:
+            with np.load(path) as payload:
+                fields = {
+                    name: payload[name] for name in _TILE_SET_ARRAYS
+                }
+                fields.update(
+                    {
+                        name: payload[name].item()
+                        for name in _TILE_SET_SCALARS
+                    }
+                )
+                fields["sum_kappa"] = (
+                    payload["sum_kappa"] if "sum_kappa" in payload else None
+                )
+        except FileNotFoundError:
+            # a concurrent stale-eviction unlinked the spill between the
+            # dict read and the open: treat as a miss (the caller rebuilds)
+            if count:
+                with self._stats_lock:
+                    self.misses += 1
+            return None
         if count:
             with self._stats_lock:
                 self.hits += 1
-        with np.load(path) as payload:
-            fields = {name: payload[name] for name in _TILE_SET_ARRAYS}
-            fields.update(
-                {
-                    name: payload[name].item()
-                    for name in _TILE_SET_SCALARS
-                }
-            )
-            fields["sum_kappa"] = (
-                payload["sum_kappa"] if "sum_kappa" in payload else None
-            )
         return TileSet(**fields)
 
     def store(self, key, tiles) -> None:
@@ -313,9 +373,14 @@ class _ColumnTileCache:
         dev_size = self._device_nbytes(tiles)
         if self._resident_used + dev_size > self._resident_bytes:
             self._purge_dead()  # reclaim entries of freed catalogs
+            self._evict_stale(  # then previous generations, oldest first
+                self._resident, dev_size,
+                lambda: self._resident_bytes - self._resident_used,
+            )
         if self._resident_used + dev_size <= self._resident_bytes:
             self._resident[key] = tiles
             self._resident_used += dev_size
+            self._gen[key] = self.generation
             return
 
         size = sum(  # arrays only; scalars are negligible
@@ -323,7 +388,13 @@ class _ColumnTileCache:
         )
         if tiles.sum_kappa is not None:
             size += tiles.sum_kappa.nbytes
-        if self._dir is None or self._used + size > self._max_bytes:
+        if self._dir is None:
+            return
+        if self._used + size > self._max_bytes:
+            self._evict_stale(
+                self._paths, size, lambda: self._max_bytes - self._used
+            )
+        if self._used + size > self._max_bytes:
             return
         payload = {
             name: getattr(tiles, name) for name in _TILE_SET_ARRAYS
@@ -341,6 +412,7 @@ class _ColumnTileCache:
         np.savez(path, **payload)
         self._paths[key] = (path, size)
         self._used += size
+        self._gen[key] = self.generation
 
 
 def _resolve_resident_bytes(resident_tile_bytes: int | None) -> int:
@@ -677,9 +749,28 @@ def _blocked_loop(
             mode[1], layout2, block, tile_size,
         )
         cache_rows = cache.store_rows or row_base == col_base
-        # a long-lived (session) cache may hold blocks of catalogs that
-        # have since been freed; reclaim them before admitting new ones
-        cache.purge_dead()
+        # new generation: this count's entries are protected from
+        # eviction; earlier counts' entries become evictable under
+        # budget pressure, and entries of freed catalogs are reclaimed
+        cache.new_generation()
+
+    # resolve the engine's effective placement ONCE, with the same rules
+    # count_pairs_tiles applies per call (auto_mesh is deterministic
+    # within a process): upload warming must track where lanes actually
+    # go — warming on the raw `mesh is None` would pre-upload full
+    # blocks to device 0 on auto-meshed multi-chip hosts (never read:
+    # the sharded path places lanes per call) and skip the single-device
+    # pin mesh="single"
+    if backend == "oracle":
+        single_device = False  # host path: no device arrays at all
+    elif mesh == "single":
+        single_device = True
+    elif mesh is None:
+        from yet_another_wizz_tpu.parallel import auto_mesh
+
+        single_device = auto_mesh() is None
+    else:
+        single_device = False
 
     def warm_upload(tiles):
         """Start the async host-to-device transfer of a block's lanes
@@ -689,7 +780,7 @@ def _blocked_loop(
         overlaps the CURRENT block pair's queued compute — on a
         link-bound device the uncached path then runs at the transfer
         rate instead of serialising pack -> upload -> compute."""
-        if mesh is None:
+        if single_device:
             tiles.device_data()
         return tiles
 
