@@ -155,9 +155,15 @@ def test_two_process_root_error_propagates(tmp_path):
 
 
 @pytest.mark.slow
-def test_two_process_pipeline(tmp_path):
+@pytest.mark.parametrize(
+    "execution", [None, dict(max_resident_patches=2)],
+    ids=["in-memory", "blocked"],
+)
+def test_two_process_pipeline(tmp_path, execution):
     """The full CLI pipeline, run collectively by two processes, produces
-    the same redshift estimate as a single-process run."""
+    the same redshift estimate as a single-process run — including the
+    blocked out-of-core mode (lazy catalogs + session tile cache +
+    per-block mesh-sharded counts) when ``execution:`` asks for it."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     import yaml
@@ -200,6 +206,8 @@ def test_two_process_pipeline(tmp_path):
         ),
         tasks=["auto_ref", "cross_corr", "estimate", "hist"],
     )
+    if execution is not None:
+        setup["execution"] = execution
     with (tmp_path / "setup.yml").open("w") as f:
         yaml.safe_dump(setup, f)
 
