@@ -310,6 +310,36 @@ class TestThresholds:
             validate_angle_range([0.1], [4.0])
         with pytest.raises(ValueError):
             validate_angle_range([0.1, 0.2], [0.3])
+        # NaN evaluates False in every comparison check and would
+        # silently produce a zero-count measurement
+        with pytest.raises(ValueError, match="finite"):
+            validate_angle_range([np.nan], [0.2])
+        with pytest.raises(ValueError, match="finite"):
+            validate_angle_range([0.1], [np.inf])
+
+    def test_unweighted_edges_are_exact(self):
+        # without separation weighting the user's limits must pass
+        # through exactly (no log10 roundtrip; ang_min=0 is valid and
+        # must not emit warnings)
+        import warnings
+
+        from yet_another_wizz_tpu.ops.thresholds import _edges_for_limits
+
+        limits = np.array([[0.0, 0.2], [0.1, 0.3]])
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            edges = _edges_for_limits(limits, None, 50)
+        assert_allclose(edges, [0.0, 0.1, 0.2, 0.3], rtol=0, atol=0)
+
+    def test_probe_size_must_cover_patches(self):
+        from yet_another_wizz_tpu.ops.kmeans import kmeans_patch_centers
+
+        xyz = radec_to_xyz(
+            np.random.default_rng(0).uniform(0, 1, 300),
+            np.random.default_rng(1).uniform(-0.5, 0.5, 300),
+        )
+        with pytest.raises(ValueError, match="probe_size"):
+            kmeans_patch_centers(xyz, num_patches=64, probe_size=32)
 
     def test_weighted_rejects_zero_ang_min(self):
         # a zero lower limit feeds log10(0) into the weighted sub-edge
@@ -459,6 +489,24 @@ class TestBoundaryAudit:
             count_pairs_tiles(
                 None, None, None, np.zeros((1, 2), np.float32), audit=True
             )
+
+    def test_gathered_flag_pass_matches_resident(self, rng, monkeypatch):
+        """Tile sets beyond AUDIT_RESIDENT_BYTES stream host-gathered
+        pair windows through the flag pass instead of uploading both
+        full tile sets to one device; the repaired counts must be
+        identical to the resident path."""
+        from yet_another_wizz_tpu.ops import paircount as pc
+
+        resident, expect, flagged_resident = self._measure(
+            np.random.default_rng(777), 1.0 + 1e-8, audit=True
+        )
+        monkeypatch.setattr(pc, "AUDIT_RESIDENT_BYTES", 1)
+        gathered, _, flagged_gathered = self._measure(
+            np.random.default_rng(777), 1.0 + 1e-8, audit=True
+        )
+        assert flagged_gathered == flagged_resident >= 1
+        assert_allclose(gathered, resident, rtol=0, atol=0)
+        assert_allclose(gathered, expect, rtol=1e-5, atol=1e-2)
 
 
 class TestPerTileZPruning:

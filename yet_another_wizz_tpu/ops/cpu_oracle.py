@@ -34,13 +34,12 @@ __all__ = [
 
 
 def _tree_counts(
-    xyz1, w1, xyz2, w2, radii: NDArray
+    xyz1, w1, tree2, w2, radii: NDArray
 ) -> NDArray:
     """Cumulative weighted pair counts at the given chord radii."""
-    if len(xyz1) == 0 or len(xyz2) == 0:
+    if len(xyz1) == 0 or tree2 is None:
         return np.zeros(len(radii))
     tree1 = KDTree(xyz1, leafsize=16)
-    tree2 = KDTree(xyz2, leafsize=16)
     return tree1.count_neighbors(
         tree2, r=radii, weights=(w1, w2), cumulative=True
     ).astype(np.float64)
@@ -50,6 +49,11 @@ def _slot_counts(args):
     (xyz1, w1, z1, xyz2, w2, z2, edges, cols_binned) = args
     num_bins, num_edges = edges.shape
     out = np.zeros((num_bins, num_edges))
+    # unbinned columns: ONE shared tree over the whole column patch (a
+    # per-bin rebuild is pure waste — only the row side depends on b)
+    shared_tree2 = None
+    if not cols_binned and len(xyz2):
+        shared_tree2 = KDTree(xyz2, leafsize=16)
     for b in range(num_bins):
         sel1 = z1 == b
         if not np.any(sel1):
@@ -58,10 +62,13 @@ def _slot_counts(args):
             sel2 = z2 == b
             if not np.any(sel2):
                 continue
+            tree2 = KDTree(xyz2[sel2], leafsize=16)
+            w2_sel = w2[sel2]
         else:
-            sel2 = slice(None)
+            tree2 = shared_tree2
+            w2_sel = w2
         radii = angle_to_chord(edges[b])
-        out[b] = _tree_counts(xyz1[sel1], w1[sel1], xyz2[sel2], w2[sel2], radii)
+        out[b] = _tree_counts(xyz1[sel1], w1[sel1], tree2, w2_sel, radii)
     return out
 
 

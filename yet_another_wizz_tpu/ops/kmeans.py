@@ -87,6 +87,14 @@ def kmeans_patch_centers(
 
     rng = np.random.default_rng(seed)
     if probe_size is not None and probe_size < len(xyz):
+        # the probe must still over-determine the centers, or the
+        # kmeans++ seeding draws duplicates and leaves patches
+        # permanently empty with no error raised
+        if probe_size < num_patches:
+            raise ValueError(
+                f"'probe_size' ({probe_size}) must be at least "
+                f"'num_patches' ({num_patches})"
+            )
         idx = rng.choice(len(xyz), probe_size, replace=False)
         xyz, weights = xyz[idx], weights[idx]
 
@@ -144,10 +152,14 @@ def assign_patches(
 
         if _native.NATIVE_ENABLED:
             return _native.assign_patches(xyz, centers)
-        # bounded temporaries: the (chunk, centers) score matrix stays
-        # within ~100 MB; scores via broadcast ufuncs — BLAS gemm with an
-        # inner dimension of 3 is pathologically slow on some builds
-        host_chunk = max(1, int(100_000_000 / max(len(centers), 1)))
+        # bounded temporaries: the (chunk, centers) float64 score matrix
+        # plus one equal-size broadcast temporary stay within ~100 MB
+        # (the bound counts BYTES: 2 arrays x 8 B per element); scores
+        # via broadcast ufuncs — BLAS gemm with an inner dimension of 3
+        # is pathologically slow on some builds
+        host_chunk = max(
+            1, int(100_000_000 / (16 * max(len(centers), 1)))
+        )
         centers_t = np.asarray(centers, np.float64).T
         out = np.empty(len(xyz), dtype=np.int32)
         for start in range(0, len(xyz), host_chunk):

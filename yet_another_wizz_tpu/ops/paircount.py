@@ -63,7 +63,9 @@ def _device_table(chord2_table) -> jnp.ndarray:
     dev = _table_cache.get(key)
     if dev is None:
         if len(_table_cache) > 64:
-            _table_cache.clear()
+            # FIFO-evict one entry: clearing everything would force all
+            # measurements still in flight to re-upload their hot tables
+            _table_cache.pop(next(iter(_table_cache)))
         dev = jnp.asarray(arr)
         _table_cache[key] = dev
     return dev
@@ -190,7 +192,31 @@ def _count_pairs_xla(
     pad entries pointing at a dump slot ``>= num real slots``; the output
     slot axis is padded to ``num_slots_out`` (bucketed, so the compiled
     program is reused across pair lists) and sliced by the caller."""
-    num_chunks = len(tile1) // chunk_size
+    return scan_scatter_counts(
+        lane1, lane2, tile1, tile2, slots, chord2_table,
+        cols_binned=cols_binned, num_slots_out=num_slots_out,
+        chunk_size=chunk_size, direct=direct,
+    )
+
+
+def scan_scatter_counts(
+    lane1, lane2, tile1, tile2, slots, table,
+    *,
+    cols_binned: bool,
+    num_slots_out: int,
+    chunk_size: int,
+    direct: tuple | None = None,
+    axis_name: str | None = None,
+):
+    """The XLA scatter-add engine core, shared between single-device
+    execution (:func:`_count_pairs_xla`) and the per-device program of
+    the sharded path (``parallel.sharded._partial_counts_xla``) — one
+    body, so an engine change cannot silently desynchronise the two.
+
+    ``axis_name`` marks the accumulator as device-varying over the named
+    shard_map axis (jax >= 0.8 tracks varying-ness through the scan
+    carry); single-device callers leave it None."""
+    num_chunks = tile1.shape[0] // chunk_size
     shape = (num_chunks, chunk_size)
 
     pair_fn = jax.vmap(
@@ -200,17 +226,24 @@ def _count_pairs_xla(
 
     def body(acc, chunk):
         idx1, idx2, slot = chunk
-        blocks = pair_fn(lane1[idx1], lane2[idx2], chord2_table)
+        blocks = pair_fn(lane1[idx1], lane2[idx2], table)
         return acc.at[slot].add(blocks), None
 
     init = jnp.zeros(
         (
             num_slots_out,
-            chord2_table.shape[0],
-            _counting_width(chord2_table, direct),
+            table.shape[0],
+            _counting_width(table, direct),
         ),
         dtype=jnp.float32,
     )
+    if axis_name is not None:
+        # the carry must carry the same device-varying type as the
+        # sharded chunk data it accumulates
+        if hasattr(jax.lax, "pcast"):
+            init = jax.lax.pcast(init, to="varying", axis_name=axis_name)
+        else:  # pragma: no cover - older jax
+            init = jax.lax.pvary(init, axis_name)
     acc, _ = jax.lax.scan(
         body,
         init,
@@ -288,6 +321,42 @@ def _boundary_flags_xla(
     return flags.reshape(-1)
 
 
+@partial(jax.jit, static_argnames=("cols_binned", "chunk_size"))
+def _boundary_flags_gathered(
+    lanes1, lanes2, chord2_table, band_table,
+    *,
+    cols_binned: bool,
+    chunk_size: int,
+):
+    """Flag pass over PRE-GATHERED per-pair lanes (no tile-set residency):
+    the bounded-memory variant for tile sets larger than one device."""
+    num_chunks = len(lanes1) // chunk_size
+    flag_fn = jax.vmap(
+        partial(_pair_block_boundary, cols_binned=cols_binned),
+        in_axes=(0, 0, None, None),
+    )
+
+    def body(_, chunk):
+        l1, l2 = chunk
+        return None, flag_fn(l1, l2, chord2_table, band_table)
+
+    _, flags = jax.lax.scan(
+        body, None,
+        (
+            lanes1.reshape(num_chunks, chunk_size, *lanes1.shape[1:]),
+            lanes2.reshape(num_chunks, chunk_size, *lanes2.shape[1:]),
+        ),
+    )
+    return flags.reshape(-1)
+
+
+AUDIT_RESIDENT_BYTES = 2 << 30
+"""Combined lane bytes above which the audit's flag pass streams
+host-gathered pair windows instead of placing both FULL tile sets on one
+device — a count run with columns/ring sharding precisely because the
+catalog exceeds one chip's HBM must not have its audit OOM that chip."""
+
+
 def audit_boundary_counts(
     tiles1: TileSet,
     tiles2: TileSet,
@@ -342,20 +411,50 @@ def audit_boundary_counts(
     tile1[num_pairs:] = pairs.tile1[0]
     tile2[num_pairs:] = pairs.tile2[0]
 
-    flags = np.asarray(
-        jax.device_get(
-            _boundary_flags_xla(
-                tiles1.device_data(),
-                tiles2.device_data(),
-                jnp.asarray(tile1),
-                jnp.asarray(tile2),
-                table,
-                band_table,
-                cols_binned=tiles2.binned,
-                chunk_size=chunk_size,
+    lane_bytes = tiles1.lane_data.nbytes + tiles2.lane_data.nbytes
+    if lane_bytes <= AUDIT_RESIDENT_BYTES:
+        flags = np.asarray(
+            jax.device_get(
+                _boundary_flags_xla(
+                    tiles1.device_data(),
+                    tiles2.device_data(),
+                    jnp.asarray(tile1),
+                    jnp.asarray(tile2),
+                    table,
+                    band_table,
+                    cols_binned=tiles2.binned,
+                    chunk_size=chunk_size,
+                )
             )
-        )
-    )[:num_pairs]
+        )[:num_pairs]
+    else:
+        # bounded-memory path: stream host-gathered pair windows (device
+        # holds ~256 MB of gathered lanes at a time, independent of the
+        # catalog size; correct wherever the count itself needed
+        # columns/ring sharding to fit)
+        per_pair = (
+            int(np.prod(tiles1.lane_data.shape[1:]))
+            + int(np.prod(tiles2.lane_data.shape[1:]))
+        ) * 4
+        window = max(chunk_size, (256 << 20) // per_pair // chunk_size * chunk_size)
+        flags = np.empty(padded, dtype=bool)
+        for start in range(0, padded, window):
+            stop = min(start + window, padded)
+            idx1 = tile1[start:stop]
+            idx2 = tile2[start:stop]
+            flags[start:stop] = np.asarray(
+                jax.device_get(
+                    _boundary_flags_gathered(
+                        jnp.asarray(tiles1.lane_data[idx1]),
+                        jnp.asarray(tiles2.lane_data[idx2]),
+                        table,
+                        band_table,
+                        cols_binned=tiles2.binned,
+                        chunk_size=chunk_size,
+                    )
+                )
+            )
+        flags = flags[:num_pairs]
 
     flagged_slots = np.unique(pairs.slot[flags])
     if len(flagged_slots) == 0:

@@ -55,9 +55,14 @@ def validate_angle_range(ang_min: NDArray, ang_max: NDArray) -> NDArray:
         raise ValueError("'ang_min' and 'ang_max' must be 1-dim")
     if len(ang_min) != len(ang_max):
         raise ValueError("length of 'ang_min' and 'ang_max' does not match")
+    limits = np.column_stack((ang_min, ang_max))
+    if not np.all(np.isfinite(limits)):
+        # NaN passes every comparison check below as False and would
+        # silently collapse the measurement to zero counts (NaN cutoff
+        # links no patch pair)
+        raise ValueError("'ang_min' and 'ang_max' must be finite")
     if np.any(ang_min >= ang_max):
         raise ValueError("'ang_min' < 'ang_max' not satisfied")
-    limits = np.column_stack((ang_min, ang_max))
     if np.any(limits < 0.0) or np.any(limits > np.pi):
         raise ValueError("'ang_min' and 'ang_max' not in range [0.0, pi]")
     return limits
@@ -68,12 +73,13 @@ def _edges_for_limits(
 ) -> NDArray:
     """Edge set for one redshift bin: scale limits plus optional log-spaced
     sub-edges for separation weighting."""
+    if weight_scale is None:
+        # no log roundtrip: keeps the user's edges exact to the ulp and
+        # avoids log10(0) warnings for the valid ang_min=0 case
+        return np.sort(np.unique(limits.ravel()))
     log_limits = np.log10(limits)
-    if weight_scale is not None:
-        sub = np.linspace(log_limits.min(), log_limits.max(), weight_res + 1)
-        log_edges = np.concatenate([sub, log_limits.ravel()])
-    else:
-        log_edges = log_limits.ravel()
+    sub = np.linspace(log_limits.min(), log_limits.max(), weight_res + 1)
+    log_edges = np.concatenate([sub, log_limits.ravel()])
     return 10.0 ** np.sort(np.unique(log_edges))
 
 

@@ -32,7 +32,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from yet_another_wizz_tpu.ops.paircount import pair_block_counts
 from yet_another_wizz_tpu.ops.tiles import bucket_size
 
 if TYPE_CHECKING:
@@ -220,42 +219,15 @@ def _partial_counts_xla(
     chunk_size: int,
     direct: tuple | None = None,
 ):
-    """XLA scatter-add engine: vmap within chunks, scan over chunks."""
-    from yet_another_wizz_tpu.ops.pallas_paircount import _counting_width
+    """XLA scatter-add engine: the shared scan core with the carry marked
+    device-varying over the shard_map axis."""
+    from yet_another_wizz_tpu.ops.paircount import scan_scatter_counts
 
-    num_chunks = tile1.shape[0] // chunk_size
-    shape = (num_chunks, chunk_size)
-
-    pair_fn = jax.vmap(
-        partial(pair_block_counts, cols_binned=cols_binned, direct=direct),
-        in_axes=(0, 0, None),
+    return scan_scatter_counts(
+        lane1, lane2, tile1, tile2, slots, table,
+        cols_binned=cols_binned, num_slots_out=num_slots_out,
+        chunk_size=chunk_size, direct=direct, axis_name=MESH_AXIS,
     )
-
-    def body(acc, chunk):
-        idx1, idx2, slot = chunk
-        blocks = pair_fn(lane1[idx1], lane2[idx2], table)
-        return acc.at[slot].add(blocks), None
-
-    init = jnp.zeros(
-        (
-            num_slots_out,
-            table.shape[0],
-            _counting_width(table.shape[1], direct),
-        ),
-        dtype=jnp.float32,
-    )
-    # the carry must carry the same device-varying type as the sharded
-    # chunk data it accumulates (jax >= 0.8 shard_map axis tracking)
-    if hasattr(jax.lax, "pcast"):
-        init = jax.lax.pcast(init, to="varying", axis_name=MESH_AXIS)
-    else:  # pragma: no cover - older jax
-        init = jax.lax.pvary(init, MESH_AXIS)
-    acc, _ = jax.lax.scan(
-        body,
-        init,
-        (tile1.reshape(shape), tile2.reshape(shape), slots.reshape(shape)),
-    )
-    return acc
 
 
 def count_pairs_sharded(
