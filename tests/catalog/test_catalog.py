@@ -110,6 +110,36 @@ class TestDiskCache:
         assert patch.meta.num_records == catalog.get_num_records()[1]
         assert patch.weights is not None
 
+    def test_writes_reference_patch_ids_file(self, arrays, tmp_path):
+        """Caches carry the reference's patch_ids.bin (sorted int16,
+        /root/reference/src/yaw/catalog/catalog.py:529-530) — the
+        reference's open path REQUIRES it; ours must both write it and
+        tolerate it when reopening (it matches the patch_* glob)."""
+        import numpy as np
+
+        cache = tmp_path / "cache"
+        Catalog.from_arrays(**arrays, patch_num=4, cache_directory=cache)
+        ids = np.fromfile(cache / "patch_ids.bin", dtype="i2")
+        assert ids.tolist() == [0, 1, 2, 3]
+
+        restored = Catalog(cache)  # must not trip over the file
+        assert restored.num_patches == 4
+        from yet_another_wizz_tpu.catalog import LazyCatalog
+
+        assert LazyCatalog(cache).num_patches == 4
+
+    def test_gapped_cache_rejected(self, arrays, tmp_path):
+        """A cache with missing patch directories (e.g. from a failed
+        ingestion) must be rejected, not silently loaded with
+        out-of-range patch ids."""
+        import shutil
+
+        cache = tmp_path / "cache"
+        Catalog.from_arrays(**arrays, patch_num=4, cache_directory=cache)
+        shutil.rmtree(cache / "patch_2")
+        with pytest.raises(ValueError, match="contiguous"):
+            Catalog(cache)
+
     def test_no_overwrite(self, arrays, tmp_path):
         cache = tmp_path / "cache"
         Catalog.from_arrays(**arrays, patch_num=2, cache_directory=cache)

@@ -48,6 +48,42 @@ class TestStreamingIngestion:
             rtol=1e-12,
         )
 
+    def test_negative_patch_ids_rejected(self, rng, tmp_path):
+        """A file using -1 as an 'unassigned' patch sentinel must be
+        rejected with a clear error instead of silently writing a
+        patch_-1 cache directory (the caches and count tensors require
+        contiguous ids 0..P-1)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        n = 1000
+        patches = rng.integers(0, 3, n)
+        patches[::7] = -1  # sentinel rows
+        table = pa.table(
+            dict(
+                ra=rng.uniform(10, 30, n),
+                dec=rng.uniform(-10, 10, n),
+                patch=patches,
+            )
+        )
+        path = tmp_path / "sentinel.pqt"
+        pq.write_table(table, path)
+        with pytest.raises(ValueError, match="non-negative"):
+            Catalog.from_file(
+                tmp_path / "cache", path, ra_name="ra", dec_name="dec",
+                patch_name="patch", streaming=True,
+            )
+
+    def test_streaming_rejects_malformed_centers(self, parquet_file, tmp_path):
+        """Same validation as the in-memory path: a (3,) center array is
+        rejected instead of mis-striding the assignment kernel."""
+        path, _ = parquet_file
+        with pytest.raises(ValueError, match="patch_centers"):
+            Catalog.from_file(
+                tmp_path / "cache", path, **NAMES,
+                patch_centers=np.array([0.5, 0.5, 0.7]), streaming=True,
+            )
+
     def test_same_patch_assignment(self, parquet_file, tmp_path):
         path, _ = parquet_file
         reference = Catalog.from_file(

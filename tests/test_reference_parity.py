@@ -311,3 +311,10 @@ class TestTwoWayFormatParity:
         assert_allclose(theirs.coords.data, mine.coords.data, rtol=1e-14)
         assert_allclose(theirs.weights, mine.weights, rtol=1e-14)
         assert_allclose(theirs.redshifts, mine.redshifts, rtol=1e-14)
+
+        # the reference's own catalog-open metadata path accepts the cache
+        # (it REQUIRES patch_ids.bin, reference catalog.py:325-331)
+        import importlib
+
+        ref_catalog = importlib.import_module("yaw.catalog.catalog")
+        assert ref_catalog.read_patch_ids(tmp_path / "cache") == [0, 1, 2, 3]

@@ -66,6 +66,32 @@ class InconsistentPatchesError(Exception):
     """Patch centers or ids of two catalogs do not match."""
 
 
+def prepare_cache_directory(cache: Path, overwrite: bool) -> None:
+    """Create an empty cache directory (shared by every cache writer —
+    one copy of the exists/overwrite semantics): an existing non-empty
+    directory raises unless ``overwrite``, which clears it."""
+    if cache.exists():
+        if not overwrite and any(cache.iterdir()):
+            raise FileExistsError(f"cache directory not empty: {cache}")
+        if overwrite:
+            import shutil
+
+            shutil.rmtree(cache)
+    cache.mkdir(parents=True, exist_ok=True)
+
+
+def write_patch_ids_file(cache_directory: Path, num_patches: int) -> None:
+    """Write the reference's ``patch_ids.bin`` (sorted int16 ids, raw
+    tofile; /root/reference/src/yaw/catalog/catalog.py:529-530) so caches
+    written here reopen in the reference package, whose open path
+    requires the file."""
+    from yet_another_wizz_tpu.datachunk import PATCH_ID_DTYPE
+
+    np.arange(num_patches, dtype=PATCH_ID_DTYPE).tofile(
+        Path(cache_directory) / "patch_ids.bin"
+    )
+
+
 def discover_patch_dirs(
     cache_directory: Path, *, require_contiguous: bool = False
 ) -> list[Path]:
@@ -75,7 +101,14 @@ def discover_patch_dirs(
     if not cache_directory.exists():
         raise FileNotFoundError(f"no cache found: {cache_directory}")
     patch_dirs = sorted(
-        cache_directory.glob(PATCH_NAME_TEMPLATE.format("*")),
+        (
+            p
+            for p in cache_directory.glob(PATCH_NAME_TEMPLATE.format("*"))
+            # only patch DIRECTORIES: the reference's caches also carry a
+            # top-level patch_ids.bin file that matches the glob (and
+            # would crash the integer sort key)
+            if p.is_dir()
+        ),
         key=lambda p: int(p.name.split("_")[1]),
     )
     if not patch_dirs:
@@ -240,7 +273,12 @@ class Catalog(Mapping):
     def __init__(self, cache_directory: Path | str) -> None:
         self.cache_directory = Path(cache_directory)
         logger.info("restoring from cache directory: %s", cache_directory)
-        patch_dirs = discover_patch_dirs(self.cache_directory)
+        # contiguity is load-bearing: a gapped cache (e.g. from a failed
+        # ingestion) would produce patch ids >= num_patches and an
+        # out-of-bounds write in the native geometry kernel
+        patch_dirs = discover_patch_dirs(
+            self.cache_directory, require_contiguous=True
+        )
 
         # patch files load concurrently: numpy file reads release the GIL,
         # so a thread pool overlaps per-patch disk IO (the reference reads
@@ -458,35 +496,34 @@ class Catalog(Mapping):
         cache = Path(cache_directory)
 
         def write_on_root() -> None:
-            if cache.exists():
-                if not overwrite and any(cache.iterdir()):
-                    raise FileExistsError(
-                        f"cache directory not empty: {cache}"
-                    )
-                if overwrite:
-                    import shutil
-
-                    shutil.rmtree(cache)
-            cache.mkdir(parents=True, exist_ok=True)
+            prepare_cache_directory(cache, overwrite)
             logger.info(
                 "writing %d patches to cache: %s", self.num_patches, cache
             )
 
+            # one stable sort + boundary search instead of a full-array
+            # boolean mask per patch (O(N log N) total, not O(N * P))
+            order = np.argsort(self._patch_ids, kind="stable")
+            sorted_chunk = self._chunk[order]
+            bounds = np.searchsorted(
+                self._patch_ids[order], np.arange(self.num_patches + 1)
+            )
             for pid in range(self.num_patches):
-                sel = self._patch_ids == pid
+                rows = sorted_chunk[bounds[pid] : bounds[pid + 1]]
                 patch_dir = cache / PATCH_NAME_TEMPLATE.format(pid)
                 patch_dir.mkdir()
-                write_patch_data(patch_dir / "data.bin", self._chunk[sel])
+                write_patch_data(patch_dir / "data.bin", rows)
                 # record the catalog's own (possibly applied) patch center
                 # so reopening the cache preserves it
                 meta = Metadata.compute(
-                    DataChunk.get_coords(self._chunk[sel]),
-                    weights=DataChunk.getattr(self._chunk[sel], "weights"),
+                    DataChunk.get_coords(rows),
+                    weights=DataChunk.getattr(rows, "weights"),
                     center=AngularCoordinates.from_3d(
                         self.patch_centers_xyz[pid : pid + 1]
                     ),
                 )
                 meta.to_file(patch_dir / "meta.yml")
+            write_patch_ids_file(cache, self.num_patches)
 
         run_on_root(write_on_root)
         self.cache_directory = cache
@@ -788,6 +825,10 @@ class Catalog(Mapping):
             return np.broadcast_to(
                 totals, (num_bins, self.num_patches)
             ).copy()
+        if self.redshifts is None:  # match LazyCatalog's error, not a
+            raise ValueError(  # TypeError from inside np.digitize
+                "catalog has no 'redshifts' attached"
+            )
         zbins = binning.digitize(self.redshifts) - 1
         keep = (zbins >= 0) & (zbins < len(binning))
         flat = zbins[keep] * self.num_patches + self._patch_ids[keep]

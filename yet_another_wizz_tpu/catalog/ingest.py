@@ -81,6 +81,34 @@ def _chunk_patch_ids(chunk, centers_xyz):
     return chunk, column_ids
 
 
+def _split_by_patch(chunk, patch_ids):
+    """Sort a chunk by patch id, split into per-patch parts (shared by the
+    streaming and the collective writer — one copy of the splitting and
+    its validation).
+
+    Negative ids are rejected: the caches and the count tensors require
+    contiguous ids ``0..P-1`` — a file using ``-1`` as an "unassigned"
+    sentinel would otherwise silently write a ``patch_-1`` cache
+    directory and feed out-of-range ids to the native geometry kernels.
+
+    Returns ``(splits, sorted_ids)`` where ``splits`` is a list of
+    ``(patch_id, rows)`` pairs."""
+    if len(patch_ids) and int(np.min(patch_ids)) < 0:
+        raise ValueError(
+            "'patch_ids' must be non-negative (contiguous 0..P-1; "
+            "drop or reassign sentinel ids before ingestion)"
+        )
+    order = np.argsort(patch_ids, kind="stable")
+    sorted_ids = patch_ids[order]
+    sorted_chunk = chunk[order]
+    unique, first = np.unique(sorted_ids, return_index=True)
+    splits = [
+        (int(pid), part)
+        for pid, part in zip(unique, np.split(sorted_chunk, first[1:]))
+    ]
+    return splits, sorted_ids
+
+
 def resolve_patch_centers(
     reader: BaseReader,
     *,
@@ -99,7 +127,15 @@ def resolve_patch_centers(
         if isinstance(patch_centers, AngularCoordinates):
             return patch_centers.to_3d()
         centers = np.asarray(patch_centers, dtype=np.float64)
-        if centers.ndim == 2 and centers.shape[1] == 2:
+        # same validation as the in-memory path
+        # (catalog._resolve_patch_assignment): a malformed array would
+        # mis-stride the native assignment kernel silently
+        if centers.ndim != 2 or centers.shape[1] not in (2, 3):
+            raise ValueError(
+                "'patch_centers' must be AngularCoordinates, a Catalog, "
+                "or an array of shape (P, 2) radian / (P, 3) unit vectors"
+            )
+        if centers.shape[1] == 2:
             return radec_to_xyz(centers[:, 0], centers[:, 1])
         return centers
 
@@ -145,14 +181,12 @@ def write_patches_streaming(
         raise ValueError("either a cache_directory or keep_data is required")
     cache = None
     if cache_directory is not None:
-        cache = Path(cache_directory)
-        if cache.exists() and any(cache.iterdir()):
-            if not overwrite:
-                raise FileExistsError(f"cache directory not empty: {cache}")
-            import shutil
+        from yet_another_wizz_tpu.catalog.catalog import (
+            prepare_cache_directory,
+        )
 
-            shutil.rmtree(cache)
-        cache.mkdir(parents=True, exist_ok=True)
+        cache = Path(cache_directory)
+        prepare_cache_directory(cache, overwrite)
 
     from yet_another_wizz_tpu.catalog.readers import prefetch_chunks
 
@@ -205,17 +239,7 @@ def write_patches_streaming(
     try:
         for chunk in chunk_iter:
             chunk, patch_ids = _chunk_patch_ids(chunk, centers_xyz)
-
-            order = np.argsort(patch_ids, kind="stable")
-            sorted_ids = patch_ids[order]
-            sorted_chunk = chunk[order]
-            unique, first = np.unique(sorted_ids, return_index=True)
-            splits = [
-                (int(pid), part)
-                for pid, part in zip(
-                    unique, np.split(sorted_chunk, first[1:])
-                )
-            ]
+            splits, sorted_ids = _split_by_patch(chunk, patch_ids)
             if writer_error:
                 raise writer_error[0]
             work.put((DataChunk.get_info(chunk), splits))
@@ -279,6 +303,11 @@ def write_patches_streaming(
         )
         meta.to_file(patch_writer.cache_path / "meta.yml")
 
+    if cache is not None:
+        from yet_another_wizz_tpu.catalog.catalog import write_patch_ids_file
+
+        write_patch_ids_file(cache, num_patches)
+
     logger.info(
         "streamed %d patches (%s records)%s",
         num_patches,
@@ -321,13 +350,11 @@ def write_patches_collective(
     cache = Path(cache_directory)
 
     def prepare_cache() -> None:
-        if cache.exists() and any(cache.iterdir()):
-            if not overwrite:
-                raise FileExistsError(f"cache directory not empty: {cache}")
-            import shutil
+        from yet_another_wizz_tpu.catalog.catalog import (
+            prepare_cache_directory,
+        )
 
-            shutil.rmtree(cache)
-        cache.mkdir(parents=True, exist_ok=True)
+        prepare_cache_directory(cache, overwrite)
 
     dist.run_on_root(prepare_cache)
 
@@ -385,17 +412,7 @@ def write_patches_collective(
         try:
             for chunk in chunk_iter:
                 chunk, patch_ids = _chunk_patch_ids(chunk, centers_xyz)
-
-                order = np.argsort(patch_ids, kind="stable")
-                sorted_ids = patch_ids[order]
-                sorted_chunk = chunk[order]
-                unique, first = np.unique(sorted_ids, return_index=True)
-                splits = [
-                    (int(pid), part)
-                    for pid, part in zip(
-                        unique, np.split(sorted_chunk, first[1:])
-                    )
-                ]
+                splits, sorted_ids = _split_by_patch(chunk, patch_ids)
                 seen.update(pid for pid, _ in splits)
                 if len(sorted_ids):
                     num_expected = max(
@@ -443,6 +460,12 @@ def write_patches_collective(
                     center=_applied_center(centers_xyz, pid),
                 )
                 meta.to_file(patch_writer.cache_path / "meta.yml")
+            if rank == 0:
+                from yet_another_wizz_tpu.catalog.catalog import (
+                    write_patch_ids_file,
+                )
+
+                write_patch_ids_file(cache, num_patches)
         except BaseException as err:
             local_error = err
 

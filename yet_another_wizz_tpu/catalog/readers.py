@@ -118,27 +118,41 @@ class BaseReader(ABC):
             stop = min(start + self.chunksize, self.num_records)
             yield self._to_chunk(self._load_range(start, stop))
 
+    PROBE_ATTRS = ("ra", "dec", "weights")
+    """The probe feeds patch-center generation, which only needs
+    positions and weights: other configured columns are not read during
+    the probe pass (a real I/O saving for column stores like HDF5 and
+    Parquet; row stores still read full rows but skip the parsing)."""
+
     def get_probe(self, probe_size: int) -> NDArray:
         """A sparse, approximately uniform subsample of ``probe_size`` rows
         (used to bound the patch-center generation cost)."""
-        if probe_size >= self.num_records:
-            chunks = list(self)
-            return np.concatenate(chunks)
-        stride = self.num_records / probe_size
-        rows = (np.arange(probe_size) * stride).astype(np.int64)
-        parts = []
-        for start in range(0, self.num_records, self.chunksize):
-            stop = min(start + self.chunksize, self.num_records)
-            local = rows[(rows >= start) & (rows < stop)] - start
-            if len(local) == 0:
-                continue
-            raw = self._load_range(start, stop)
-            parts.append(
-                self._to_chunk(
-                    {k: np.asarray(v)[local] for k, v in raw.items()}
+        full_columns = self.columns
+        self.columns = {
+            attr: (name if attr in self.PROBE_ATTRS else None)
+            for attr, name in full_columns.items()
+        }
+        try:
+            if probe_size >= self.num_records:
+                chunks = list(self)
+                return np.concatenate(chunks)
+            stride = self.num_records / probe_size
+            rows = (np.arange(probe_size) * stride).astype(np.int64)
+            parts = []
+            for start in range(0, self.num_records, self.chunksize):
+                stop = min(start + self.chunksize, self.num_records)
+                local = rows[(rows >= start) & (rows < stop)] - start
+                if len(local) == 0:
+                    continue
+                raw = self._load_range(start, stop)
+                parts.append(
+                    self._to_chunk(
+                        {k: np.asarray(v)[local] for k, v in raw.items()}
+                    )
                 )
-            )
-        return np.concatenate(parts)
+            return np.concatenate(parts)
+        finally:
+            self.columns = full_columns
 
 
 class DataFrameReader(BaseReader):
@@ -362,7 +376,16 @@ class FitsReader(BaseReader):
                 nbytes += int(cards.get("PCOUNT", 0))
                 data_start = f.tell()
                 if index == hdu_index:
-                    if cards.get("XTENSION", "") not in ("BINTABLE", "TABLE"):
+                    xtension = cards.get("XTENSION", "")
+                    if xtension == "TABLE":
+                        # ASCII tables use Fortran formats (F10.4, ...)
+                        # that the binary-table parser would misreport as
+                        # variable-length columns
+                        raise ValueError(
+                            f"HDU {hdu_index} is an ASCII table; only "
+                            "binary tables (BINTABLE) are supported"
+                        )
+                    if xtension != "BINTABLE":
                         raise ValueError(
                             f"HDU {hdu_index} is not a binary table"
                         )
