@@ -285,23 +285,250 @@ def test_stale_generation_eviction(catalogs, config):
     nbytes = _ColumnTileCache._device_nbytes(tiles)
 
     cache = _ColumnTileCache(None, 0, resident_bytes=nbytes + nbytes // 2)
-    cache.new_generation()
+    token = cache.begin_count()
     cache.store("a", tiles)
     assert cache.load("a", count=False) is tiles
     # same generation: "a" is protected, "b" is simply not admitted
     cache.store("b", tiles)
     assert cache.load("b", count=False) is None
     assert cache.load("a", count=False) is tiles
+    cache.end_count(token)
     # next count: "a" is stale and evicted to make room for "c"
-    cache.new_generation()
+    token = cache.begin_count()
     cache.store("c", tiles)
     assert cache.load("c", count=False) is tiles
     assert cache.load("a", count=False) is None
+    cache.end_count(token)
     # a stale entry REVISITED by the current count is re-protected
-    cache.new_generation()
+    token = cache.begin_count()
     assert cache.load("c", count=False) is tiles  # stamps current gen
     cache.store("d", tiles)
     assert cache.load("d", count=False) is None  # "c" was protected
+    cache.end_count(token)
+
+
+def test_blocked_entry_validation(catalogs, config):
+    """The exported blocked entry point rejects inputs the in-memory
+    path rejects: mismatched patch counts (silent data loss otherwise),
+    invalid counting modes, and binned counting without redshifts."""
+    from yet_another_wizz_tpu.correlation.blocked import (
+        _build_block_tiles, count_pairs_blocked,
+    )
+    from yet_another_wizz_tpu.correlation.measurements import PatchLinkage
+
+    reference, unknown, _ = catalogs
+    binning = config.binning.binning
+    links = PatchLinkage.from_catalogs(config, reference, unknown)
+
+    mock = generate_mock_data(
+        num_reference=1, num_unknown=500, num_randoms=1, seed=5
+    )
+    fewer = Catalog.from_arrays(
+        **mock["unknown"], degrees=False, patch_num=3
+    )
+    with pytest.raises(ValueError, match="patch counts"):
+        count_pairs_blocked(
+            links.edges, links.linkage, reference, fewer, binning,
+            auto=False, binned2=False, max_resident_patches=4,
+        )
+
+    with pytest.raises(ValueError, match="invalid counting mode"):
+        _build_block_tiles(reference, binning, "a", 0, 4, 64)
+
+    mock_noz = dict(mock["unknown"])
+    mock_noz.pop("redshifts", None)
+    no_z = Catalog.from_arrays(
+        ra=mock_noz["ra"], dec=mock_noz["dec"], degrees=False, patch_num=3
+    )
+    with pytest.raises(ValueError, match="redshifts"):
+        _build_block_tiles(no_z, binning, "n", 0, 3, 64)
+
+
+def test_direct_blocked_call_uses_ambient_cache(catalogs, config):
+    """count_pairs_blocked called DIRECTLY (not through a measurement)
+    inside a measurement_tile_cache context picks up the ambient cache —
+    the context's sharing promise holds for both entry points."""
+    from yet_another_wizz_tpu.correlation.blocked import (
+        count_pairs_blocked, measurement_tile_cache,
+    )
+    from yet_another_wizz_tpu.correlation.measurements import PatchLinkage
+
+    reference, unknown, _ = catalogs
+    binning = config.binning.binning
+    links = PatchLinkage.from_catalogs(config, reference, unknown)
+    kwargs = dict(
+        auto=False, binned2=False, max_resident_patches=4, backend="xla"
+    )
+    with measurement_tile_cache(resident_tile_bytes=1 << 30) as cache:
+        first = count_pairs_blocked(
+            links.edges, links.linkage, reference, unknown, binning,
+            **kwargs,
+        )
+        misses_first = cache.misses
+        assert misses_first > 0  # the direct call filled the AMBIENT cache
+        second = count_pairs_blocked(
+            links.edges, links.linkage, reference, unknown, binning,
+            **kwargs,
+        )
+        assert cache.misses == misses_first  # served from the ambient cache
+        assert cache.hits > 0
+    np.testing.assert_allclose(second, first, rtol=1e-12)
+
+
+def test_concurrent_counts_protect_each_other(catalogs, config):
+    """An ambient cache shared by CONCURRENT counts (user threads) must
+    not let one thread's new count flush another thread's in-flight
+    blocks: the eviction floor is the oldest still-running count."""
+    from yet_another_wizz_tpu.correlation.blocked import (
+        _ColumnTileCache, _build_block_tiles,
+    )
+
+    reference, _, _ = catalogs
+    binning = config.binning.binning
+    tiles = _build_block_tiles(reference, binning, "n", 0, 4, 64)
+    nbytes = _ColumnTileCache._device_nbytes(tiles)
+
+    cache = _ColumnTileCache(None, 0, resident_bytes=nbytes + nbytes // 2)
+    token_a = cache.begin_count()
+    cache.store("a", tiles)
+    # a second count begins WHILE the first still runs: "a" must stay
+    # protected even under budget pressure from the new count's stores
+    # (inspect the layers directly: load() would re-stamp "a" with the
+    # newest generation and mask what is being tested)
+    token_b = cache.begin_count()
+    cache.store("b", tiles)
+    assert "a" in cache._resident  # protected: count A still running
+    assert "b" not in cache._resident  # no room, "a" not evictable
+    cache.end_count(token_a)
+    # with count A retired its entry becomes evictable
+    cache.store("c", tiles)
+    assert "c" in cache._resident
+    assert "a" not in cache._resident
+    cache.end_count(token_b)
+
+
+def test_oversized_block_does_not_flush_cache(catalogs, config):
+    """A block that cannot fit the budget even after evicting every
+    stale entry must not evict anything: flushing blocks that later
+    sweeps would reuse buys nothing."""
+    from yet_another_wizz_tpu.correlation.blocked import (
+        _ColumnTileCache, _build_block_tiles,
+    )
+
+    reference, _, _ = catalogs
+    binning = config.binning.binning
+    small = _build_block_tiles(reference, binning, "n", 0, 2, 64)
+    big = _build_block_tiles(reference, binning, "n", 0, 12, 64)
+    nbytes = _ColumnTileCache._device_nbytes(small)
+    big_nbytes = _ColumnTileCache._device_nbytes(big)
+    budget = nbytes + (big_nbytes - nbytes) // 2  # fits small, never big
+    assert nbytes <= budget < big_nbytes
+
+    cache = _ColumnTileCache(None, 0, resident_bytes=budget)
+    token = cache.begin_count()
+    cache.store("a", small)
+    cache.end_count(token)
+    token = cache.begin_count()
+    # even flushing the stale entry cannot make room for "big": the
+    # store is refused WITHOUT evicting it, and it keeps serving
+    cache.store("big", big)
+    assert cache.load("big", count=False) is None
+    assert cache.load("a", count=False) is small
+    cache.end_count(token)
+
+
+def test_disk_hit_promotes_to_resident(catalogs, config):
+    """A block that spilled to disk while the resident budget was full
+    is promoted on its next load once the budget has room — it must not
+    pay deserialize + re-upload on every revisit for the rest of a
+    session while resident bytes sit idle."""
+    import tempfile
+
+    from yet_another_wizz_tpu.correlation.blocked import (
+        _ColumnTileCache, _build_block_tiles,
+    )
+
+    reference, _, _ = catalogs
+    binning = config.binning.binning
+    tiles = _build_block_tiles(reference, binning, "n", 0, 4, 64)
+    nbytes = _ColumnTileCache._device_nbytes(tiles)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cache = _ColumnTileCache(
+            tmp, 1 << 30, resident_bytes=nbytes + nbytes // 2
+        )
+        token = cache.begin_count()
+        cache.store("a", tiles)
+        cache.store("b", tiles)  # no resident room: spills to disk
+        assert "b" in cache._paths and "b" not in cache._resident
+        cache.end_count(token)
+
+        token = cache.begin_count()
+        loaded = cache.load("b")  # resident budget: "a" is stale now
+        assert loaded is not None
+        # promoted: resident serves the NEXT load, the spill is gone
+        assert "b" in cache._resident and "b" not in cache._paths
+        assert cache.load("b", count=False) is loaded
+        assert cache._used == 0
+        cache.end_count(token)
+
+
+def test_spill_write_failure_degrades_to_uncached(
+    catalogs, config, monkeypatch, caplog
+):
+    """A failed spill write (ENOSPC) warns and disables the disk layer
+    instead of aborting the measurement."""
+    import logging
+    import tempfile
+
+    from yet_another_wizz_tpu.correlation import blocked as blocked_mod
+    from yet_another_wizz_tpu.correlation.blocked import (
+        _ColumnTileCache, _build_block_tiles,
+    )
+
+    reference, _, _ = catalogs
+    binning = config.binning.binning
+    tiles = _build_block_tiles(reference, binning, "n", 0, 4, 64)
+
+    def broken_savez(path, **payload):
+        raise OSError(28, "No space left on device", str(path))
+
+    monkeypatch.setattr(blocked_mod.np, "savez", broken_savez)
+    with tempfile.TemporaryDirectory() as tmp:
+        cache = _ColumnTileCache(tmp, 1 << 30, resident_bytes=0)
+        with caplog.at_level(
+            logging.WARNING, logger="yet_another_wizz_tpu"
+        ):
+            cache.store("a", tiles)  # must not raise
+        assert any(
+            "disabling tile spill cache" in rec.message
+            for rec in caplog.records
+        )
+        assert cache.load("a", count=False) is None
+        cache.store("b", tiles)  # disk layer disabled: quietly skipped
+        assert cache.load("b", count=False) is None
+
+
+def test_gen_stamps_do_not_leak(catalogs, config):
+    """Generation stamps of evicted/purged entries are swept: a
+    session-long cache must not accumulate dead key tuples."""
+    from yet_another_wizz_tpu.correlation.blocked import (
+        _ColumnTileCache, _build_block_tiles,
+    )
+
+    reference, _, _ = catalogs
+    binning = config.binning.binning
+    tiles = _build_block_tiles(reference, binning, "n", 0, 4, 64)
+    nbytes = _ColumnTileCache._device_nbytes(tiles)
+
+    cache = _ColumnTileCache(None, 0, resident_bytes=nbytes)
+    for name in "abcdefgh":
+        token = cache.begin_count()
+        cache.store(name, tiles)
+        cache.end_count(token)
+    cache.begin_count()  # runs the purge sweep
+    assert set(cache._gen) <= set(cache._resident) | set(cache._paths)
+    assert len(cache._gen) <= 1
 
 
 def test_cache_purges_entries_of_freed_catalogs(config):

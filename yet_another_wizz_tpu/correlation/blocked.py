@@ -72,12 +72,18 @@ def _build_block_tiles(
             local_kappa if local_weights is None
             else local_kappa * local_weights
         )
-    else:
+    elif mode == "n":
         mode_weights = None
+    else:
+        # same validation as the in-memory Catalog.get_tiles: a typo'd
+        # mode must raise, not silently count number weights
+        raise ValueError(f"invalid counting mode '{mode}'")
 
     if binning is None:
         zbins, num_bins = None, 0
     else:
+        if data.redshifts is None:
+            raise ValueError("catalog has no 'redshifts' attached")
         zbins = binning.digitize(data.redshifts) - 1
         num_bins = len(binning)
 
@@ -169,7 +175,7 @@ class _ColumnTileCache:
     Blocks beyond both budgets are simply rebuilt each sweep. Within one
     count, no eviction of its own entries: the sweep order revisits
     blocks uniformly, so evicting one block to admit another buys
-    nothing. Across counts (generations, see :meth:`new_generation`)
+    nothing. Across counts (generations, see :meth:`begin_count`)
     stale entries ARE evicted under budget pressure, oldest generation
     first — a session-long cache must not let one measurement's blocks
     permanently starve later measurements of their (load-bearing)
@@ -215,21 +221,37 @@ class _ColumnTileCache:
         self.misses = 0
         self.generation = 0
         self._gen: dict[object, int] = {}  # last use per entry
+        self._active: set[int] = set()  # generations of RUNNING counts
 
-    def new_generation(self) -> None:
-        """Mark the start of a new count (thread-safe).
+    def begin_count(self) -> int:
+        """Mark the start of a new count (thread-safe); returns a token
+        for :meth:`end_count`.
 
-        Entries last used in an EARLIER generation become evictable
-        under budget pressure: a session-long cache whose budgets fill
-        with one measurement's blocks must not starve every later
-        measurement of caching (the within-count column reuse is the
-        load-bearing layer — without it each row sweep re-packs every
-        column block). Entries of the current generation are never
-        evicted: the sweep revisits them uniformly, so evicting one to
-        admit another buys nothing."""
+        Entries last used before the oldest still-RUNNING count began
+        become evictable under budget pressure: a session-long cache
+        whose budgets fill with one measurement's blocks must not starve
+        every later measurement of caching (the within-count column
+        reuse is the load-bearing layer — without it each row sweep
+        re-packs every column block). Entries touched since any running
+        count began are never evicted — the sweep revisits them
+        uniformly, so evicting one to admit another buys nothing, and
+        the floor is the OLDEST active generation so an ambient cache
+        shared by concurrent measurements (user threads) cannot have one
+        thread's new count flush another thread's in-flight blocks."""
         with self._mutate_lock:
             self.generation += 1
+            self._active.add(self.generation)
             self._purge_dead()
+            return self.generation
+
+    def end_count(self, token: int) -> None:
+        """Retire a running count's generation (see :meth:`begin_count`)."""
+        with self._mutate_lock:
+            self._active.discard(token)
+
+    def _eviction_floor(self) -> int:
+        """Entries last used before this generation are evictable."""
+        return min(self._active) if self._active else self.generation
 
     def purge_dead(self) -> None:
         """Drop entries whose keyed catalog has been garbage-collected
@@ -238,15 +260,27 @@ class _ColumnTileCache:
             self._purge_dead()
 
     def _evict_stale(self, layer: dict, needed: int, budget_left) -> None:
-        """Evict entries of PREVIOUS generations (oldest first) from one
-        cache layer until ``needed`` bytes fit or none remain. Caller
-        holds ``_mutate_lock``."""
+        """Evict stale entries (oldest first, see :meth:`begin_count`)
+        from one cache layer until ``needed`` bytes fit or none remain.
+        Never evicts at all when ``needed`` cannot fit even after
+        flushing EVERY stale entry — an oversized block must not wipe
+        blocks that later sweeps would have reused, for zero benefit.
+        Caller holds ``_mutate_lock``."""
         import os
 
+        floor = self._eviction_floor()
         stale = sorted(
-            (key for key in layer if self._gen.get(key, 0) < self.generation),
+            (key for key in layer if self._gen.get(key, 0) < floor),
             key=lambda key: self._gen.get(key, 0),
         )
+        reclaimable = sum(
+            self._device_nbytes(layer[key])
+            if layer is self._resident
+            else layer[key][1]
+            for key in stale
+        )
+        if budget_left() + reclaimable < needed:
+            return
         for key in stale:
             if budget_left() >= needed:
                 return
@@ -296,6 +330,16 @@ class _ColumnTileCache:
                 os.unlink(path)
             except OSError:
                 pass
+        # load() stamps _gen outside _mutate_lock, so a stamp can land
+        # just after an eviction popped the entry: sweep stamps that no
+        # longer correspond to a live entry (else a session-long cache
+        # accumulates dead key tuples indefinitely)
+        for key in [
+            k
+            for k in self._gen
+            if k not in self._resident and k not in self._paths
+        ]:
+            del self._gen[key]
 
     @staticmethod
     def _device_nbytes(tiles) -> int:
@@ -328,7 +372,6 @@ class _ColumnTileCache:
                     self.misses += 1
             return None
         path, _ = entry
-        self._gen[key] = self.generation
         try:
             with np.load(path) as payload:
                 fields = {
@@ -350,10 +393,26 @@ class _ColumnTileCache:
                 with self._stats_lock:
                     self.misses += 1
             return None
+        self._gen[key] = self.generation
         if count:
             with self._stats_lock:
                 self.hits += 1
-        return TileSet(**fields)
+        tiles = TileSet(**fields)
+        # promote a disk hit into the resident layer when there is room:
+        # without promotion a key that ever spilled stays disk-tier for
+        # the rest of the session even after the resident budget frees
+        # up, paying deserialize + re-upload on every later revisit
+        import os
+
+        with self._mutate_lock:
+            if key in self._paths and self._admit_resident(key, tiles):
+                path, size = self._paths.pop(key)
+                self._used -= size
+                try:
+                    os.unlink(path)
+                except OSError:
+                    pass
+        return tiles
 
     def store(self, key, tiles) -> None:
         import os
@@ -364,16 +423,15 @@ class _ColumnTileCache:
         with self._mutate_lock:
             self._store_locked(key, tiles, os)
 
-    def _store_locked(self, key, tiles, os) -> None:
-        if key in self._resident or key in self._paths:
-            # duplicate store (e.g. a prefetched row block that is also a
-            # column block of an autocorrelation-shaped count): keep the
-            # first entry, avoid double-counting the budgets
-            return
+    def _admit_resident(self, key, tiles) -> bool:
+        """Try to admit a tile set into the resident layer (evicting
+        stale entries if required). Caller holds ``_mutate_lock``."""
+        if key in self._resident:
+            return False
         dev_size = self._device_nbytes(tiles)
         if self._resident_used + dev_size > self._resident_bytes:
             self._purge_dead()  # reclaim entries of freed catalogs
-            self._evict_stale(  # then previous generations, oldest first
+            self._evict_stale(  # then stale generations, oldest first
                 self._resident, dev_size,
                 lambda: self._resident_bytes - self._resident_used,
             )
@@ -381,6 +439,16 @@ class _ColumnTileCache:
             self._resident[key] = tiles
             self._resident_used += dev_size
             self._gen[key] = self.generation
+            return True
+        return False
+
+    def _store_locked(self, key, tiles, os) -> None:
+        if key in self._resident or key in self._paths:
+            # duplicate store (e.g. a prefetched row block that is also a
+            # column block of an autocorrelation-shaped count): keep the
+            # first entry, avoid double-counting the budgets
+            return
+        if self._admit_resident(key, tiles):
             return
 
         size = sum(  # arrays only; scalars are negligible
@@ -409,7 +477,22 @@ class _ColumnTileCache:
             payload["sum_kappa"] = tiles.sum_kappa
         self._stored += 1  # len(_paths) shrinks on purge: not name-safe
         path = os.path.join(self._dir, f"block_{self._stored}.npz")
-        np.savez(path, **payload)
+        try:
+            np.savez(path, **payload)
+        except OSError as err:
+            # a failed spill write (ENOSPC — e.g. a tmpfs /tmp, see
+            # _make_tile_cache) must degrade to an uncached sweep, not
+            # abort hours of queued measurement work; disable the disk
+            # layer so every later block does not retry the full write
+            logger.warning(
+                "disabling tile spill cache: write failed (%s)", err
+            )
+            self._dir = None
+            try:
+                os.unlink(path)  # reclaim the partial file now
+            except OSError:
+                pass
+            return
         self._paths[key] = (path, size)
         self._used += size
         self._gen[key] = self.generation
@@ -589,6 +672,15 @@ def count_pairs_blocked(
 
     tile_size = tile_size or DEFAULT_TILE_SIZE
     num_patches = catalog1.num_patches
+    if catalog2.num_patches != num_patches:
+        # blocks and the result shape derive from catalog1: a mismatched
+        # catalog2 would silently drop its extra patches from the counts
+        # (the measurement layer checks centers too; this is the guard
+        # for direct engine calls)
+        raise ValueError(
+            "catalogs have different patch counts: "
+            f"{num_patches} != {catalog2.num_patches}"
+        )
     num_bins = len(binning)
     block = max(1, int(max_resident_patches) // 2)  # two resident sides
     starts = list(range(0, num_patches, block))
@@ -626,6 +718,11 @@ def count_pairs_blocked(
     resident_tile_bytes = _resolve_resident_bytes(resident_tile_bytes)
 
     with contextlib.ExitStack() as stack:
+        if cache is None:
+            # the ambient measurement_tile_cache() applies to DIRECT
+            # engine calls too, not only measurements started through
+            # the correlation functions (which resolve it one level up)
+            cache = active_tile_cache()
         own_cache = cache is None
         if (
             own_cache
@@ -730,6 +827,7 @@ def _blocked_loop(
     # the column key).
     cache_rows = False
     row_base = col_base = None
+    gen_token = None
     if cache is not None:
         # binning is keyed by VALUE so measurements built from equal but
         # distinct Configuration objects still share blocks; catalogs are
@@ -749,10 +847,11 @@ def _blocked_loop(
             mode[1], layout2, block, tile_size,
         )
         cache_rows = cache.store_rows or row_base == col_base
-        # new generation: this count's entries are protected from
-        # eviction; earlier counts' entries become evictable under
-        # budget pressure, and entries of freed catalogs are reclaimed
-        cache.new_generation()
+        # new generation: every RUNNING count's entries are protected
+        # from eviction; entries last used before the oldest running
+        # count began become evictable under budget pressure, and
+        # entries of freed catalogs are reclaimed
+        gen_token = cache.begin_count()
 
     # resolve the engine's effective placement ONCE, with the same rules
     # count_pairs_tiles applies per call (auto_mesh is deterministic
@@ -997,6 +1096,8 @@ def _blocked_loop(
         for pool in (executor, col_executor):
             if pool is not None:
                 pool.shutdown(wait=True, cancel_futures=True)
+        if gen_token is not None:
+            cache.end_count(gen_token)
     if indicator is not None:
         next(indicator, None)  # drain: prints the 100% line + newline
 

@@ -23,6 +23,7 @@ tile caps) uses the native C++ kernels from
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass, field
 from typing import TYPE_CHECKING
 
@@ -227,6 +228,9 @@ class TileSet:
     its few-dozen-tile blocks would otherwise pay up to 8x transfer
     padding per block pair, and all blocks of a run share one shape."""
     _cache_token: object = field(default=None, repr=False)
+    _upload_lock: object = field(
+        default_factory=threading.Lock, repr=False, compare=False
+    )
 
     def device_data(self):
         """The lane data as a device-resident array (uploaded once and
@@ -241,23 +245,35 @@ class TileSet:
         and carry zero weights.
         """
         if self._cache_token is None:
-            import jax.numpy as jnp
+            # double-checked under the lock: the blocked path's row and
+            # column prefetch workers can warm_upload the same cached
+            # TileSet concurrently, and an unguarded check-then-set would
+            # transfer the full block twice (transient 2x HBM + wasted
+            # link bandwidth on exactly the hardware this cache serves)
+            with self._upload_lock:
+                if self._cache_token is None:
+                    import jax.numpy as jnp
 
-            padded_tiles = bucket_size(
-                self.num_tiles, base=self.device_pad_base
-            )
-            lanes = self.lane_data
-            if padded_tiles > self.num_tiles:
-                lanes = np.concatenate(
-                    [
-                        lanes,
-                        np.zeros(
-                            (padded_tiles - self.num_tiles, *lanes.shape[1:]),
-                            dtype=lanes.dtype,
-                        ),
-                    ]
-                )
-            object.__setattr__(self, "_cache_token", jnp.asarray(lanes))
+                    padded_tiles = bucket_size(
+                        self.num_tiles, base=self.device_pad_base
+                    )
+                    lanes = self.lane_data
+                    if padded_tiles > self.num_tiles:
+                        lanes = np.concatenate(
+                            [
+                                lanes,
+                                np.zeros(
+                                    (
+                                        padded_tiles - self.num_tiles,
+                                        *lanes.shape[1:],
+                                    ),
+                                    dtype=lanes.dtype,
+                                ),
+                            ]
+                        )
+                    object.__setattr__(
+                        self, "_cache_token", jnp.asarray(lanes)
+                    )
         return self._cache_token
 
     @property
