@@ -702,16 +702,26 @@ def crosscorrelate_scalar(
         audit=audit, mesh=mesh, data_sharding=data_sharding,
         max_resident_patches=max_resident_patches,
     )
+    # queue both count types on the device before finalizing either, the
+    # same defer/finalize overlap crosscorrelate applies across DD..RR
     with _measurement_cache(max_resident_patches) as tile_cache:
         kwargs["_tile_cache"] = tile_cache
         dd = links.count_scalar_pairs(
             reference, unknown, mode="kn", **kwargs, count_type_info="DD",
+            _defer=True,
         )
-        if count_dr:
-            dr = links.count_scalar_pairs(
+        dr = (
+            links.count_scalar_pairs(
                 reference, unk_rand, mode="kn", **kwargs,
-                count_type_info="DR",
+                count_type_info="DR", _defer=True,
             )
-        else:
-            dr = [compute_scalar_normalisation(reference, config)] * len(dd)
+            if count_dr
+            else None
+        )
+        dd = dd()  # finalize in queue order: fetch overlaps DR compute
+        dr = (
+            dr()
+            if dr is not None
+            else [compute_scalar_normalisation(reference, config)] * len(dd)
+        )
     return [ScalarCorrFunc(a, b) for a, b in zip(dd, dr)]
