@@ -173,12 +173,17 @@ def document_class(name: str, cls) -> list[str]:
             "",
         ]
 
-    members = []
-    for attr_name, attr in sorted(vars(cls).items()):
-        if attr_name.startswith("_"):
+    # own members plus public API inherited from bases defined in this
+    # package (e.g. BaseConfig.from_file/to_file) — external bases like
+    # object or ABC contribute nothing
+    collected: dict[str, object] = {}
+    for klass in cls.__mro__:
+        if klass.__module__.partition(".")[0] != cls.__module__.partition(".")[0]:
             continue
-        members.append((attr_name, attr))
-    # also surface inherited public API that the class re-exposes via abc
+        for attr_name, attr in vars(klass).items():
+            if not attr_name.startswith("_") and attr_name not in collected:
+                collected[attr_name] = attr
+    members = sorted(collected.items())
     rows = []
     for attr_name, attr in members:
         if isinstance(attr, property):

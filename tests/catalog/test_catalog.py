@@ -204,3 +204,60 @@ class TestTiles:
         catalog = Catalog.from_arrays(**arrays, patch_num=3)
         catalog.build_trees(np.linspace(0.1, 1.2, 5), closed="right")
         assert len(catalog._tile_cache) == 1
+
+
+class TestReferenceParityMembers:
+    """Reference members: Metadata dict round trip, Patch.has_patch_ids,
+    chunk-info copying and DataChunk.hasattr
+    (/root/reference/src/yaw/catalog/patch.py:44-395, datachunk.py:145-320)."""
+
+    def test_metadata_dict_roundtrip(self, arrays):
+        from yet_another_wizz_tpu.catalog.patch import Metadata
+        from yet_another_wizz_tpu.coordinates import AngularCoordinates
+
+        coords = AngularCoordinates(
+            np.column_stack([arrays["ra"], arrays["dec"]])
+        )
+        meta = Metadata.compute(coords, weights=arrays.get("weights"))
+        restored = Metadata.from_dict(meta.to_dict())
+        assert restored.num_records == meta.num_records
+        assert restored.sum_weights == meta.sum_weights
+        assert_allclose(restored.center.data, meta.center.data)
+        assert_allclose(restored.radius.data, meta.radius.data)
+
+    def test_patch_has_no_patch_ids(self, arrays, tmp_path):
+        Catalog.from_arrays(
+            **arrays, patch_num=3, cache_directory=tmp_path / "cache"
+        )
+        patch = Patch(tmp_path / "cache" / "patch_0")
+        # ids are implicit in the patch directory, never stored per row
+        assert patch.has_patch_ids is False
+        info = patch.copy_chunk_info()
+        assert info.has_patch_ids is False
+
+    def test_copy_chunk_info_drop_patch_ids(self):
+        from yet_another_wizz_tpu.datachunk import (
+            DataChunkInfo, HandlesDataChunk,
+        )
+
+        class Holder(HandlesDataChunk):
+            def __init__(self):
+                self._chunk_info = DataChunkInfo(
+                    has_weights=True, has_patch_ids=True
+                )
+
+        holder = Holder()
+        assert holder.has_patch_ids
+        dropped = holder.copy_chunk_info(drop_patch_ids=True)
+        assert dropped.has_patch_ids is False and dropped.has_weights
+        assert holder.has_patch_ids  # the original is untouched
+
+    def test_datachunk_hasattr(self, arrays):
+        from yet_another_wizz_tpu.datachunk import DataChunk
+
+        chunk = DataChunk.create(
+            arrays["ra"], arrays["dec"], degrees=False,
+            weights=arrays.get("weights"),
+        )
+        assert DataChunk.hasattr(chunk, "ra")
+        assert not DataChunk.hasattr(chunk, "redshifts")

@@ -122,6 +122,75 @@ def test_module_exports(yaw, ref_mod, our_mod):
     assert not missing, f"{ref_mod} missing exports: {sorted(missing)}"
 
 
+def _binning_config():
+    from yet_another_wizz_tpu.config import BinningConfig
+
+    return BinningConfig.create(zmin=0.1, zmax=1.0, num_bins=5)
+
+
+def _scales_config():
+    from yet_another_wizz_tpu.config import ScalesConfig
+
+    return ScalesConfig.create(rmin=100.0, rmax=1000.0)
+
+
+def _parameter():
+    from yet_another_wizz_tpu.config.base import Parameter
+
+    return Parameter("x", "help", float, default=1.0)
+
+
+def _metadata():
+    import numpy as np
+
+    from yet_another_wizz_tpu.catalog.patch import Metadata
+    from yet_another_wizz_tpu.coordinates import AngularCoordinates
+
+    coords = AngularCoordinates(np.array([[0.1, 0.2], [0.3, 0.1]]))
+    return Metadata.compute(coords)
+
+
+def _box_randoms():
+    from yet_another_wizz_tpu.randoms import BoxRandoms
+
+    return BoxRandoms(0.0, 10.0, -5.0, 5.0)
+
+
+# (reference path, our exemplar factory or class path) — the reference
+# exposes derived values as class-level properties where we use instance
+# attributes, so the comparison target is an INSTANCE where construction
+# is cheap; a class otherwise (slot/descriptor members still show there).
+MEMBER_PAIRS = [
+    ("yaw.config.BinningConfig", _binning_config),
+    ("yaw.config.ScalesConfig", _scales_config),
+    ("yaw.config.base.Parameter", _parameter),
+    ("yaw.catalog.patch.Metadata", _metadata),
+    ("yaw.catalog.Patch", "yet_another_wizz_tpu.catalog.Patch"),
+    ("yaw.datachunk.DataChunk", "yet_another_wizz_tpu.datachunk.DataChunk"),
+    (
+        "yaw.datachunk.DataChunkInfo",
+        "yet_another_wizz_tpu.datachunk.DataChunkInfo",
+    ),
+    ("yaw.randoms.BoxRandoms", _box_randoms),
+    ("yaw.randoms.HealPixRandoms", "yet_another_wizz_tpu.randoms.HealPixRandoms"),
+]
+
+
+@pytest.mark.parametrize(
+    "ref_path,ours", MEMBER_PAIRS, ids=[p for p, _ in MEMBER_PAIRS]
+)
+def test_submodule_class_members(yaw, ref_path, ours):
+    module_path, _, cls_name = ref_path.rpartition(".")
+    ref_cls = getattr(importlib.import_module(module_path), cls_name)
+    if callable(ours) and not isinstance(ours, str):
+        target = ours()
+    else:
+        module_path, _, cls_name = ours.rpartition(".")
+        target = getattr(importlib.import_module(module_path), cls_name)
+    missing = public(ref_cls) - public(target)
+    assert not missing, f"{ref_path}: missing members: {sorted(missing)}"
+
+
 def test_paircount_container_members(yaw):
     from yaw.correlation import paircounts as ref
     from yaw.correlation.corrdata import SampledData as RefSampled

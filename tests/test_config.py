@@ -177,3 +177,54 @@ class TestCountingKnob:
                 counting=config.scales.counting,
             )
             assert (edges.direct is not None) is has_direct
+
+
+class TestReferenceParityMembers:
+    """Reference members on the config machinery: sub-config file round
+    trips, is_custom, Parameter.has_choices/to_type/format_yaml_doc
+    (/root/reference/src/yaw/config/base.py:143-292, classes.py:345-356)."""
+
+    def test_subconfig_file_roundtrip(self, tmp_path):
+        from yet_another_wizz_tpu.config import BinningConfig, ScalesConfig
+
+        binning = BinningConfig.create(zmin=0.1, zmax=1.0, num_bins=7)
+        binning.to_file(tmp_path / "binning.yml")
+        assert BinningConfig.from_file(tmp_path / "binning.yml") == binning
+
+        scales = ScalesConfig.create(rmin=[100, 500], rmax=[500, 1500])
+        scales.to_file(tmp_path / "scales.yml")
+        assert ScalesConfig.from_file(tmp_path / "scales.yml") == scales
+
+    def test_is_custom(self):
+        from yet_another_wizz_tpu.config import BinningConfig
+
+        assert BinningConfig.create(edges=[0.1, 0.5, 0.9]).is_custom
+        assert not BinningConfig.create(zmin=0.1, zmax=1.0).is_custom
+
+    def test_parameter_has_choices_and_to_type(self):
+        from yet_another_wizz_tpu.config.base import ConfigError, Parameter
+
+        plain = Parameter("x", "a value", float, default=1.0)
+        assert not plain.has_choices
+        chosen = Parameter(
+            "y", "an option", str, default="a", choices=("a", "b")
+        )
+        assert chosen.has_choices
+        with pytest.raises(ConfigError, match="allowed"):
+            chosen.parse("c")
+
+        doubled = Parameter("z", "doubled", float, to_type=lambda v: 2.0 * v)
+        assert doubled.parse(3) == 6.0
+
+    def test_parameter_format_yaml_doc(self):
+        from yet_another_wizz_tpu.config.base import Parameter
+
+        line = Parameter(
+            "unit", "unit of the scales", str, default="kpc",
+            choices=("kpc", "Mpc"),
+        ).format_yaml_doc()
+        assert line.startswith("unit: kpc")
+        assert "unit of the scales" in line and "kpc, Mpc" in line
+
+        required = Parameter("zmin", "lowest edge", float).format_yaml_doc()
+        assert required.startswith("zmin: ") and "required" in required

@@ -181,3 +181,36 @@ class TestPolarCapCoverage:
             assert np.all(z <= z_hi[pix] + 1e-12)
             delta = np.mod(phi - lon_lo[pix], 2 * np.pi)
             assert np.all(delta <= lon_hi[pix] - lon_lo[pix] + 1e-9)
+
+
+class TestReferenceParityAPI:
+    """Reference members: get_data_size / data_size / generate_dataframe
+    (/root/reference/src/yaw/randoms.py:58-185)."""
+
+    def test_get_data_size(self, rng):
+        gen = BoxRandoms(0.0, 10.0, -5.0, 5.0)
+        assert gen.data_size == -1 and gen.get_data_size() == -1
+
+        z = rng.uniform(0.1, 1.0, 100)
+        gen = BoxRandoms(0.0, 10.0, -5.0, 5.0, redshifts=z)
+        assert gen.data_size == 100
+
+        w = rng.uniform(0.5, 2.0, 100)
+        gen = BoxRandoms(0.0, 10.0, -5.0, 5.0, weights=w, redshifts=z)
+        assert gen.get_data_size() == 100
+
+        with pytest.raises(ValueError, match="does not match"):
+            BoxRandoms(0.0, 10.0, -5.0, 5.0, weights=w[:50], redshifts=z)
+
+    def test_generate_dataframe(self, rng):
+        z = rng.uniform(0.1, 1.0, 64)
+        gen = BoxRandoms(0.0, 10.0, -5.0, 5.0, redshifts=z, seed=3)
+        df = gen.generate_dataframe(500)
+        assert list(df.columns) == ["ra", "dec", "redshifts"]
+        # degrees by default, inside the footprint
+        assert df["ra"].min() >= 0.0 and df["ra"].max() <= 10.0
+        assert df["dec"].min() >= -5.0 and df["dec"].max() <= 5.0
+
+        gen.reseed(3)
+        df_rad = gen.generate_dataframe(500, degrees=False)
+        np.testing.assert_allclose(np.deg2rad(df["ra"]), df_rad["ra"])

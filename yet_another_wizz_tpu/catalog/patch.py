@@ -90,25 +90,34 @@ class Metadata:
         )
 
     @classmethod
-    def from_file(cls: type[Self], path: Path | str) -> Self:
-        with Path(path).open() as f:
-            values = yaml.safe_load(f)
+    def from_dict(cls: type[Self], the_dict: dict) -> Self:
+        """Restore an instance from :meth:`to_dict` builtins (reference
+        Metadata is YamlSerialisable,
+        /root/reference/src/yaw/catalog/patch.py:44)."""
         return cls(
-            num_records=values["num_records"],
-            sum_weights=values["sum_weights"],
-            center=AngularCoordinates(values["center"]),
-            radius=AngularDistances(values["radius"]),
+            num_records=the_dict["num_records"],
+            sum_weights=the_dict["sum_weights"],
+            center=AngularCoordinates(the_dict["center"]),
+            radius=AngularDistances(the_dict["radius"]),
         )
 
-    def to_file(self, path: Path | str) -> None:
-        values = dict(
+    def to_dict(self) -> dict:
+        """YAML-compatible builtins describing this patch."""
+        return dict(
             num_records=int(self.num_records),
             sum_weights=float(self.sum_weights),
             center=self.center.tolist()[0],
             radius=float(self.radius.tolist()[0]),
         )
+
+    @classmethod
+    def from_file(cls: type[Self], path: Path | str) -> Self:
+        with Path(path).open() as f:
+            return cls.from_dict(yaml.safe_load(f))
+
+    def to_file(self, path: Path | str) -> None:
         with Path(path).open("w") as f:
-            yaml.safe_dump(values, f)
+            yaml.safe_dump(self.to_dict(), f)
 
 
 def write_patch_data(path: Path | str, chunk: NDArray) -> None:

@@ -63,8 +63,11 @@ class Parameter:
     default: Any = NotSet
     choices: tuple = ()
     to_builtin: Callable[[Any], Any] | None = None
+    to_type: Callable[[Any], Any] | None = None
 
     def __post_init__(self) -> None:
+        if self.to_type is None:
+            self.to_type = self.type
         if self.default is not NotSet and self.default is not None:
             self.default = self.parse(self.default)
         if self.is_optional and self.default is NotSet:
@@ -74,6 +77,12 @@ class Parameter:
     def required(self) -> bool:
         return self.default is NotSet and not self.is_optional
 
+    @property
+    def has_choices(self) -> bool:
+        """Whether only a limited set of values is accepted (reference:
+        /root/reference/src/yaw/config/base.py:224)."""
+        return bool(self.choices)
+
     def parse(self, value: Any) -> Any:
         """Validate and coerce a raw value."""
         if value is None:
@@ -81,7 +90,7 @@ class Parameter:
                 return None
             raise ConfigError("value is required and cannot be None", self.name)
         try:
-            parsed = self.type(value)
+            parsed = self.to_type(value)
         except (TypeError, ValueError) as err:
             raise ConfigError(
                 f"cannot convert to type {self.type.__name__}: {err}", self.name
@@ -105,6 +114,21 @@ class Parameter:
             return str(value)  # normalises StrEnum members to plain str
         return value
 
+    def format_yaml_doc(self, indent: int = 0, padding: int = 2) -> str:
+        """One commented YAML line for this parameter: help text,
+        required marker, allowed choices, and the default value
+        (reference: /root/reference/src/yaw/config/base.py:258-292)."""
+        pad = "  " * indent
+        comment = self.help.rstrip()
+        if self.required:
+            comment = comment.rstrip(".") + ", required"
+        if self.has_choices:
+            options = ", ".join(str(c) for c in self.choices)
+            comment += f" (choices: {options})"
+        value = "" if self.required else self.as_builtin(self.default)
+        shown = "" if value is None else value
+        return f"{pad}{self.name}: {shown}{' ' * padding}# {comment}"
+
 
 @dataclass
 class SequenceParameter(Parameter):
@@ -118,7 +142,7 @@ class SequenceParameter(Parameter):
         if np.ndim(value) == 0:
             value = [value]
         try:
-            return [self.type(item) for item in value]
+            return [self.to_type(item) for item in value]
         except (TypeError, ValueError) as err:
             raise ConfigError(
                 f"cannot convert items to type {self.type.__name__}: {err}",
@@ -222,6 +246,23 @@ class BaseConfig(ABC):
         for name in self._spec.sections:
             result[name] = getattr(self, name).to_dict()
         return result
+
+    @classmethod
+    def from_file(cls: type[Self], path) -> Self:
+        """Restore an instance from a YAML file (every config class is
+        file-serialisable, like the reference's YamlSerialisable base,
+        /root/reference/src/yaw/config/base.py:409)."""
+        import yaml
+
+        with open(path) as f:
+            return cls.from_dict(yaml.safe_load(f) or {})
+
+    def to_file(self, path) -> None:
+        """Write this configuration to a YAML file."""
+        import yaml
+
+        with open(path, "w") as f:
+            yaml.safe_dump(self.to_dict(), f, sort_keys=False)
 
     def __eq__(self, other: Any) -> bool:
         if type(self) is not type(other):

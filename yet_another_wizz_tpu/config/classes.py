@@ -224,6 +224,12 @@ class BinningConfig(BaseConfig):
         self.num_bins = int(num_bins)
         self.edges = None
 
+    @property
+    def is_custom(self) -> bool:
+        """Whether the bin edges were provided by the user (reference:
+        /root/reference/src/yaw/config/classes.py:352)."""
+        return self.method == BinMethod.custom
+
     def to_dict(self) -> dict[str, Any]:
         if self.method == BinMethod.custom:
             return dict(
@@ -417,14 +423,4 @@ class Configuration(BaseConfig):
         )
 
     __hash__ = None
-
-    @classmethod
-    def from_file(cls: type[Self], path) -> Self:
-        """Load the configuration from a YAML file."""
-        with open(path) as f:
-            return cls.from_dict(yaml.safe_load(f))
-
-    def to_file(self, path) -> None:
-        """Write the configuration to a YAML file."""
-        with open(path, "w") as f:
-            yaml.safe_dump(self.to_dict(), f, sort_keys=False)
+    # from_file/to_file inherited from BaseConfig (YAML round trip)

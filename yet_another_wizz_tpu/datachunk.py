@@ -122,6 +122,18 @@ class HandlesDataChunk:
     def has_kappa(self) -> bool:
         return self._chunk_info.has_kappa
 
+    @property
+    def has_patch_ids(self) -> bool:
+        return self._chunk_info.has_patch_ids
+
+    def copy_chunk_info(self, *, drop_patch_ids: bool = False) -> DataChunkInfo:
+        """Copy of the attribute description, optionally with the patch-id
+        flag cleared (reference: /root/reference/src/yaw/datachunk.py:154)."""
+        copy = self._chunk_info.copy()
+        if drop_patch_ids:
+            copy.has_patch_ids = False
+        return copy
+
 
 class DataChunk:
     """Factory and accessors for structured-array catalog chunks."""
@@ -213,6 +225,12 @@ class DataChunk:
         return DataChunkInfo(
             **{f"has_{attr}": attr in fields for attr in _OPTIONAL_ATTRS}
         )
+
+    @staticmethod
+    def hasattr(chunk: NDArray, attr: str) -> bool:
+        """Whether a chunk contains the named column (reference:
+        /root/reference/src/yaw/datachunk.py:308)."""
+        return attr in chunk.dtype.fields
 
     @staticmethod
     def getattr(chunk: NDArray, attr: str, default=None):

@@ -55,15 +55,25 @@ class RandomsBase(ABC, HandlesDataChunk):
         )
         self.weights = None if weights is None else np.asarray(weights)
         self.redshifts = None if redshifts is None else np.asarray(redshifts)
-        if (
-            self.weights is not None
-            and self.redshifts is not None
-            and len(self.weights) != len(self.redshifts)
-        ):
+        self.data_size = self.get_data_size()
+        self.reseed(seed)
+
+    def get_data_size(self) -> int:
+        """Number of attached data samples to draw from, or -1 when
+        neither weights nor redshifts are attached; raises ``ValueError``
+        on mismatched lengths (reference:
+        /root/reference/src/yaw/randoms.py:58-84)."""
+        if self.weights is None and self.redshifts is None:
+            return -1
+        if self.weights is None:
+            return len(self.redshifts)
+        if self.redshifts is None:
+            return len(self.weights)
+        if len(self.weights) != len(self.redshifts):
             raise ValueError(
                 "number of 'weights' and 'redshifts' to draw from does not match"
             )
-        self.reseed(seed)
+        return len(self.weights)
 
     def reseed(self, seed: int | None = None) -> None:
         """Reset the random state (seed expansion identical to the
@@ -94,6 +104,23 @@ class RandomsBase(ABC, HandlesDataChunk):
         ra, dec = self._draw_coords(probe_size)
         attrs = self._draw_attributes(probe_size)
         return DataChunk.create(ra, dec, degrees=False, **attrs)
+
+    def generate_dataframe(self, probe_size: int, *, degrees: bool = True):
+        """Draw a new sample of random points into a pandas DataFrame,
+        coordinates in degrees by default (reference:
+        /root/reference/src/yaw/randoms.py:153-185)."""
+        try:
+            import pandas as pd
+        except ImportError as err:  # pandas is an optional dependency
+            raise ImportError(
+                "optional dependency 'pandas' required to generate DataFrames"
+            ) from err
+
+        df = pd.DataFrame.from_records(self(probe_size))
+        if degrees:
+            df["ra"] = np.rad2deg(df["ra"])
+            df["dec"] = np.rad2deg(df["dec"])
+        return df
 
 
 class BoxRandoms(RandomsBase):
