@@ -563,6 +563,11 @@ def main() -> None:
         "value": round(pairs_per_sec, 1),
         "unit": "candidate pairs/s",
         "vs_baseline": round(t_cpu / t_tpu, 2),
+        # the inputs of vs_baseline, so round-over-round changes in the
+        # ratio can be attributed: the CPU baseline is re-measured live
+        # and varies with ambient machine load
+        "cpu_baseline_s": round(t_cpu, 2),
+        "tpu_warm_s": round(t_tpu, 4),
         "warm_medians_s": warm_medians,
         "warm_runs": WARM_RUNS,
         "stress_256_pairs_per_s": round(stress_pairs_per_sec, 1),
