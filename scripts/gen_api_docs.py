@@ -138,11 +138,19 @@ def clean_doc(obj) -> str:
 
 
 def first_line(obj) -> str:
+    """First sentence of the docstring (whole first paragraph joined, cut
+    at the first sentence end — a physical line break must not truncate
+    the summary mid-sentence)."""
     doc = clean_doc(obj)
     if not doc:
         return ""
-    line = doc.splitlines()[0].strip()
-    return line
+    paragraph = " ".join(
+        line.strip() for line in doc.split("\n\n")[0].splitlines()
+    )
+    for stop in (". ", ".\t"):
+        if stop in paragraph:
+            return paragraph[: paragraph.index(stop) + 1]
+    return paragraph
 
 
 def document_class(name: str, cls) -> list[str]:

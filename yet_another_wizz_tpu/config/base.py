@@ -91,9 +91,14 @@ class Parameter:
             raise ConfigError("value is required and cannot be None", self.name)
         try:
             parsed = self.to_type(value)
-        except (TypeError, ValueError) as err:
+        except ConfigError:
+            raise
+        except Exception as err:
+            # any converter failure (incl. KeyError/AttributeError from a
+            # custom to_type) must carry the dotted parameter path
             raise ConfigError(
-                f"cannot convert to type {self.type.__name__}: {err}", self.name
+                f"cannot convert to type {self.type.__name__}: {err!r}",
+                self.name,
             ) from err
         if self.choices and parsed not in self.choices:
             options = ", ".join(str(c) for c in self.choices)
@@ -121,7 +126,10 @@ class Parameter:
         pad = "  " * indent
         comment = self.help.rstrip()
         if self.required:
-            comment = comment.rstrip(".") + ", required"
+            # keep a trailing period where the help text had one
+            # (reference: /root/reference/src/yaw/config/base.py:281-283)
+            end = "." if comment.endswith(".") else ""
+            comment = comment.rstrip(".") + ", required" + end
         if self.has_choices:
             options = ", ".join(str(c) for c in self.choices)
             comment += f" (choices: {options})"
@@ -143,9 +151,11 @@ class SequenceParameter(Parameter):
             value = [value]
         try:
             return [self.to_type(item) for item in value]
-        except (TypeError, ValueError) as err:
+        except ConfigError:
+            raise
+        except Exception as err:
             raise ConfigError(
-                f"cannot convert items to type {self.type.__name__}: {err}",
+                f"cannot convert items to type {self.type.__name__}: {err!r}",
                 self.name,
             ) from err
 
@@ -274,19 +284,12 @@ class BaseConfig(ABC):
     @classmethod
     def format_yaml_doc(cls, indent: int = 0) -> str:
         """Render a fully commented YAML document of all parameters with
-        their defaults and help strings (used by the CLI ``--dump``)."""
+        their defaults and help strings, one
+        :meth:`Parameter.format_yaml_doc` line per parameter."""
         pad = "  " * indent
         lines = []
-        for name, param in cls._spec.params.items():
-            default = param.default if param.default is not NotSet else "<required>"
-            choices = (
-                f" (choices: {', '.join(str(c) for c in param.choices)})"
-                if param.choices
-                else ""
-            )
-            lines.append(f"{pad}# {param.help}{choices}")
-            shown = param.as_builtin(default) if default != "<required>" else default
-            lines.append(f"{pad}{name}: {shown}")
+        for param in cls._spec.params.values():
+            lines.append(param.format_yaml_doc(indent))
         for name, section in cls._spec.sections.items():
             lines.append(f"{pad}{name}:")
             lines.append(section.format_yaml_doc(indent + 1))

@@ -14,7 +14,6 @@ from __future__ import annotations
 from typing import TYPE_CHECKING
 
 import numpy as np
-import yaml
 
 from yet_another_wizz_tpu.binning import Binning, parse_binning
 from yet_another_wizz_tpu.config.base import (

@@ -103,7 +103,12 @@ class RandomsBase(ABC, HandlesDataChunk):
         """Generate ``probe_size`` random points as a structured chunk."""
         ra, dec = self._draw_coords(probe_size)
         attrs = self._draw_attributes(probe_size)
-        return DataChunk.create(ra, dec, degrees=False, **attrs)
+        # generated values are finite by construction — skip the
+        # full-column finiteness scan (reference:
+        # /root/reference/src/yaw/randoms.py:148-150)
+        return DataChunk.create(
+            ra, dec, degrees=False, chkfinite=False, **attrs
+        )
 
     def generate_dataframe(self, probe_size: int, *, degrees: bool = True):
         """Draw a new sample of random points into a pandas DataFrame,
