@@ -92,6 +92,17 @@ class TestCorrDataAscii:
         assert_array_almost_equal(clone.data, corr.data)
         assert_array_almost_equal(clone.samples, corr.samples)
 
+    def test_single_bin_roundtrip(self, rng, tmp_path):
+        # a one-row file must not collapse to 1-D on load
+        binning = Binning([0.1, 0.5])
+        corr = CorrData(binning, np.array([2.0]), rng.normal(size=(8, 1)))
+        corr.to_files(tmp_path / "corr")
+        clone = CorrData.from_files(tmp_path / "corr")
+        assert clone.binning == corr.binning
+        assert_array_almost_equal(clone.data, corr.data)
+        assert clone.samples.shape == (8, 1)
+        assert_array_almost_equal(clone.samples, corr.samples)
+
     def test_closed_left_preserved(self, rng, tmp_path):
         binning = Binning([0.1, 0.3, 0.5], closed="left")
         corr = CorrData(binning, np.ones(2), np.ones((4, 2)))

@@ -43,6 +43,21 @@ class TestMisc:
         assert format_time(0.0) == "0m00.00s"
         assert format_time(83.5) == "1m23.50s"
 
+    def test_thread_limit_override(self, monkeypatch):
+        from yet_another_wizz_tpu.utils.misc import (
+            host_thread_count,
+            thread_limit,
+        )
+
+        monkeypatch.setenv("YAWT_NUM_THREADS", "7")
+        with thread_limit(2):
+            # an active per-call limit beats the environment
+            assert host_thread_count() == 2
+            assert host_thread_count(16) == 2
+            with thread_limit(None):  # no-op, keeps the outer limit
+                assert host_thread_count() == 2
+        assert host_thread_count() == 7
+
     def test_host_thread_count(self, monkeypatch):
         from yet_another_wizz_tpu.utils.misc import host_thread_count
 

@@ -587,6 +587,7 @@ class Catalog(Mapping):
         chunksize: int | None = None,
         streaming: bool | None = None,
         progress: bool = False,
+        max_workers: int | None = None,
         **_ignored,
     ) -> Self:
         """Create a catalog from a FITS / HDF5 / Parquet / CSV file.
@@ -594,7 +595,46 @@ class Catalog(Mapping):
         Inputs larger than one chunk are streamed through patch assignment
         into the disk cache with bounded memory (``streaming`` forces or
         disables this; it requires a ``cache_directory``).
+
+        ``max_workers`` bounds the host worker pools of the ingestion
+        (e.g. the parallel patch-cache reads when the catalog is
+        assembled), the per-call analogue of ``YAWT_NUM_THREADS``.
         """
+        from yet_another_wizz_tpu.utils.misc import thread_limit
+
+        with thread_limit(max_workers):
+            return cls._from_file_impl(
+                cache_directory, path,
+                ra_name=ra_name, dec_name=dec_name,
+                weight_name=weight_name, redshift_name=redshift_name,
+                kappa_name=kappa_name, patch_name=patch_name,
+                patch_centers=patch_centers, patch_num=patch_num,
+                degrees=degrees, overwrite=overwrite,
+                probe_size=probe_size, chunksize=chunksize,
+                streaming=streaming, progress=progress,
+            )
+
+    @classmethod
+    def _from_file_impl(
+        cls: type[Self],
+        cache_directory,
+        path,
+        *,
+        ra_name,
+        dec_name,
+        weight_name,
+        redshift_name,
+        kappa_name,
+        patch_name,
+        patch_centers,
+        patch_num,
+        degrees,
+        overwrite,
+        probe_size,
+        chunksize,
+        streaming,
+        progress,
+    ) -> Self:
         from yet_another_wizz_tpu.catalog.readers import new_filereader
 
         columns = dict(

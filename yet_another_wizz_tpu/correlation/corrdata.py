@@ -96,7 +96,12 @@ def cov_from_samples(
     if kind == CovKind.var:
         covmat = np.diag(np.diag(covmat))
     elif kind == CovKind.diag:
-        # keep main diagonal plus the diagonals of cross-set blocks
+        # keep the main diagonal plus the diagonals at every cumulative
+        # set-size offset — reference-identical semantics
+        # (/root/reference/src/yaw/correlation/corrdata.py:88-101),
+        # including its quirks for sets of UNEQUAL size (off-diagonals
+        # within a larger set at a matching offset survive, cross-set
+        # diagonals at non-prefix-sum offsets are dropped)
         keep = np.zeros_like(covmat, dtype=bool)
         np.fill_diagonal(keep, True)
         offset = 0
@@ -313,7 +318,7 @@ class CorrData(AsciiSerializable, SampledData):
     """A correlation function (or similar binned statistic) with samples,
     serialisable to the reference's three-file ASCII format."""
 
-    __slots__ = ("binning", "data", "samples", "method")
+    __slots__ = ()  # storage slots live on SampledData
 
     @property
     def _description_data(self) -> str:
@@ -355,13 +360,18 @@ class CorrData(AsciiSerializable, SampledData):
             prefix = Path(path_prefix)
             closed = str(self.binning.closed)
 
+            # one covariance evaluation serves both the error column and
+            # the .cov file
+            covariance = self.covariance
+            error = np.sqrt(np.diag(covariance))
+
             _write_data_file(
                 prefix.with_suffix(".dat"),
                 self._description_data,
                 self.binning.left,
                 self.binning.right,
                 self.data,
-                self.error,
+                error,
                 closed,
             )
             _write_samples_file(
@@ -377,7 +387,7 @@ class CorrData(AsciiSerializable, SampledData):
             _write_covariance_file(
                 prefix.with_suffix(".cov"),
                 self._description_covariance,
-                self.covariance,
+                covariance,
             )
 
         run_on_root(write_on_root)
@@ -418,7 +428,8 @@ def _write_data_file(path, description, zleft, zright, data, error, closed):
 
 def _load_data_file(path):
     _, _, closed = _read_header(Path(path))
-    zleft, zright, data, error = np.loadtxt(path).T
+    # ndmin: a single-bin file must not collapse to a 1-D row
+    zleft, zright, data, error = np.loadtxt(path, ndmin=2).T
     edges = np.append(zleft, zright[-1])
     return edges, closed, data, error
 
@@ -441,7 +452,8 @@ def _write_samples_file(
 
 
 def _load_samples_file(path):
-    samples = np.loadtxt(path).T[2:]  # strip the two binning columns
+    # ndmin: a single-bin file must not collapse to a 1-D row
+    samples = np.loadtxt(path, ndmin=2).T[2:]  # strip the binning columns
     # the description line records the resampling method that produced the
     # samples (e.g. "64 correlation function jackknife samples")
     method = ResamplingMethod.jackknife

@@ -96,6 +96,10 @@ class BaseCorrFunc(
         if type(dd) is not self._counts_type:
             raise TypeError(f"pair counts must be of type {self._counts_type}")
         if not optional:
+            # reference-identical: concrete __init__s always pass their
+            # keyword Nones, so a dd-only instance constructs fine (as in
+            # /root/reference/src/yaw/correlation/corrfunc.py:122-126) and
+            # the missing-counts error surfaces at estimator time
             raise EstimatorError("missing at least one additional pair count")
 
         self._counts = dict(dd=dd)
@@ -291,7 +295,7 @@ class CorrFunc(BaseCorrFunc[NormalisedCounts]):
     :func:`~yet_another_wizz_tpu.autocorrelate`, one instance per scale.
     """
 
-    __slots__ = ("_counts",)
+    __slots__ = ()  # the storage slot lives on BaseCorrFunc
 
     _counts_type = NormalisedCounts
     _hdf_names = dict(
@@ -332,7 +336,7 @@ class CorrFunc(BaseCorrFunc[NormalisedCounts]):
 class ScalarCorrFunc(CorrFunc):
     """Pair counts of a scalar-field (kappa) correlation measurement."""
 
-    __slots__ = ("_counts",)
+    __slots__ = ()  # the storage slot lives on BaseCorrFunc
 
     _counts_type = NormalisedScalarCounts
     _hdf_names = dict(dd="data_data", dr="data_random")

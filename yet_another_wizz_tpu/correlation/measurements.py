@@ -228,7 +228,15 @@ class PatchLinkage:
         host-side fetch and post-processing happen at call time — used by
         the measurement functions to overlap the transfers of one count
         type with the queued device compute of the next.
+
+        ``max_workers`` bounds the HOST worker pools this count creates
+        (the float64 ``oracle`` backend processes, audit recomputation,
+        parallel cache reads) — device-side parallelism is controlled by
+        ``mesh``/``data_sharding`` instead. The reference's knob bounds
+        its CPU counting pool (/root/reference/src/yaw/utils/parallel.py:53-85).
         """
+        from yet_another_wizz_tpu.utils.misc import thread_limit
+
         if count_type_info is not None:
             logger.info("counting %s from patch pairs", count_type_info)
 
@@ -239,26 +247,30 @@ class PatchLinkage:
             binned2 = auto
 
         if max_resident_patches is not None:
-            counts, sum_weights = self._run_blocked(
-                catalog1, catalog2, auto=auto, binned2=binned2, mode=mode,
-                backend=backend, max_resident_patches=max_resident_patches,
-                mesh=mesh, data_sharding=data_sharding, progress=progress,
-                tile_cache=_tile_cache, audit=audit,
-            )
+            with thread_limit(max_workers):
+                counts, sum_weights = self._run_blocked(
+                    catalog1, catalog2, auto=auto, binned2=binned2,
+                    mode=mode, backend=backend,
+                    max_resident_patches=max_resident_patches,
+                    mesh=mesh, data_sharding=data_sharding,
+                    progress=progress, tile_cache=_tile_cache, audit=audit,
+                )
             result = [
                 NormalisedCounts(per_scale, sum_weights)
                 for per_scale in counts
             ]
             return (lambda: result) if _defer else result
 
-        finalize_engine = self._run_engine(
-            catalog1, catalog2, auto=auto, binned2=binned2, mode=mode,
-            backend=backend, audit=audit, mesh=mesh,
-            data_sharding=data_sharding, defer=True,
-        )
+        with thread_limit(max_workers):
+            finalize_engine = self._run_engine(
+                catalog1, catalog2, auto=auto, binned2=binned2, mode=mode,
+                backend=backend, audit=audit, mesh=mesh,
+                data_sharding=data_sharding, defer=True,
+            )
 
         def finish() -> list[NormalisedCounts]:
-            counts, sum_weights = finalize_engine()
+            with thread_limit(max_workers):
+                counts, sum_weights = finalize_engine()
             return [
                 NormalisedCounts(per_scale, sum_weights)
                 for per_scale in counts
@@ -293,12 +305,17 @@ class PatchLinkage:
         fetched (the same defer/finalize overlap the measurement
         functions use across count types)."""
         outer_defer = kwargs.pop("_defer", False)
+        count_type_info = kwargs.pop("count_type_info", None)
         kappa_deferred = self.count_pairs(
             main_catalog, *optional_catalog, mode=mode, **kwargs,
-            _defer=True,
+            count_type_info=count_type_info, _defer=True,
         )
         number_deferred = self.count_pairs(
             main_catalog, *optional_catalog, mode="nn", **kwargs,
+            count_type_info=(
+                None if count_type_info is None
+                else f"{count_type_info} normalisation (nn)"
+            ),
             _defer=True,
         )
 

@@ -451,8 +451,10 @@ class BaseNormalisedCounts(BinwisePatchwiseArray):
 
     def get_array(self) -> NDArray:
         """Counts normalised by the *total* patch-summed normalisation."""
-        norm = self._norm.sample_patch_sum()
-        return self._counts.get_array() / norm.data[:, None, None]
+        # only the totals are needed — skip the full jackknife resampling
+        # that sample_patch_sum would compute alongside them
+        norm = np.einsum("bij->b", self._norm.get_array())
+        return self._counts.get_array() / norm[:, None, None]
 
     def sample_patch_sum(
         self,

@@ -9,6 +9,7 @@ arrays, and fixed-width float formatting for the ASCII serialisation.
 
 from __future__ import annotations
 
+from contextvars import ContextVar
 from typing import TYPE_CHECKING
 
 import numpy as np
@@ -34,20 +35,57 @@ __all__ = [
     "format_long_num",
     "format_time",
     "write_yaml",
+    "host_thread_count",
+    "thread_limit",
 ]
 
 HDF_COMPRESSION = dict(fletcher32=True, compression="gzip", shuffle=True)
 """Default compression options applied to HDF5 datasets."""
 
 
+_THREAD_LIMIT_OVERRIDE: ContextVar[int | None] = ContextVar(
+    "yawt_thread_limit", default=None
+)
+
+
+def thread_limit(max_workers: int | None):
+    """Context manager bounding host worker pools created inside it.
+
+    The per-call analogue of the ``YAWT_NUM_THREADS`` environment knob:
+    every pool that sizes itself through :func:`host_thread_count` (the
+    float64 oracle processes, parallel patch-cache reopening) respects the
+    bound while the context is active. ``None`` is a no-op, mirroring the
+    reference's optional ``max_workers`` argument
+    (/root/reference/src/yaw/utils/parallel.py:53-85)."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _limit():
+        if max_workers is None:
+            yield
+            return
+        token = _THREAD_LIMIT_OVERRIDE.set(max(1, int(max_workers)))
+        try:
+            yield
+        finally:
+            _THREAD_LIMIT_OVERRIDE.reset(token)
+
+    return _limit()
+
+
 def host_thread_count(default: int | None = None) -> int | None:
     """Host-side worker-pool size from the environment.
 
-    Reads ``YAWT_NUM_THREADS`` and falls back to the reference's
+    An active :func:`thread_limit` context takes precedence; otherwise
+    reads ``YAWT_NUM_THREADS`` and falls back to the reference's
     ``YAW_NUM_THREADS`` (/root/reference/src/yaw/utils/parallel.py:75-85)
     so existing deployments keep their knob. Invalid values are ignored
     with a warning. Returns ``default`` when neither is set."""
     import os
+
+    override = _THREAD_LIMIT_OVERRIDE.get()
+    if override is not None:
+        return override
 
     for name in ("YAWT_NUM_THREADS", "YAW_NUM_THREADS"):
         env = os.environ.get(name)
