@@ -129,6 +129,32 @@ class TestInvalidSetups:
         with pytest.raises(ConfigError, match="redshift"):
             run(tmp_path, setup)
 
+    def test_missing_patch_source(self, data_files, tmp_path):
+        setup = base_setup(data_files, ["cross_corr"])
+        del setup["inputs"]["num_patches"]
+        with pytest.raises(ConfigError, match="patch source"):
+            run(tmp_path, setup)
+
+    def test_invalid_num_patches(self, data_files, tmp_path):
+        setup = base_setup(data_files, ["cross_corr"])
+        setup["inputs"]["num_patches"] = "plenty"
+        with pytest.raises(ConfigError, match="num_patches"):
+            run(tmp_path, setup)
+        setup["inputs"]["num_patches"] = 0
+        with pytest.raises(ConfigError, match="num_patches"):
+            run(tmp_path, setup)
+
+    def test_colliding_bin_indices(self, data_files, tmp_path):
+        setup = base_setup(data_files, ["cross_corr"])
+        # "1" and 1 collide after integer conversion — a silent dict
+        # collision would drop a tomographic bin
+        setup["inputs"]["unknown"]["path_data"] = {
+            "1": data_files["unknown"], 1: data_files["unknown"],
+        }
+        del setup["inputs"]["unknown"]["path_rand"]
+        with pytest.raises(ConfigError, match="not unique"):
+            run(tmp_path, setup)
+
     def test_mismatched_tomographic_rand_bins(self, data_files, tmp_path):
         setup = base_setup(data_files, ["cross_corr"])
         setup["inputs"]["unknown"]["path_rand"] = {2: data_files["randoms"]}
@@ -324,6 +350,39 @@ class TestCommandline:
         parsed = yaml.safe_load(template)
         assert set(parsed) == {"correlation", "inputs", "tasks"}
 
+    def test_dump_template_defaults_validate(
+        self, tmp_path, capsys, monkeypatch
+    ):
+        """The dumped defaults must form a RUNNABLE setup once the
+        catalog paths exist — a self-refuting template (e.g. a default
+        task whose required column is commented out) fails here."""
+        import yaml
+
+        from yet_another_wizz_tpu.cli.commandline import main
+        from yet_another_wizz_tpu.cli.config import ProjectConfig
+        from yet_another_wizz_tpu.cli.directory import ProjectDirectory
+        from yet_another_wizz_tpu.cli.tasks import TaskList
+
+        with pytest.raises(SystemExit):
+            main(["--dump"])
+        parsed = yaml.safe_load(capsys.readouterr().out)
+
+        monkeypatch.chdir(tmp_path)
+        for section in parsed["inputs"].values():
+            if not isinstance(section, dict):
+                continue
+            for key in ("path_data", "path_rand"):
+                value = section.get(key)
+                if value is None:
+                    continue
+                paths = value.values() if isinstance(value, dict) else [value]
+                for path in paths:
+                    Path(path).touch()
+
+        config = ProjectConfig.from_dict(parsed)
+        project = ProjectDirectory(tmp_path / "proj", config.bin_indices)
+        TaskList(project, config)  # every task's check_config passes
+
     def test_cli_end_to_end(self, data_files, tmp_path, capsys):
         import yaml
 
@@ -373,6 +432,37 @@ class TestLockFile:
         )
         # hist already complete; nothing rescheduled
         assert all(task.name != "hist" for task in resumed.tasks)
+
+
+class TestCacheLifecycle:
+    def test_overwrite_clears_external_cache(self, data_files, tmp_path):
+        """--overwrite on a project with an external (symlinked) cache
+        must clear the cache contents too, or the new run silently
+        reuses the old run's patch centers and catalogs."""
+        setup = base_setup(data_files, ["hist"])
+        setup["inputs"]["cache_path"] = str(tmp_path / "extcache")
+        run(tmp_path, setup)
+        stale = tmp_path / "extcache" / "patch_centers.npy"
+        assert stale.exists()
+        mtime = stale.stat().st_mtime_ns
+        run(tmp_path, setup, overwrite=True)
+        # the centers were re-derived, not reused
+        assert stale.stat().st_mtime_ns != mtime
+
+    def test_resume_reingests_truncated_cache(self, data_files, tmp_path):
+        """A crash mid-ingestion leaves catalog files without the
+        completion sentinel; resume must re-ingest, not silently measure
+        the truncated catalog."""
+        pipeline = run(tmp_path, base_setup(data_files, ["hist"]))
+        handle = pipeline.project.cache.unknown[1]
+        assert handle.exists()
+        handle._sentinel.unlink()  # simulate the crash
+        assert not handle.exists()
+        resumed = run_setup(
+            tmp_path / "project", setup_file=None, resume=True, quiet=True
+        )
+        assert any(task.name == "cache_unk" for task in resumed.tasks)
+        assert handle.exists()
 
 
 class TestTaskOptions:

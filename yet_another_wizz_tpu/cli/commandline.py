@@ -108,7 +108,8 @@ tasks:
   - auto_ref
   - cross_corr
   - estimate
-  - hist
+  # requires inputs.unknown.redshift:
+  # - hist
   - plot
 """
 

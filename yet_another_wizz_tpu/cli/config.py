@@ -152,6 +152,13 @@ class UnknownCatConfig(CatPairConfig):
             raise ConfigError(
                 f"cannot parse mapping keys to type int: {err}", name
             ) from err
+        if len(set(keys)) != len(keys):
+            # e.g. mixed 1 and "1", or floats truncating to the same int:
+            # a silent dict collision would drop a tomographic bin
+            raise ConfigError(
+                "bin indices are not unique after integer conversion",
+                name,
+            )
         return {
             key: _checked_path(value)
             for key, value in zip(keys, paths.values())
@@ -182,6 +189,20 @@ class InputsConfig:
     ) -> None:
         self.reference = reference
         self.unknown = unknown
+        if num_patches is not None:
+            # validate up front: a bad value must not surface as a raw
+            # error deep inside ingestion after reading the input file
+            try:
+                num_patches = int(num_patches)
+            except (TypeError, ValueError) as err:
+                raise ConfigError(
+                    f"cannot parse to type int: {num_patches!r}",
+                    "num_patches",
+                ) from err
+            if num_patches < 1:
+                raise ConfigError(
+                    "at least one patch is required", "num_patches"
+                )
         self.num_patches = num_patches
         self.cache_path = None if cache_path is None else Path(cache_path)
 

@@ -98,8 +98,24 @@ class CacheHandle(Handle):
     def rand(self) -> Handle:
         return Handle(self.path / "rand")
 
+    @property
+    def _sentinel(self) -> Path:
+        return self.path / ".complete"
+
     def exists(self) -> bool:
-        return self.data.path.exists()
+        """Whether the pair was cached COMPLETELY.
+
+        Requires the sentinel written after a successful ingestion — a
+        crash mid-stream leaves patch files of a truncated catalog on
+        disk, which a bare directory check would happily resume into."""
+        return self.data.path.exists() and self._sentinel.exists()
+
+    def mark_complete(self) -> None:
+        """Record that both catalogs of the pair finished ingesting
+        (root-only in multi-process jobs; see :meth:`exists`)."""
+        from yet_another_wizz_tpu.parallel.distributed import run_on_root
+
+        run_on_root(self._sentinel.touch)
 
     @staticmethod
     def _load(path: Path, lazy: bool):
@@ -320,17 +336,6 @@ class ProjectDirectory:
             self.indices_file.write_text,
             ",".join(str(i) for i in self.indices),
         )
-
-    @classmethod
-    def open(cls, path: Path | str) -> ProjectDirectory:
-        """Reopen an existing project, restoring the bin indices."""
-        path = Path(path)
-        indices_file = path / ".project_info"
-        if not indices_file.exists():
-            raise FileNotFoundError(f"not a project directory: {path}")
-        text = indices_file.read_text().strip()
-        indices = [int(i) for i in text.split(",")] if text else []
-        return cls(path, indices)
 
     @property
     def indices_file(self) -> Path:

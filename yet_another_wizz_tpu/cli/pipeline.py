@@ -145,6 +145,12 @@ class Pipeline:
             def remove_project() -> None:
                 import shutil
 
+                # an external (symlinked) cache belongs to this project:
+                # clear its CONTENTS too, or the new run silently reuses
+                # the old run's patch centers and cached catalogs
+                cache = wdir / "cache"
+                if cache.is_symlink():
+                    shutil.rmtree(cache.resolve(), ignore_errors=True)
                 shutil.rmtree(wdir)
 
             run_on_root(remove_project)

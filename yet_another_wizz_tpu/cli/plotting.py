@@ -96,9 +96,13 @@ def plot_redshift_estimates(project: ProjectDirectory) -> bool:
 
 
 def plot_histograms(project: ProjectDirectory) -> bool:
-    """Grid of true redshift histograms (when no estimate exists)."""
+    """Grid of true redshift histograms (when no estimate exists — the
+    estimate plot already overlays them)."""
     handles = project.true.nz_true
     if not handles.exists() or len(handles) == 0:
+        return False
+    estimates = project.estimate.nz_est
+    if estimates.exists() and len(estimates) > 0:
         return False
     import matplotlib.pyplot as plt
 

@@ -70,6 +70,11 @@ class Task(ABC):
         self.project = project
         self.config = config
         self.progress = progress
+        # the CLI --workers flag overrides the setup file's
+        # correlation.max_workers, like the reference
+        # (/root/reference/src/yaw/cli/commandline.py:129-134)
+        if max_workers is None:
+            max_workers = config.correlation.max_workers
         self.max_workers = max_workers
         self.options = dict(options or {})
         unknown = set(self.options) - set(self.allowed_options)
@@ -110,6 +115,24 @@ class Task(ABC):
                 "inputs.unknown",
             )
 
+    def _require_patch_source(self, pair_config) -> None:
+        """A cache task needs SOME patch source up front — failing here
+        with the YAML path beats a raw ValueError deep inside ingestion
+        after the input file was already read."""
+        if pair_config.get_columns()["patches"] is not None:
+            return
+        if self.config.inputs.num_patches is not None:
+            return
+        # safe local read: validation runs before any task writes
+        if self.project.cache.get_patch_centers() is not None:
+            return
+        raise ConfigError(
+            f"task '{self.name}' has no patch source: set 'num_patches', "
+            "a 'patches' column, or reuse a cache with stored patch "
+            "centers",
+            "inputs.num_patches",
+        )
+
 
 def _create_catalog_pair(project, pair_config, cache_handle, num_patches,
                          *, progress, max_workers):
@@ -118,6 +141,7 @@ def _create_catalog_pair(project, pair_config, cache_handle, num_patches,
     catalog is created first so patch centers derive from the (smoother)
     randoms when generated here."""
     from yet_another_wizz_tpu.catalog import Catalog
+    from yet_another_wizz_tpu.parallel.distributed import run_on_root
 
     columns = pair_config.get_columns()
     jobs = [
@@ -131,8 +155,11 @@ def _create_catalog_pair(project, pair_config, cache_handle, num_patches,
         if columns["patches"] is not None:
             patch_args = dict(patch_name=columns["patches"])
         else:
+            # root's filesystem view, broadcast: a lagging rank reading
+            # the centers file locally could miss root's in-flight write
+            # and kmeans its own, diverging centers inside collectives
             patch_args = dict(
-                patch_centers=project.cache.get_patch_centers(),
+                patch_centers=run_on_root(project.cache.get_patch_centers),
                 patch_num=num_patches,
             )
         catalog = Catalog.from_file(
@@ -149,6 +176,7 @@ def _create_catalog_pair(project, pair_config, cache_handle, num_patches,
             max_workers=max_workers,
         )
         project.cache.ensure_patch_centers(catalog.get_centers())
+    cache_handle.mark_complete()
 
 
 class CacheRefTask(Task):
@@ -156,6 +184,7 @@ class CacheRefTask(Task):
 
     def check_config(self, scheduled: set[str]) -> None:
         self._require_reference()
+        self._require_patch_source(self.config.inputs.reference)
 
     def completed(self) -> bool:
         return self.project.cache.reference.exists()
@@ -176,6 +205,7 @@ class CacheUnkTask(Task):
 
     def check_config(self, scheduled: set[str]) -> None:
         self._require_unknown()
+        self._require_patch_source(self.config.inputs.unknown)
 
     def completed(self) -> bool:
         return self.project.cache.unknown.exists()
@@ -186,8 +216,7 @@ class CacheUnkTask(Task):
         unknown = self.config.inputs.unknown
         for index, data_path, rand_path in unknown.iter_bins():
             pair = CatPairConfig(
-                data_path, rand_path,
-                **{k: v for k, v in unknown.get_columns().items()},
+                data_path, rand_path, **unknown.get_columns()
             )
             _create_catalog_pair(
                 self.project,
