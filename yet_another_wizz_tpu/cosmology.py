@@ -141,8 +141,17 @@ class FLRWCosmology(CustomCosmology):
         else:
             self._Ogamma0 = 0.0
 
-        n_nu = max(len(self.m_nu), 3) if self.Neff > 0 else 0
-        massive = self.m_nu[self.m_nu > 0]
+        # astropy convention: floor(Neff) neutrino species, each carrying
+        # Neff/floor(Neff) effective degrees of freedom; the mass vector
+        # must name every species (or none) — silently inventing phantom
+        # massless species would change Ode0 and every distance
+        n_nu = int(np.floor(self.Neff)) if self.Neff > 0 else 0
+        if len(self.m_nu) and n_nu and len(self.m_nu) != n_nu:
+            raise ValueError(
+                f"unexpected number of neutrino masses: expected {n_nu} "
+                f"(= floor(Neff)), got {len(self.m_nu)}"
+            )
+        massive = self.m_nu[self.m_nu > 0] if n_nu else np.empty(0)
         self._n_massless = n_nu - len(massive)
         self._neff_per_nu = self.Neff / n_nu if n_nu else 0.0
         if len(massive) and self.Tcmb0 > 0:

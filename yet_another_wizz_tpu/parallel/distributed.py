@@ -64,8 +64,20 @@ def initialize(
     reference running under ``mpirun``
     (/root/reference/src/yaw/utils/parallel.py:75-101).
     """
-    global _initialized
+    global _initialized, _multiprocess
     if _initialized:
+        if not _multiprocess and (
+            coordinator_address is not None
+            or process_count not in (None, 1)
+        ):
+            # an earlier argument-less call latched single-host mode; a
+            # silent no-op here would strand this process outside the
+            # cluster while its peers block in the coordinator
+            raise RuntimeError(
+                "initialize() was already called in single-host mode; "
+                "a multi-host cluster must be initialised before any "
+                "argument-less initialize() call"
+            )
         return
 
     coordinator_address = coordinator_address or os.environ.get(
@@ -94,7 +106,6 @@ def initialize(
         num_processes=process_count,
         process_id=process_id,
     )
-    global _multiprocess
     _multiprocess = True
     _initialized = True
     logger.info(
@@ -152,18 +163,11 @@ def barrier(name: str = "yawt_barrier") -> None:
     multihost_utils.sync_global_devices(name)
 
 
-def broadcast(value: Any, *, is_source: bool | None = None) -> Any:
-    """Broadcast an arbitrary picklable host-side value from the root
-    process to all processes (the analogue of the reference's recursive
-    ``bcast_auto``; small metadata only — bulk data stays sharded)."""
-    if num_processes() == 1:
-        return value
+def _broadcast_payload(payload: bytes, *, is_source: bool) -> bytes:
+    """Wire part of :func:`broadcast`: send pre-pickled bytes from the
+    root to all processes and return them everywhere."""
     from jax.experimental import multihost_utils
 
-    if is_source is None:
-        is_source = on_root()
-
-    payload = pickle.dumps(value) if is_source else b""
     data = np.frombuffer(payload, dtype=np.uint8)
     # exchange the length first, then the padded payload
     length = multihost_utils.broadcast_one_to_all(
@@ -174,7 +178,20 @@ def broadcast(value: Any, *, is_source: bool | None = None) -> Any:
     result = multihost_utils.broadcast_one_to_all(
         buffer, is_source=is_source
     )
-    return pickle.loads(result.tobytes())
+    return result.tobytes()
+
+
+def broadcast(value: Any, *, is_source: bool | None = None) -> Any:
+    """Broadcast an arbitrary picklable host-side value from the root
+    process to all processes (the analogue of the reference's recursive
+    ``bcast_auto``; small metadata only — bulk data stays sharded)."""
+    if num_processes() == 1:
+        return value
+    if is_source is None:
+        is_source = on_root()
+
+    payload = pickle.dumps(value) if is_source else b""
+    return pickle.loads(_broadcast_payload(payload, is_source=is_source))
 
 
 def picklable_exception(exc: BaseException) -> BaseException:
@@ -199,27 +216,34 @@ def run_on_root(func: Callable, *args: Any, **kwargs: Any) -> Any:
     terminates with the real error."""
     if num_processes() == 1:
         return func(*args, **kwargs)
-    outcome = None
+    wire = b""
     if on_root():
         try:
             outcome = ("ok", func(*args, **kwargs))
         except BaseException as exc:
             outcome = ("error", exc)
-        # both branches must survive the pickled broadcast IN BOTH
-        # directions: a pickle failure inside broadcast would strand the
-        # non-root processes in the collective, and an unpickling failure
-        # on the receiving ranks is just as fatal — hence the round trip
+        # the outcome must survive the pickled broadcast IN BOTH
+        # directions: a pickle failure here would strand the non-root
+        # processes in the collective, and an unpickling failure on the
+        # receiving ranks is just as fatal. Verify once and send the
+        # SAME bytes — no second serialisation of a large payload.
         try:
-            pickle.loads(pickle.dumps(outcome))
+            wire = pickle.dumps(outcome)
+            pickle.loads(wire)
         except Exception:
             status, payload = outcome
-            outcome = (
-                "error",
-                RuntimeError(
-                    f"root outcome is not picklable ({status}): {payload!r}"
-                ),
+            wire = pickle.dumps(
+                (
+                    "error",
+                    RuntimeError(
+                        f"root outcome is not picklable ({status}): "
+                        f"{payload!r}"
+                    ),
+                )
             )
-    status, payload = broadcast(outcome)
+    status, payload = pickle.loads(
+        _broadcast_payload(wire, is_source=on_root())
+    )
     if status == "error":
         raise payload
     return payload

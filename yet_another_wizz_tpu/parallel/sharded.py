@@ -114,6 +114,10 @@ def auto_mesh() -> Mesh | None:
     available = len(jax.devices())
     if num_devices is not None:
         num_devices = min(num_devices, available)
+        if num_devices <= 1:
+            # e.g. YAWT_NUM_DEVICES=8 on a one-chip host: a 1-device
+            # mesh would pay shard_map/psum overhead for no parallelism
+            return None
     elif available <= 1:
         return None
     return default_mesh(num_devices)
@@ -294,7 +298,15 @@ def count_pairs_sharded(
 
     table = jnp.asarray(chord2_table, dtype=jnp.float32)
     if pairs.num_pairs == 0:
-        return np.zeros((num_slots, *table.shape), dtype=np.float64)
+        # same result contract as count_pairs_tiles: in direct mode the
+        # edge axis covers only the COUNTING columns, not the combined
+        # table's parameter columns (ops/paircount.py:570-573)
+        from yet_another_wizz_tpu.ops.gweight import counting_width
+
+        width = counting_width(table.shape[1], direct)
+        return np.zeros(
+            (num_slots, table.shape[0], width), dtype=np.float64
+        )
 
     replicated = NamedSharding(mesh, P())
     sharded = NamedSharding(mesh, P(MESH_AXIS))

@@ -21,8 +21,9 @@ import numpy as np
 
 from yet_another_wizz_tpu.binning import Binning
 from yet_another_wizz_tpu.correlation.corrdata import CorrData
-from yet_another_wizz_tpu.options import Closed, PlotStyle, ResamplingMethod
+from yet_another_wizz_tpu.options import PlotStyle, ResamplingMethod
 from yet_another_wizz_tpu.correlation.paircounts import (
+    BOOTSTRAP_SEED,
     DEFAULT_NUM_BOOTSTRAP,
     bootstrap_multiplicities,
 )
@@ -48,19 +49,14 @@ def _histogram_rows(
 ) -> NDArray:
     """Per-patch weighted histogram of one batch of rows, shape (P, B).
 
-    Mirrors the reference's edge handling: numpy closes both outer edges,
-    so the open outer edge is masked away explicitly.
+    Unlike ``np.histogram`` (which closes both outer edges), the digitize
+    path drops values on the open outer edge by itself: with
+    ``closed=right`` a value equal to ``edges[0]`` digitizes below the
+    first bin, with ``closed=left`` a value equal to ``edges[-1]``
+    digitizes past the last — both fail the ``valid`` check.
     """
-    if binning.closed == Closed.right:
-        mask = redshifts > binning.edges[0]
-    else:
-        mask = redshifts < binning.edges[-1]
-
-    weights = weights[mask] if weights is not None else None
-    patch_ids = patch_ids[mask]
-
     num_bins = len(binning)
-    bin_idx = binning.digitize(redshifts[mask]) - 1
+    bin_idx = binning.digitize(redshifts) - 1
     valid = (bin_idx >= 0) & (bin_idx < num_bins)
     flat = patch_ids[valid].astype(np.int64) * num_bins + bin_idx[valid]
     histogram = np.bincount(
@@ -119,7 +115,7 @@ def resample_jackknife(observations: NDArray, patch_rows: bool = True) -> NDArra
 def resample_bootstrap(
     observations: NDArray,
     num_samples: int = DEFAULT_NUM_BOOTSTRAP,
-    seed: int = 12345,
+    seed: int = BOOTSTRAP_SEED,
 ) -> NDArray:
     """Bootstrap sums over the patch axis of per-patch observations."""
     mult = bootstrap_multiplicities(len(observations), num_samples, seed)
@@ -129,7 +125,7 @@ def resample_bootstrap(
 class HistData(CorrData):
     """A redshift histogram with patch-resampled samples and covariance."""
 
-    __slots__ = ("binning", "data", "samples", "method")
+    __slots__ = ()  # storage slots live on SampledData
 
     @classmethod
     def from_catalog(
@@ -197,7 +193,7 @@ class HistData(CorrData):
 class RedshiftData(CorrData):
     """The clustering redshift estimate n(z) with samples and covariance."""
 
-    __slots__ = ("binning", "data", "samples", "method")
+    __slots__ = ()  # storage slots live on SampledData
 
     @classmethod
     def from_corrdata(
