@@ -108,6 +108,23 @@ class TestFLRWCosmology:
         dc = open_cosmo.comoving_distance(1.0)
         assert dm > dc  # sinh expansion
 
+    def test_neutrino_species_validation(self):
+        """The mass vector must name all floor(Neff) species or none
+        (astropy convention); partial vectors would silently invent
+        phantom massless species and shift every distance."""
+        with pytest.raises(ValueError, match="neutrino masses"):
+            FLRWCosmology(
+                H0=70, Om0=0.3, Tcmb0=2.7255, Neff=3.046, m_nu=(0.06,)
+            )
+        full = FLRWCosmology(
+            H0=70, Om0=0.3, Tcmb0=2.7255, Neff=3.046, m_nu=(0, 0, 0.06)
+        )
+        none = FLRWCosmology(H0=70, Om0=0.3, Tcmb0=2.7255, Neff=3.046)
+        d_full = full.comoving_distance(1.0)
+        d_none = none.comoving_distance(1.0)
+        assert np.isfinite(d_full) and np.isfinite(d_none)
+        assert d_full != d_none  # the massive species changes Ode0
+
     def test_equality(self):
         clone = FLRWCosmology(
             H0=67.74, Om0=0.3089, Tcmb0=2.7255, Neff=3.046, m_nu=(0, 0, 0.06)

@@ -173,6 +173,57 @@ class TestDistributedHelpers:
         payload = {"config": [1, 2, 3]}
         assert parallel.broadcast(payload) == payload
 
+    def test_multihost_after_single_host_latch_raises(self):
+        """Once an argument-less initialize() latched single-host mode, a
+        later multi-host call must fail loudly — a silent no-op would
+        strand this process outside the cluster its peers are joining."""
+        from yet_another_wizz_tpu.parallel import distributed
+
+        distributed.initialize()  # latch (idempotent if already latched)
+        with pytest.raises(RuntimeError, match="single-host"):
+            distributed.initialize(
+                coordinator_address="127.0.0.1:9",
+                process_count=2,
+                process_id=1,
+            )
+        distributed.initialize()  # argument-less call stays a no-op
+
+
+def test_sharded_empty_pairs_result_shape(problem):
+    """An empty pair list returns the same result shape as the
+    single-device engine — in direct mode the edge axis covers only the
+    counting columns, not the appended parameter block."""
+    from yet_another_wizz_tpu.ops.gweight import counting_width, num_param_cols
+    from yet_another_wizz_tpu.ops.linkage import TilePairs
+
+    ts1, ts2, _, chord2 = problem
+    empty = TilePairs(
+        tile1=np.zeros(0, np.int32),
+        tile2=np.zeros(0, np.int32),
+        slot=np.zeros(0, np.int32),
+        slot_patches=np.array([[0, 0], [1, 1]]),
+    )
+    mesh = default_mesh(2)
+
+    out = count_pairs_sharded(ts1, ts2, empty, chord2, mesh=mesh)
+    single = count_pairs_tiles(ts1, ts2, empty, chord2, backend="xla")
+    assert out.shape == single.shape == (2, *chord2.shape)
+    assert not out.any()
+
+    direct = (chord2.shape[1], 1, 1)
+    combined = np.concatenate(
+        [chord2, np.zeros((chord2.shape[0], num_param_cols(1, 1)), np.float32)],
+        axis=1,
+    )
+    out_d = count_pairs_sharded(
+        ts1, ts2, empty, combined, mesh=mesh, direct=direct
+    )
+    single_d = count_pairs_tiles(
+        ts1, ts2, empty, combined, backend="xla", direct=direct
+    )
+    width = counting_width(combined.shape[1], direct)
+    assert out_d.shape == single_d.shape == (2, chord2.shape[0], width)
+
 
 def test_mesh_through_measurement_api():
     """`crosscorrelate(mesh=...)` runs the sharded engine and matches the

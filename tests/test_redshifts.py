@@ -65,6 +65,26 @@ class TestHistData:
         )
         assert_allclose(hist.data, expect, rtol=1e-10)
 
+    def test_exact_edge_values(self):
+        """Values exactly on the outer edges follow the binning's closed
+        semantics: closed=right drops z == edges[0], closed=left drops
+        z == edges[-1] (the digitize path, no explicit masking)."""
+        z = np.array([0.2, 0.2, 0.5, 0.8])
+        n = len(z)
+        catalog = Catalog.from_arrays(
+            np.linspace(10, 20, n),
+            np.linspace(-5, 5, n),
+            redshifts=z,
+            patch_num=2,
+        )
+        edges = np.array([0.2, 0.5, 0.8])
+        right = HistData.from_catalog(catalog, Binning(edges, closed="right"))
+        # bins (0.2, 0.5], (0.5, 0.8]: both z == 0.2 drop on the open edge
+        assert_allclose(right.data, [1, 1])
+        left = HistData.from_catalog(catalog, Binning(edges, closed="left"))
+        # bins [0.2, 0.5), [0.5, 0.8): z == 0.8 drops on the open edge
+        assert_allclose(left.data, [2, 1])
+
     def test_jackknife_samples(self, catalog, config):
         hist = HistData.from_catalog(catalog, config)
         assert hist.num_samples == catalog.num_patches
