@@ -124,6 +124,23 @@ class TestFLRWCosmology:
         d_none = none.comoving_distance(1.0)
         assert np.isfinite(d_full) and np.isfinite(d_none)
         assert d_full != d_none  # the massive species changes Ode0
+        # fractional Neff < 1 has no species to carry a mass vector
+        with pytest.raises(ValueError, match="no neutrino species"):
+            FLRWCosmology(
+                H0=70, Om0=0.3, Tcmb0=2.7255, Neff=0.5, m_nu=(0.06,)
+            )
+
+    def test_fractional_neff_relativistic_density(self):
+        """Massless neutrinos carry the FULL Neff in the radiation
+        density — including fractional Neff in (0, 1), where the
+        massive-species count floor(Neff) is zero."""
+        lo = FLRWCosmology(H0=70, Om0=0.3, Tcmb0=2.7255, Neff=0.5)
+        zero = FLRWCosmology(H0=70, Om0=0.3, Tcmb0=2.7255, Neff=0.0)
+        one = FLRWCosmology(H0=70, Om0=0.3, Tcmb0=2.7255, Neff=1.0)
+        d_lo = lo._nu_density_per_gamma(0.0)
+        assert d_lo > 0.0
+        assert_allclose(d_lo, one._nu_density_per_gamma(0.0) * 0.5)
+        assert zero._nu_density_per_gamma(0.0) == 0.0
 
     def test_equality(self):
         clone = FLRWCosmology(

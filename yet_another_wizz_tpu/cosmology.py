@@ -146,12 +146,18 @@ class FLRWCosmology(CustomCosmology):
         # must name every species (or none) — silently inventing phantom
         # massless species would change Ode0 and every distance
         n_nu = int(np.floor(self.Neff)) if self.Neff > 0 else 0
-        if len(self.m_nu) and n_nu and len(self.m_nu) != n_nu:
-            raise ValueError(
-                f"unexpected number of neutrino masses: expected {n_nu} "
-                f"(= floor(Neff)), got {len(self.m_nu)}"
-            )
-        massive = self.m_nu[self.m_nu > 0] if n_nu else np.empty(0)
+        if len(self.m_nu):
+            if n_nu == 0:
+                raise ValueError(
+                    "m_nu was given but Neff < 1 provides no neutrino "
+                    "species to carry the masses"
+                )
+            if len(self.m_nu) != n_nu:
+                raise ValueError(
+                    f"unexpected number of neutrino masses: expected "
+                    f"{n_nu} (= floor(Neff)), got {len(self.m_nu)}"
+                )
+        massive = self.m_nu[self.m_nu > 0]
         self._n_massless = n_nu - len(massive)
         self._neff_per_nu = self.Neff / n_nu if n_nu else 0.0
         if len(massive) and self.Tcmb0 > 0:
@@ -202,9 +208,12 @@ class FLRWCosmology(CustomCosmology):
         Uses the Komatsu et al. (2011) interpolation between the
         relativistic and non-relativistic regimes for massive species.
         """
-        if self._neff_per_nu == 0.0:
+        if self.Neff <= 0:
             return 0.0
         if len(self._nu_y) == 0:
+            # all species relativistic (no masses, or Tcmb0 == 0): the
+            # density carries the FULL Neff — including fractional Neff
+            # in (0, 1), where the species count floor(Neff) is zero
             return _NU_PREFAC * self.Neff
 
         z = np.asarray(z, dtype=np.float64)

@@ -65,21 +65,6 @@ def initialize(
     (/root/reference/src/yaw/utils/parallel.py:75-101).
     """
     global _initialized, _multiprocess
-    if _initialized:
-        if not _multiprocess and (
-            coordinator_address is not None
-            or process_count not in (None, 1)
-        ):
-            # an earlier argument-less call latched single-host mode; a
-            # silent no-op here would strand this process outside the
-            # cluster while its peers block in the coordinator
-            raise RuntimeError(
-                "initialize() was already called in single-host mode; "
-                "a multi-host cluster must be initialised before any "
-                "argument-less initialize() call"
-            )
-        return
-
     coordinator_address = coordinator_address or os.environ.get(
         ENV_COORDINATOR
     )
@@ -87,6 +72,23 @@ def initialize(
         process_count = int(os.environ[ENV_NUM_PROCESSES])
     if process_id is None and ENV_PROCESS_ID in os.environ:
         process_id = int(os.environ[ENV_PROCESS_ID])
+
+    if _initialized:
+        if not _multiprocess and (
+            coordinator_address is not None
+            or process_count not in (None, 1)
+        ):
+            # an earlier argument-less call latched single-host mode; a
+            # silent no-op here (whether the cluster is requested by
+            # argument or by the YAWT_* environment) would strand this
+            # process outside the cluster while its peers block in the
+            # coordinator
+            raise RuntimeError(
+                "initialize() was already called in single-host mode; "
+                "a multi-host cluster must be initialised before any "
+                "argument-less initialize() call"
+            )
+        return
 
     if coordinator_address is None and process_count in (None, 1):
         _initialized = True  # single host, nothing to set up
@@ -216,7 +218,6 @@ def run_on_root(func: Callable, *args: Any, **kwargs: Any) -> Any:
     terminates with the real error."""
     if num_processes() == 1:
         return func(*args, **kwargs)
-    wire = b""
     if on_root():
         try:
             outcome = ("ok", func(*args, **kwargs))
@@ -226,24 +227,28 @@ def run_on_root(func: Callable, *args: Any, **kwargs: Any) -> Any:
         # directions: a pickle failure here would strand the non-root
         # processes in the collective, and an unpickling failure on the
         # receiving ranks is just as fatal. Verify once and send the
-        # SAME bytes — no second serialisation of a large payload.
+        # SAME bytes — no second serialisation of a large payload, and
+        # the root uses its own (verified) outcome instead of
+        # deserialising the broadcast echo a second time.
         try:
             wire = pickle.dumps(outcome)
             pickle.loads(wire)
         except Exception:
             status, payload = outcome
-            wire = pickle.dumps(
-                (
-                    "error",
-                    RuntimeError(
-                        f"root outcome is not picklable ({status}): "
-                        f"{payload!r}"
-                    ),
-                )
+            outcome = (
+                "error",
+                RuntimeError(
+                    f"root outcome is not picklable ({status}): "
+                    f"{payload!r}"
+                ),
             )
-    status, payload = pickle.loads(
-        _broadcast_payload(wire, is_source=on_root())
-    )
+            wire = pickle.dumps(outcome)
+        _broadcast_payload(wire, is_source=True)
+        status, payload = outcome
+    else:
+        status, payload = pickle.loads(
+            _broadcast_payload(b"", is_source=False)
+        )
     if status == "error":
         raise payload
     return payload
