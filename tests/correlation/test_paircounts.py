@@ -80,11 +80,11 @@ class TestPatchedSumWeights:
 
 class TestPatchedCounts:
     def test_validation(self, binning):
-        with pytest.raises(ValueError, match="three-dimensional"):
+        with pytest.raises(ValueError, match="expected 3 axes"):
             PatchedCounts(binning, np.zeros((3, 4)), auto=False)
-        with pytest.raises(ValueError, match="match 'binning'"):
+        with pytest.raises(ValueError, match="redshift bins"):
             PatchedCounts(binning, np.zeros((2, 4, 4)), auto=False)
-        with pytest.raises(ValueError, match="num_patches"):
+        with pytest.raises(ValueError, match="square"):
             PatchedCounts(binning, np.zeros((3, 4, 5)), auto=False)
 
     def test_set_patch_pair(self, binning):
@@ -130,7 +130,7 @@ class TestNormalisedCounts:
         sw = PatchedSumWeights(
             binning, np.ones((3, 5)), np.ones((3, 5)), auto=False
         )
-        with pytest.raises(ValueError, match="number of patches"):
+        with pytest.raises(ValueError, match="num_patches"):
             NormalisedCounts(counts, sw)
 
     def test_hdf_roundtrip(self, binning, rng, tmp_path):

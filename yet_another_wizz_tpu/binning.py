@@ -3,7 +3,9 @@
 Capability parity with the reference ``yaw.binning``
 (/root/reference/src/yaw/binning.py:51-159): a :class:`Binning` container
 with edge/center/width accessors, slicing and iteration, HDF5 round trips
-(including the legacy v2 layout), and edge validation.
+(including the legacy v2 layout), and edge validation. The HDF5 group
+layout (``edges`` dataset + ``closed`` string dataset + version tag) is
+kept byte-compatible so pair-count files interoperate with the reference.
 """
 
 from __future__ import annotations
@@ -31,16 +33,27 @@ __all__ = [
 ]
 
 
-def parse_binning(edges: ArrayLike | None, *, optional: bool = False) -> NDArray | None:
-    """Validate an array of bin edges (1-dim, >= 2 entries, strictly
-    increasing). ``None`` passes through when ``optional``."""
-    if edges is None and optional:
-        return None
+def parse_binning(
+    edges: ArrayLike | None, *, optional: bool = False
+) -> NDArray | None:
+    """Coerce bin edges to a float64 array and validate them.
 
-    edges = np.asarray(edges, dtype=np.float64)
-    if edges.ndim != 1 or len(edges) < 2:
-        raise ValueError("bin edges must be one-dimensionals with length > 2")
-    if np.any(np.diff(edges) <= 0.0):
+    A valid binning is a one-dimensional sequence of at least two strictly
+    increasing values (``N + 1`` edges delimit ``N`` contiguous bins).
+    ``None`` passes through unchanged when ``optional`` is set.
+    """
+    if edges is None:
+        if optional:
+            return None
+        raise ValueError("bin edges are required but got None")
+
+    edges = np.atleast_1d(np.asarray(edges, dtype=np.float64))
+    if edges.ndim > 1:
+        raise ValueError(f"bin edges must be one-dimensional, got {edges.ndim} dims")
+    if edges.size < 2:
+        raise ValueError(f"need at least two bin edges, got {edges.size}")
+    widths = np.diff(edges)
+    if widths.min(initial=np.inf) <= 0.0:
         raise ValueError("bin edges must increase monotonically")
     return edges
 
@@ -69,10 +82,10 @@ class Binning(HdfSerializable):
 
     @classmethod
     def from_hdf(cls: type[Self], source: Group) -> Self:
-        return cls(
-            source["edges"][:],
-            closed=source["closed"][()].decode("utf-8"),
-        )
+        closed = source["closed"][()]
+        if isinstance(closed, bytes):
+            closed = closed.decode("utf-8")
+        return cls(source["edges"][:], closed=closed)
 
     def to_hdf(self, dest: Group) -> None:
         write_version_tag(dest)
@@ -80,34 +93,34 @@ class Binning(HdfSerializable):
         dest.create_dataset("edges", data=self.edges, **HDF_COMPRESSION)
 
     def __repr__(self) -> str:
-        lo, hi = self.edges[0], self.edges[-1]
-        brackets = "[)" if self.closed == Closed.left else "(]"
-        return f"{len(self)} bins @ {brackets[0]}{lo:.3f}...{hi:.3f}{brackets[1]}"
-
-    def __getstate__(self) -> dict:
-        return dict(edges=self.edges, closed=self.closed)
-
-    def __setstate__(self, state: dict) -> None:
-        self.edges = state["edges"]
-        self.closed = state["closed"]
+        closed_left = self.closed == Closed.left
+        interval = "{}{:.3f}...{:.3f}{}".format(
+            "[" if closed_left else "(",
+            self.edges[0],
+            self.edges[-1],
+            ")" if closed_left else "]",
+        )
+        return f"{len(self)} bins @ {interval}"
 
     def __len__(self) -> int:
-        return len(self.edges) - 1
+        return self.edges.size - 1
 
     def __getitem__(self, item: TypeSliceIndex) -> Binning:
+        # a slice of bins maps to a slice of edges one element longer; go
+        # through the per-bin (left, right) pairs so integer indexing,
+        # negative indices and strides all behave like a length-N sequence
         lefts = np.atleast_1d(self.left[item])
         rights = np.atleast_1d(self.right[item])
         return type(self)(np.append(lefts, rights[-1]), closed=self.closed)
 
     def __iter__(self) -> Iterator[Binning]:
-        for i in range(len(self)):
-            yield self[i]
+        return (self[i] for i in range(len(self)))
 
     def __eq__(self, other: Any) -> bool:
         if not isinstance(other, type(self)):
             return NotImplemented
-        return (
-            np.array_equal(self.edges, other.edges) and self.closed == other.closed
+        return self.closed == other.closed and np.array_equal(
+            self.edges, other.edges
         )
 
     __hash__ = None
@@ -115,7 +128,7 @@ class Binning(HdfSerializable):
     @property
     def mids(self) -> NDArray:
         """Centers of the bins."""
-        return 0.5 * (self.edges[:-1] + self.edges[1:])
+        return 0.5 * (self.left + self.right)
 
     @property
     def left(self) -> NDArray:
@@ -130,11 +143,11 @@ class Binning(HdfSerializable):
     @property
     def dz(self) -> NDArray:
         """Widths of the bins."""
-        return np.diff(self.edges)
+        return self.right - self.left
 
     def copy(self) -> Self:
         """Return a copy of this binning."""
-        return Binning(self.edges.copy(), closed=self.closed)
+        return type(self)(self.edges.copy(), closed=self.closed)
 
     def digitize(self, redshifts: ArrayLike) -> NDArray:
         """Assign each redshift to a 1-based bin index.
@@ -149,8 +162,9 @@ class Binning(HdfSerializable):
 
 
 def load_legacy_binning(source: Group) -> Binning:
-    """Load a binning from the reference's pre-v3 HDF5 layout, where bins are
-    stored as (left, right) pairs in a ``binning`` dataset."""
-    dataset = source["binning"]
-    left, right = dataset[:].T
-    return Binning(np.append(left, right[-1]), closed=dataset.attrs["closed"])
+    """Load a binning from the reference's pre-v3 HDF5 layout, where bins
+    are stored as an ``(N, 2)`` dataset of (left, right) pairs named
+    ``binning`` with the closed side in an attribute."""
+    pairs = source["binning"]
+    edges = np.concatenate([pairs[:, 0], pairs[-1:, 1]])
+    return Binning(edges, closed=pairs.attrs["closed"])

@@ -58,6 +58,33 @@ DEFAULT_NUM_BOOTSTRAP = 500
 BOOTSTRAP_SEED = 12345
 
 
+def _as_index_list(item: TypeSliceIndex) -> TypeSliceIndex:
+    """Normalise an integer index to a one-element list so that slicing a
+    tensor axis never drops the axis."""
+    return [item] if isinstance(item, int) else item
+
+
+def _check_tensor_shape(
+    name: str, array: NDArray, num_bins: int, ndim: int
+) -> NDArray:
+    """Coerce a per-bin tensor to float64 and check its layout: ``ndim``
+    axes total, bins leading, and (for 3-dim count tensors) square patch
+    axes."""
+    array = np.asarray(array, dtype=np.float64)
+    if array.ndim != ndim:
+        raise ValueError(f"{name}: expected {ndim} axes, got {array.ndim}")
+    if array.shape[0] != num_bins:
+        raise ValueError(
+            f"{name}: leading axis ({array.shape[0]}) must equal the "
+            f"number of redshift bins ({num_bins})"
+        )
+    if ndim == 3 and array.shape[1] != array.shape[2]:
+        raise ValueError(
+            f"{name}: patch axes must be square, got {array.shape[1:]}"
+        )
+    return array
+
+
 def bootstrap_multiplicities(
     num_patches: int,
     num_samples: int = DEFAULT_NUM_BOOTSTRAP,
@@ -169,21 +196,17 @@ class PatchedSumWeights(BinwisePatchwiseArray):
     ) -> None:
         self.binning = binning
         self.auto = auto
-
-        sum_weights1 = np.asarray(sum_weights1, dtype=np.float64)
-        sum_weights2 = np.asarray(sum_weights2, dtype=np.float64)
-        if sum_weights1.ndim != 2 or sum_weights2.ndim != 2:
-            raise ValueError("'sum_weights1/2' must be two-dimensional")
-        if sum_weights1.shape != sum_weights2.shape:
+        self.sum_weights1 = _check_tensor_shape(
+            "sum_weights1", sum_weights1, self.num_bins, ndim=2
+        )
+        self.sum_weights2 = _check_tensor_shape(
+            "sum_weights2", sum_weights2, self.num_bins, ndim=2
+        )
+        if self.sum_weights1.shape != self.sum_weights2.shape:
             raise ValueError(
-                "'sum_weights1' and 'sum_weights2' must have the same shape"
+                "the two sum-of-weights arrays disagree in shape: "
+                f"{self.sum_weights1.shape} vs {self.sum_weights2.shape}"
             )
-        if sum_weights1.shape[0] != self.num_bins:
-            raise ValueError(
-                "first dimension of 'sum_weights1/2' must match 'binning'"
-            )
-        self.sum_weights1 = sum_weights1
-        self.sum_weights2 = sum_weights2
 
     @classmethod
     def from_hdf(cls: type[Self], source: Group) -> Self:
@@ -231,33 +254,32 @@ class PatchedSumWeights(BinwisePatchwiseArray):
 
     def _make_bin_slice(self, item: TypeSliceIndex) -> Self:
         binning = self.binning[item]
-        if isinstance(item, int):
-            item = [item]
+        rows = _as_index_list(item)
         return type(self)(
             binning,
-            self.sum_weights1[item],
-            self.sum_weights2[item],
+            self.sum_weights1[rows],
+            self.sum_weights2[rows],
             auto=self.auto,
         )
 
     def _make_patch_slice(self, item: TypeSliceIndex) -> Self:
-        if isinstance(item, int):
-            item = [item]
+        cols = _as_index_list(item)
         return type(self)(
             self.binning,
-            self.sum_weights1[:, item],
-            self.sum_weights2[:, item],
+            self.sum_weights1[:, cols],
+            self.sum_weights2[:, cols],
             auto=self.auto,
         )
 
     def get_array(self) -> NDArray:
-        array = np.einsum("bi,bj->bij", self.sum_weights1, self.sum_weights2)
+        array = self.sum_weights1[:, :, None] * self.sum_weights2[:, None, :]
         if self.auto:
-            # pairs are only counted for patch id2 >= id1; same-patch pairs
-            # are halved — normalisation must follow the same convention
-            array = np.triu(array)
-            diag_view = np.einsum("bii->bi", array)
-            diag_view *= 0.5
+            # pairs are only counted for patch id2 >= id1, with same-patch
+            # pairs halved — weight the product matrix with the identical
+            # convention so counts/norm stays an unbiased estimator
+            num = self.num_patches
+            convention = np.triu(np.ones((num, num)), k=1) + 0.5 * np.eye(num)
+            array = array * convention
         return array
 
 
@@ -273,17 +295,9 @@ class PatchedCounts(BinwisePatchwiseArray):
     def __init__(self, binning: Binning, counts: NDArray, *, auto: bool) -> None:
         self.binning = binning
         self.auto = auto
-
-        counts = np.asarray(counts, dtype=np.float64)
-        if counts.ndim != 3:
-            raise ValueError("'counts' must be three-dimensional")
-        if counts.shape[0] != self.num_bins:
-            raise ValueError("first dimension of 'counts' must match 'binning'")
-        if counts.shape[1] != counts.shape[2]:
-            raise ValueError(
-                "'counts' must have shape (num_bins, num_patches, num_patches)"
-            )
-        self.counts = counts
+        self.counts = _check_tensor_shape(
+            "counts", counts, self.num_bins, ndim=3
+        )
 
     @classmethod
     def zeros(
@@ -354,14 +368,13 @@ class PatchedCounts(BinwisePatchwiseArray):
 
     def _make_bin_slice(self, item: TypeSliceIndex) -> Self:
         binning = self.binning[item]
-        if isinstance(item, int):
-            item = [item]
-        return type(self)(binning, self.counts[item], auto=self.auto)
+        return type(self)(
+            binning, self.counts[_as_index_list(item)], auto=self.auto
+        )
 
     def _make_patch_slice(self, item: TypeSliceIndex) -> Self:
-        if isinstance(item, int):
-            item = [item]
-        sub = self.counts[:, item, :][:, :, item]
+        keep = _as_index_list(item)
+        sub = self.counts[:, keep, :][:, :, keep]
         return type(self)(self.binning, sub, auto=self.auto)
 
     def get_array(self) -> NDArray:
@@ -385,14 +398,14 @@ class BaseNormalisedCounts(BinwisePatchwiseArray):
     def _init(
         self, counts: BinwisePatchwiseArray, norm: BinwisePatchwiseArray
     ) -> None:
-        if counts.num_patches != norm.num_patches:
-            raise ValueError(
-                "number of patches of counts- and weights-container does not match"
-            )
-        if counts.num_bins != norm.num_bins:
-            raise ValueError(
-                "number of bins of counts- and weights-container does not match"
-            )
+        for axis in ("num_patches", "num_bins"):
+            n_counts = getattr(counts, axis)
+            n_norm = getattr(norm, axis)
+            if n_counts != n_norm:
+                raise ValueError(
+                    f"counts and normalisation disagree in {axis}: "
+                    f"{n_counts} vs {n_norm}"
+                )
         self._counts = counts
         self._norm = norm
 

@@ -396,6 +396,15 @@ def audit_boundary_counts(
     t64 = angle_to_chord(np.asarray(edges_radian, dtype=np.float64)) ** 2
     t32 = np.asarray(chord2_table, dtype=np.float64)
     band = 2.0 * (rel_band * t64 + np.abs(t32 - t64))
+    # fixed-point lane quantisation moves each point by <= sqrt(3)/2 * s,
+    # perturbing a squared chord by <= 2*sqrt(t)*sqrt(3)/2*(s1+s2) plus a
+    # second-order term; widen the band by twice that so flagged-slot
+    # recomputation still catches every possible classification flip
+    from yet_another_wizz_tpu.ops.tiles import lane_quantisation_scale
+
+    s_sum = lane_quantisation_scale(tiles1) + lane_quantisation_scale(tiles2)
+    if s_sum:
+        band = band + 2.0 * np.sqrt(3.0 * t64) * s_sum + 3.0 * s_sum**2
     band_table = jnp.asarray(band, dtype=jnp.float32)
     table = jnp.asarray(chord2_table, dtype=jnp.float32)
 

@@ -23,9 +23,10 @@ tile caps) uses the native C++ kernels from
 
 from __future__ import annotations
 
+import os
 import threading
 from dataclasses import dataclass, field
-from typing import TYPE_CHECKING
+from typing import TYPE_CHECKING, NamedTuple
 
 import numpy as np
 
@@ -39,6 +40,10 @@ __all__ = [
     "TileSet",
     "bucket_size",
     "build_tile_set",
+    "decode_fixedpoint_lanes",
+    "encode_fixedpoint_lanes",
+    "lane_encoding",
+    "lane_quantisation_scale",
     "morton_codes",
     "preferred_tile_layout",
 ]
@@ -50,6 +55,157 @@ CHANNEL_ZBIN = 7
 NUM_CHANNELS = 8
 
 DEFAULT_TILE_SIZE = 512
+
+LANE_ENCODING_ENV = "YAWT_LANE_ENCODING"
+
+# Fixed-point lane encoding: per-point payload crossing the host-device
+# link drops from 32 B (xyz as (hi, lo) float32 pairs + weight + zbin) to
+# 20 B (3x int32 tile-relative offsets + weight + zbin), which matters
+# precisely on link-bound devices (the uncached survey-scale measurement
+# runs at the transfer floor, see ROADMAP.md). Channels of the packed
+# int32 layout:
+FIXEDPOINT_CHANNELS = 5  # [qx, qy, qz, weight (bitcast), zbin (bitcast)]
+FIXEDPOINT_PARAMS = 8  # [cx_hi, cy_hi, cz_hi, cx_lo, cy_lo, cz_lo, scale, 0]
+
+# The per-tile quantisation step is a power of two >= maxabs_offset/2^30,
+# floored so float32 products with it never go subnormal (TPU flushes
+# subnormals; an exact decode needs normal arithmetic throughout).
+_SCALE_FLOOR = 2.0**-80
+
+
+def lane_encoding() -> str:
+    """The active packed-lane encoding: ``"fixedpoint"`` (default; int32
+    tile-relative coordinates, 20 B/point across the host-device link) or
+    ``"float"`` (the raw (hi, lo) float32 lanes, 32 B/point), selectable
+    via the ``YAWT_LANE_ENCODING`` environment variable.
+
+    The fixed-point quantisation moves each point by at most
+    ``sqrt(3)/2 * scale`` with ``scale <= 2 * chord(tile_radius) / 2^30``
+    — measured at <= 0.19x of the exact-boundary audit band at the
+    smallest survey-relevant threshold (scripts/experiment_fixedpoint_lanes.py),
+    i.e. strictly inside the error class the float32 engine already
+    occupies; :func:`lane_quantisation_scale` widens the audit band
+    accordingly.
+    """
+    value = os.environ.get(LANE_ENCODING_ENV, "fixedpoint").strip().lower()
+    if value not in ("float", "fixedpoint"):
+        raise ValueError(
+            f"{LANE_ENCODING_ENV} must be 'float' or 'fixedpoint', "
+            f"got {value!r}"
+        )
+    return value
+
+
+def encode_fixedpoint_lanes(
+    lane_data: NDArray, tile_center: NDArray, chunk_tiles: int = 4096
+) -> tuple[NDArray, NDArray]:
+    """Encode float32 (hi, lo) lanes into the packed int32 representation.
+
+    Per tile, coordinates are stored as ``q = rint((xyz - center) / scale)``
+    with a power-of-two ``scale`` chosen so ``|q| <= 2^30`` — the
+    power-of-two choice makes the device decode exact (float32 products
+    with it are just exponent shifts). Weight and zbin float32 lanes are
+    bit-cast into the remaining two int32 channels losslessly.
+
+    Returns ``(packed, params)``: int32 ``(N, 5, T)`` and float32
+    ``(N, 8)`` per-tile decode parameters (center split into a float32
+    (hi, lo) pair, plus the scale).
+    """
+    num_tiles, _, tile_size = lane_data.shape
+    packed = np.empty((num_tiles, FIXEDPOINT_CHANNELS, tile_size), np.int32)
+    params = np.zeros((num_tiles, FIXEDPOINT_PARAMS), np.float32)
+    params[:, 6] = np.float32(_SCALE_FLOOR / 2**30)
+    for start in range(0, num_tiles, chunk_tiles):
+        stop = min(start + chunk_tiles, num_tiles)
+        sub = lane_data[start:stop]
+        xyz = sub[:, CHANNEL_XYZ_HI, :].astype(np.float64)
+        xyz += sub[:, CHANNEL_XYZ_LO, :]
+        center = tile_center[start:stop]  # (n, 3) float64
+        offsets = xyz - center[:, :, None]
+        maxabs = np.abs(offsets).max(axis=(1, 2))
+        scale = np.exp2(
+            np.ceil(np.log2(np.maximum(maxabs, _SCALE_FLOOR) / 2**30))
+        )
+        packed[start:stop, 0:3, :] = np.rint(
+            offsets / scale[:, None, None]
+        ).astype(np.int32)
+        c_hi = center.astype(np.float32)
+        params[start:stop, 0:3] = c_hi
+        params[start:stop, 3:6] = (center - c_hi.astype(np.float64)).astype(
+            np.float32
+        )
+        params[start:stop, 6] = scale.astype(np.float32)
+    packed[:, 3, :] = np.ascontiguousarray(
+        lane_data[:, CHANNEL_WEIGHT, :]
+    ).view(np.int32)
+    packed[:, 4, :] = np.ascontiguousarray(
+        lane_data[:, CHANNEL_ZBIN, :]
+    ).view(np.int32)
+    return packed, params
+
+
+_decode_fn = None
+
+
+def decode_fixedpoint_lanes():
+    """The jitted device decode: packed int32 lanes -> the engine's float32
+    8-channel layout, bit-compatible in structure with the float encoding.
+
+    The decode is EXACT given the encoded integers: ``q`` is split into a
+    high part (multiple of 2^15, <= 16 significant bits) and a low part
+    (< 2^14), whose float32 products with the power-of-two scale are both
+    exact; a Knuth two-sum against the float32 (hi, lo) center split then
+    renormalises into the engine's compensated (hi, lo) pair with residual
+    error ~2^-39 of the tile radius — three orders below the quantisation
+    step the audit band accounts for. Handles any number of leading batch
+    axes (the ring layout decodes ``(devices, shard, 5, T)`` blocks).
+    """
+    global _decode_fn
+    if _decode_fn is None:
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def decode(packed, params):
+            q = packed[..., 0:3, :]
+            weight = jax.lax.bitcast_convert_type(
+                packed[..., 3:4, :], jnp.float32
+            )
+            zbin = jax.lax.bitcast_convert_type(
+                packed[..., 4:5, :], jnp.float32
+            )
+            q_lo = ((q + 16384) & 0x7FFF) - 16384  # in [-2^14, 2^14)
+            q_hi = q - q_lo  # multiple of 2^15, <= 16 significant bits
+            s = params[..., 6][..., None, None]
+            va = q_hi.astype(jnp.float32) * s  # exact
+            vb = q_lo.astype(jnp.float32) * s  # exact
+            c_hi = params[..., 0:3][..., :, None]
+            c_lo = params[..., 3:6][..., :, None]
+            # TwoSum(c_hi, va): s1 + e1 == c_hi + va exactly
+            s1 = c_hi + va
+            t = s1 - c_hi
+            e1 = (c_hi - (s1 - t)) + (va - t)
+            lo_t = (e1 + vb) + c_lo
+            # renormalise with a second TwoSum: hi + lo == s1 + lo_t exactly
+            hi = s1 + lo_t
+            t2 = hi - s1
+            lo = (s1 - (hi - t2)) + (lo_t - t2)
+            return jnp.concatenate([hi, lo, weight, zbin], axis=-2)
+
+        _decode_fn = decode
+    return _decode_fn
+
+
+def lane_quantisation_scale(tiles: TileSet) -> float:
+    """Upper bound on the active fixed-point quantisation step of a tile
+    set (0 under the float encoding): the encoder's power-of-two scale is
+    at most ``2 * maxabs_offset / 2^30`` and per-tile offsets are bounded
+    by the cap chord radius. Consumed by the exact-boundary audit to widen
+    its threshold band (ops/paircount.py:audit_boundary_counts)."""
+    if lane_encoding() != "fixedpoint" or tiles.num_tiles == 0:
+        return 0.0
+    max_chord = 2.0 * np.sin(min(float(tiles.tile_radius.max()), np.pi) / 2.0)
+    return 2.0 * max(max_chord, _SCALE_FLOOR) / 2**30
 
 
 def bucket_size(n: int, base: int = 512, multiple_of: int = 1) -> int:
@@ -173,6 +329,14 @@ def _caps_numpy(xyz, dest, num_tiles, tile_size):
     return centers, max_chord
 
 
+class HostLanes(NamedTuple):
+    """A tile set's lane payload ready for host-to-device transfer."""
+
+    encoding: str  # "float" or "fixedpoint"
+    data: NDArray  # float32 (N, 8, T) lanes, or int32 (N, 5, T) packed
+    params: NDArray | None  # float32 (N, 8) decode parameters (fixedpoint)
+
+
 @dataclass
 class TileSet:
     """A catalog packed into fixed-size point tiles for the pair-count engine.
@@ -232,10 +396,37 @@ class TileSet:
         default_factory=threading.Lock, repr=False, compare=False
     )
 
+    def host_lanes(self, padded_tiles: int | None = None) -> HostLanes:
+        """The lane payload to move across the host-device link, in the
+        active encoding (:func:`lane_encoding`), with the tile axis
+        zero-padded to ``padded_tiles`` when given. Fixed-point payloads
+        carry 20 B/point plus 32 B/tile of decode parameters; float
+        payloads are the raw 32 B/point lanes."""
+        num_pad = 0
+        if padded_tiles is not None and padded_tiles > self.num_tiles:
+            num_pad = padded_tiles - self.num_tiles
+
+        def pad(arr):
+            if not num_pad:
+                return arr
+            return np.concatenate(
+                [arr, np.zeros((num_pad, *arr.shape[1:]), dtype=arr.dtype)]
+            )
+
+        if lane_encoding() == "fixedpoint":
+            packed, params = encode_fixedpoint_lanes(
+                self.lane_data, self.tile_center
+            )
+            return HostLanes("fixedpoint", pad(packed), pad(params))
+        return HostLanes("float", pad(self.lane_data), None)
+
     def device_data(self):
-        """The lane data as a device-resident array (uploaded once and
-        cached; repeated engine calls must not re-transfer the catalog
-        through the host-device link).
+        """The lane data as a device-resident float32 array (uploaded once
+        and cached; repeated engine calls must not re-transfer the catalog
+        through the host-device link). Under the fixed-point encoding the
+        transfer carries the packed int32 payload and a one-shot jitted
+        decode expands it to the engine layout in HBM — consumers see the
+        identical 8-channel array either way.
 
         The tile axis is padded with zero tiles to a bucketed size
         (:func:`bucket_size`): the engine programs are compiled against the
@@ -257,23 +448,14 @@ class TileSet:
                     padded_tiles = bucket_size(
                         self.num_tiles, base=self.device_pad_base
                     )
-                    lanes = self.lane_data
-                    if padded_tiles > self.num_tiles:
-                        lanes = np.concatenate(
-                            [
-                                lanes,
-                                np.zeros(
-                                    (
-                                        padded_tiles - self.num_tiles,
-                                        *lanes.shape[1:],
-                                    ),
-                                    dtype=lanes.dtype,
-                                ),
-                            ]
+                    host = self.host_lanes(padded_tiles)
+                    if host.encoding == "fixedpoint":
+                        token = decode_fixedpoint_lanes()(
+                            jnp.asarray(host.data), jnp.asarray(host.params)
                         )
-                    object.__setattr__(
-                        self, "_cache_token", jnp.asarray(lanes)
-                    )
+                    else:
+                        token = jnp.asarray(host.data)
+                    object.__setattr__(self, "_cache_token", token)
         return self._cache_token
 
     @property

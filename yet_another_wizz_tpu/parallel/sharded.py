@@ -136,6 +136,21 @@ def _put_global(arr, sharding: NamedSharding):
     return jax.device_put(arr, sharding)
 
 
+def _place_lanes(host, sharding: NamedSharding):
+    """Place a :class:`~yet_another_wizz_tpu.ops.tiles.HostLanes` payload
+    onto the mesh. Fixed-point payloads cross the link packed (20 B/point)
+    and expand to the engine's float32 layout through the jitted decode;
+    the decode is elementwise over the tile axis, so jit propagates the
+    input sharding to the output without any resharding."""
+    if host.encoding == "float":
+        return _put_global(host.data, sharding)
+    from yet_another_wizz_tpu.ops.tiles import decode_fixedpoint_lanes
+
+    return decode_fixedpoint_lanes()(
+        _put_global(host.data, sharding), _put_global(host.params, sharding)
+    )
+
+
 def _fetch_replicated(result) -> np.ndarray:
     """Bring a fully-replicated global result to the host (works for both
     single- and multi-process jobs: every process holds a full copy)."""
@@ -317,8 +332,8 @@ def count_pairs_sharded(
         # bucketed shard size for shape-stable compiles. Ownership uses the
         # LOGICAL split so work stays balanced over all devices (bucketed
         # ownership would concentrate tiles on the first devices).
-        lane2_padded, logical, _ = _shard_tiles(
-            tiles2.lane_data, num_devices
+        lane2_host, logical, _ = _shard_host_lanes(
+            tiles2.host_lanes(), num_devices
         )
         owner = np.minimum(pairs.tile2 // logical, num_devices - 1)
 
@@ -343,8 +358,8 @@ def count_pairs_sharded(
             slots[base : base + len(sel)] = pairs.slot[sel]
         # padding entries index tile 0 of the local shard
 
-        lane1 = _put_global(tiles1.lane_data, replicated)
-        lane2 = _put_global(lane2_padded, sharded)
+        lane1 = _place_lanes(tiles1.host_lanes(), replicated)
+        lane2 = _place_lanes(lane2_host, sharded)
     elif data_sharding == "ring":
         return _count_pairs_ring(
             tiles1, tiles2, pairs, table,
@@ -367,8 +382,8 @@ def count_pairs_sharded(
         tile2[: pairs.num_pairs] = pairs.tile2
         slots[: pairs.num_pairs] = pairs.slot
 
-        lane1 = _put_global(tiles1.lane_data, replicated)
-        lane2 = _put_global(tiles2.lane_data, replicated)
+        lane1 = _place_lanes(tiles1.host_lanes(), replicated)
+        lane2 = _place_lanes(tiles2.host_lanes(), replicated)
     else:
         raise ValueError(f"unknown data_sharding '{data_sharding}'")
 
@@ -460,6 +475,30 @@ def _shard_tiles(lane_data, num_devices):
     return blocks, logical, shard
 
 
+def _shard_host_lanes(host, num_devices):
+    """Apply :func:`_shard_tiles` to a HostLanes payload: the decode
+    parameters are split and padded identically to the lane blocks, so
+    per-device decode stays aligned (zero-padded tiles decode to zero
+    lanes with zero weights)."""
+    data, logical, shard = _shard_tiles(host.data, num_devices)
+    params = None
+    if host.params is not None:
+        params, _, _ = _shard_tiles(host.params, num_devices)
+    return type(host)(host.encoding, data, params), logical, shard
+
+
+def _reshape_host_lanes(host, num_devices, shard):
+    """Reshape a sharded HostLanes payload to an explicit leading device
+    axis (the ring layout's block form)."""
+    data = host.data.reshape(num_devices, shard, *host.data.shape[1:])
+    params = None
+    if host.params is not None:
+        params = host.params.reshape(
+            num_devices, shard, *host.params.shape[1:]
+        )
+    return type(host)(host.encoding, data, params)
+
+
 def _count_pairs_ring(
     tiles1, tiles2, pairs, table,
     *,
@@ -473,11 +512,11 @@ def _count_pairs_ring(
     num_devices = mesh.devices.size
 
     num_slots_out = bucket_size(num_slots + 1, base=64)
-    lane1_padded, logical1, shard1 = _shard_tiles(
-        tiles1.lane_data, num_devices
+    lane1_host, logical1, shard1 = _shard_host_lanes(
+        tiles1.host_lanes(), num_devices
     )
-    lane2_padded, logical2, shard2 = _shard_tiles(
-        tiles2.lane_data, num_devices
+    lane2_host, logical2, shard2 = _shard_host_lanes(
+        tiles2.host_lanes(), num_devices
     )
 
     owner1 = np.minimum(pairs.tile1 // logical1, num_devices - 1)
@@ -513,13 +552,11 @@ def _count_pairs_ring(
 
     replicated = NamedSharding(mesh, P())
     sharded = NamedSharding(mesh, P(MESH_AXIS))
-    lane1 = _put_global(
-        lane1_padded.reshape(num_devices, shard1, *lane1_padded.shape[1:]),
-        sharded,
+    lane1 = _place_lanes(
+        _reshape_host_lanes(lane1_host, num_devices, shard1), sharded
     )
-    lane2 = _put_global(
-        lane2_padded.reshape(num_devices, shard2, *lane2_padded.shape[1:]),
-        sharded,
+    lane2 = _place_lanes(
+        _reshape_host_lanes(lane2_host, num_devices, shard2), sharded
     )
     table = _put_global(table, replicated)
     tile1 = _put_global(tile1, sharded)
