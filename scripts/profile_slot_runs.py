@@ -181,7 +181,12 @@ def main() -> None:
                         segment=segment,
                         mask_always=True,
                     )
-                    jax.block_until_ready(out)
+                    # fetch (don't just block): under the tunneled TPU
+                    # plugin block_until_ready returns before the remote
+                    # execution finishes, so only a data dependency times
+                    # the kernel. The fetch cost is identical across
+                    # variants and cancels in their differences.
+                    jax.device_get(out)
 
                 run()  # warm-up / compile
                 med, lo, hi = timed_median(run)

@@ -18,7 +18,10 @@ from pathlib import Path
 REPO_ROOT = Path(__file__).resolve().parent.parent
 
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+# the launcher sets the per-process device count; standalone runs get 2
+os.environ.setdefault(
+    "XLA_FLAGS", "--xla_force_host_platform_device_count=2"
+)
 
 sys.path.insert(0, str(REPO_ROOT))
 
@@ -33,9 +36,10 @@ from yet_another_wizz_tpu import parallel  # noqa: E402
 
 def check_cluster():
     parallel.initialize()
-    assert parallel.num_processes() == 2, parallel.num_processes()
-    assert jax.device_count() == 4, jax.device_count()
-    assert jax.local_device_count() == 2, jax.local_device_count()
+    num_procs = int(os.environ["YAWT_NUM_PROCESSES"])
+    local = jax.local_device_count()
+    assert parallel.num_processes() == num_procs, parallel.num_processes()
+    assert jax.device_count() == num_procs * local, jax.device_count()
 
 
 def run_engine(workdir: Path) -> None:
@@ -144,6 +148,88 @@ def run_ingest(workdir: Path) -> None:
     print(f"INGEST OK rank={rank}")
 
 
+def run_pod4(workdir: Path) -> None:
+    """Four-process virtual pod: collective ingestion, sharded engine
+    counts in every layout, and the CLI pipeline — exercising rank
+    arithmetic (patch ownership pid % N, shard owner indexing) that a
+    2-process job cannot distinguish from parity tricks."""
+    from yet_another_wizz_tpu import Catalog
+    from yet_another_wizz_tpu.cli.pipeline import run_setup
+    from yet_another_wizz_tpu.ops.paircount import count_pairs_tiles
+
+    check_cluster()
+    rank = parallel.process_index()
+    assert parallel.num_processes() == 4
+
+    # collective streaming ingestion: root reads/assigns, all four ranks
+    # write the patches they own (pid % 4) — byte parity with the
+    # single-process cache written by the test
+    catalog = Catalog.from_file(
+        workdir / "cache_pod4",
+        workdir / "ingest.pqt",
+        ra_name="ra",
+        dec_name="dec",
+        redshift_name="z",
+        patch_centers=np.load(workdir / "centers.npy"),
+        degrees=True,
+        streaming=True,
+        chunksize=1000,
+    )
+    for pid in range(catalog.num_patches):
+        mp = (workdir / "cache_pod4" / f"patch_{pid}" / "data.bin").read_bytes()
+        sp = (workdir / "cache_sp" / f"patch_{pid}" / "data.bin").read_bytes()
+        assert mp == sp, f"patch {pid} differs (rank {rank})"
+
+    # sharded engine counts on the global 4-device mesh (1 device/proc):
+    # every layout's owner arithmetic meets 4 distinct process ranks
+    from __graft_entry__ import _tiny_problem
+
+    ts1, ts2, pairs, chord2 = _tiny_problem()
+    expected = np.load(workdir / "expected.npy")
+    mesh = parallel.default_mesh()
+    assert mesh.devices.size == 4
+    for data_sharding in ("replicated", "columns", "ring"):
+        result = parallel.count_pairs_sharded(
+            ts1, ts2, pairs, chord2, mesh=mesh, data_sharding=data_sharding
+        )
+        np.testing.assert_allclose(
+            result, expected, rtol=1e-5, atol=1e-2,
+            err_msg=f"{data_sharding} (rank {rank}/4)",
+        )
+    result = count_pairs_tiles(ts1, ts2, pairs, chord2, backend="xla")
+    np.testing.assert_allclose(
+        result, expected, rtol=1e-5, atol=1e-2, err_msg="auto-mesh (pod4)"
+    )
+
+    # the CLI pipeline, run collectively by all four processes
+    parallel.barrier("pod4_pipeline_warmup")
+    run_setup(workdir / "project_pod4", workdir / "setup.yml", quiet=True)
+
+    parallel.barrier("pod4_done")
+    print(f"POD4 OK rank={rank}")
+
+
+def run_ompi(workdir: Path) -> None:
+    """Launched with ONLY the Open MPI launcher environment (no YAWT_*
+    variables): ``initialize()`` must auto-detect the cluster through
+    jax's launcher detection, mirroring the reference picking up
+    ``mpirun`` through mpi4py
+    (/root/reference/src/yaw/utils/parallel.py:88-99)."""
+    assert "YAWT_COORDINATOR" not in os.environ
+    assert "YAWT_NUM_PROCESSES" not in os.environ
+    parallel.initialize()
+
+    size = int(os.environ["OMPI_COMM_WORLD_SIZE"])
+    rank = int(os.environ["OMPI_COMM_WORLD_RANK"])
+    assert parallel.num_processes() == size, parallel.num_processes()
+    assert parallel.process_index() == rank, parallel.process_index()
+
+    value = parallel.broadcast({"rank": parallel.process_index()})
+    assert value == {"rank": 0}, value
+    parallel.barrier("ompi_done")
+    print(f"OMPI OK rank={rank}")
+
+
 def run_root_error(workdir: Path) -> None:
     """Root-side failures must propagate to every process (collective
     re-raise) instead of deadlocking non-root ranks at a barrier."""
@@ -173,7 +259,9 @@ def main() -> None:
     import faulthandler
     import signal
 
-    rank = os.environ.get("YAWT_PROCESS_ID", "x")
+    rank = os.environ.get(
+        "YAWT_PROCESS_ID", os.environ.get("OMPI_COMM_WORLD_RANK", "x")
+    )
     stack_log = open(workdir / f"stacks_{mode}_{rank}.log", "w")
     faulthandler.register(signal.SIGUSR1, file=stack_log, all_threads=True)
     if mode == "engine":
@@ -182,6 +270,10 @@ def main() -> None:
         run_pipeline(workdir)
     elif mode == "ingest":
         run_ingest(workdir)
+    elif mode == "pod4":
+        run_pod4(workdir)
+    elif mode == "ompi":
+        run_ompi(workdir)
     elif mode == "root_error":
         run_root_error(workdir)
     else:

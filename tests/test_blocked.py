@@ -78,6 +78,7 @@ def test_phase_totals_accumulate(catalogs, config):
     totals = blocked_mod.PHASE_TOTALS
     # two counts (DD, RD) ran; totals cover both and all phases exist
     assert totals["num_block_pairs"] > 0
+    assert totals["candidate_pairs"] > 0  # engine work statistic
     for key in ("rows", "cols", "pairs", "queue", "drain",
                 "drain_wait", "drain_fetch", "drain_scatter"):
         assert totals[key] >= 0.0

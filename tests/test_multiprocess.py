@@ -37,18 +37,26 @@ _GLOO_TIMEOUT = "Gloo context initialization failed"
 
 
 def _run_pair_once(
-    mode: str, workdir: Path, cache_dir: Path, timeout: float
+    mode: str,
+    workdir: Path,
+    cache_dir: Path,
+    timeout: float,
+    num_procs: int = 2,
+    devices_per_proc: int = 2,
 ) -> list:
     port = _free_port()
     procs = []
-    for rank in range(2):
+    for rank in range(num_procs):
         env = os.environ.copy()
         env.update(
             JAX_PLATFORMS="cpu",
-            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+            XLA_FLAGS=(
+                "--xla_force_host_platform_device_count="
+                f"{devices_per_proc}"
+            ),
             PALLAS_AXON_POOL_IPS="",  # never dial TPU hardware from tests
             YAWT_COORDINATOR=f"localhost:{port}",
-            YAWT_NUM_PROCESSES="2",
+            YAWT_NUM_PROCESSES=str(num_procs),
             YAWT_PROCESS_ID=str(rank),
             JAX_COMPILATION_CACHE_DIR=str(cache_dir),
             JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES="-1",
@@ -83,18 +91,27 @@ def _run_pair_once(
     return results
 
 
-def _launch_pair(mode: str, workdir: Path, timeout: float = 300.0) -> None:
-    """Run two worker processes to completion, failing with their output."""
+def _launch_pair(
+    mode: str,
+    workdir: Path,
+    timeout: float = 300.0,
+    num_procs: int = 2,
+    devices_per_proc: int = 2,
+) -> None:
+    """Run a worker group to completion, failing with their output."""
     import shutil
 
     import tempfile
 
-    # one persistent compile cache across ALL two-process tests: a cold
+    # one persistent compile cache across ALL multi-process tests: a cold
     # per-test cache is what skews the workers' arrival at their first
     # collective past gloo's fixed 30 s key-exchange deadline
     cache_dir = Path(tempfile.gettempdir()) / "yawt_mp_jax_cache"
     for attempt in range(2):
-        results = _run_pair_once(mode, workdir, cache_dir, timeout)
+        results = _run_pair_once(
+            mode, workdir, cache_dir, timeout,
+            num_procs=num_procs, devices_per_proc=devices_per_proc,
+        )
         if all(rc == 0 for rc, _ in results):
             return
         outputs = "".join(out for _, out in results)
@@ -118,6 +135,8 @@ def _launch_pair(mode: str, workdir: Path, timeout: float = 300.0) -> None:
             )
             shutil.rmtree(workdir / "project_mp", ignore_errors=True)
             shutil.rmtree(workdir / "cache_mp", ignore_errors=True)
+            shutil.rmtree(workdir / "project_pod4", ignore_errors=True)
+            shutil.rmtree(workdir / "cache_pod4", ignore_errors=True)
             (workdir / "payload.hdf").unlink(missing_ok=True)
             continue
         for rank, (rc, out) in enumerate(results):
@@ -223,6 +242,185 @@ def test_two_process_pipeline(tmp_path, execution):
         mp = np.loadtxt(tmp_path / f"project_mp/{product}.dat")
         # engines differ only in device count / summation order
         np.testing.assert_allclose(mp, sp, rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_four_process_pod(tmp_path):
+    """A 4-process virtual pod (1 device each): collective ingestion,
+    sharded counts in every layout and the CLI pipeline must reproduce
+    the single-process results. Four distinct ranks catch owner/rank
+    arithmetic bugs (e.g. patch ownership ``pid % N``, shard-owner
+    indexing) that 2-process runs cannot distinguish from parity
+    coincidences."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import yaml
+
+    from yet_another_wizz_tpu import Catalog
+    from yet_another_wizz_tpu.cli.pipeline import run_setup
+    from yet_another_wizz_tpu.coordinates import AngularCoordinates
+    from yet_another_wizz_tpu.examples import generate_mock_data
+    from yet_another_wizz_tpu.ops.paircount import count_pairs_tiles
+
+    sys.path.insert(0, str(REPO_ROOT))
+    from __graft_entry__ import _tiny_problem
+
+    # engine expectation
+    ts1, ts2, pairs, chord2 = _tiny_problem()
+    expected = count_pairs_tiles(ts1, ts2, pairs, chord2, backend="xla")
+    np.save(tmp_path / "expected.npy", expected)
+
+    # ingestion input + single-process reference cache (7 patches: not a
+    # multiple of 4 ranks, so ownership wraps unevenly)
+    mock = generate_mock_data(
+        num_reference=4000, num_unknown=2500, num_randoms=5000, seed=23
+    )
+    paths = {}
+    for name, sample in mock.items():
+        table = pa.table(
+            dict(
+                ra=np.rad2deg(sample["ra"]),
+                dec=np.rad2deg(sample["dec"]),
+                z=sample["redshifts"],
+            )
+        )
+        paths[name] = str(tmp_path / f"{name}.pqt")
+        pq.write_table(table, paths[name])
+    (tmp_path / "ingest.pqt").write_bytes(
+        Path(paths["reference"]).read_bytes()
+    )
+    probe = Catalog.from_arrays(
+        mock["reference"]["ra"], mock["reference"]["dec"],
+        degrees=False, patch_num=7,
+    )
+    centers = probe.get_centers().data
+    np.save(tmp_path / "centers.npy", centers)
+    Catalog.from_file(
+        tmp_path / "cache_sp",
+        tmp_path / "ingest.pqt",
+        ra_name="ra", dec_name="dec", redshift_name="z",
+        patch_centers=AngularCoordinates(centers),
+        degrees=True, streaming=True, chunksize=1000,
+    )
+
+    # pipeline setup + single-process reference run
+    setup = dict(
+        correlation=dict(
+            scales=dict(rmin=500, rmax=3000, unit="kpc"),
+            binning=dict(zmin=0.15, zmax=1.0, num_bins=3),
+        ),
+        inputs=dict(
+            reference=dict(
+                path_data=paths["reference"],
+                path_rand=paths["randoms"],
+                ra="ra", dec="dec", redshift="z",
+            ),
+            unknown=dict(
+                path_data={1: paths["unknown"]},
+                path_rand={1: paths["randoms"]},
+                ra="ra", dec="dec", redshift="z",
+            ),
+            num_patches=4,
+        ),
+        tasks=["cross_corr", "estimate"],
+    )
+    with (tmp_path / "setup.yml").open("w") as f:
+        yaml.safe_dump(setup, f)
+    run_setup(tmp_path / "project_sp", tmp_path / "setup.yml", quiet=True)
+
+    _launch_pair(
+        "pod4", tmp_path, timeout=600.0, num_procs=4, devices_per_proc=1
+    )
+
+    assert not (tmp_path / "project_pod4" / ".tasklock").exists()
+    sp = np.loadtxt(tmp_path / "project_sp/estimate/nz_est_1.dat")
+    pod = np.loadtxt(tmp_path / "project_pod4/estimate/nz_est_1.dat")
+    np.testing.assert_allclose(pod, sp, rtol=1e-4, atol=1e-6)
+
+
+def _free_port_in_ompi_range() -> int:
+    """A bindable port in the range jax's OmpiCluster derives coordinator
+    ports from (the top 2^12 of the ephemeral range)."""
+    for port in range(61440, 65536):
+        with socket.socket() as sock:
+            try:
+                sock.bind(("127.0.0.1", port))
+            except OSError:
+                continue
+            return port
+    raise RuntimeError("no free port in the OmpiCluster range")
+
+
+def test_ompi_launcher_autodetect(tmp_path):
+    """Workers launched with ONLY the Open MPI environment (the variables
+    ``mpirun`` exports; no YAWT_* wiring) form a cluster through
+    ``initialize()``'s launcher auto-detection — the ergonomic parity
+    with the reference under ``mpirun -n 2``."""
+    import tempfile
+
+    # OmpiCluster derives the coordinator as <launcher ip>:<f(job id)>
+    # with f(job) = job // 2**12 % 2**12 + 61440; invert it so the
+    # derived port is one we verified to be free
+    port = _free_port_in_ompi_range()
+    job_id = (port - 61440) * 2**12
+    orte_uri = f"{job_id}.0;tcp://127.0.0.1,10.0.0.1:11111"
+
+    cache_dir = Path(tempfile.gettempdir()) / "yawt_mp_jax_cache"
+    for attempt in range(2):
+        procs = []
+        for rank in range(2):
+            env = {
+                k: v
+                for k, v in os.environ.items()
+                if not k.startswith("YAWT_")
+            }
+            env.update(
+                JAX_PLATFORMS="cpu",
+                XLA_FLAGS="--xla_force_host_platform_device_count=2",
+                PALLAS_AXON_POOL_IPS="",
+                OMPI_MCA_orte_hnp_uri=orte_uri,
+                OMPI_COMM_WORLD_SIZE="2",
+                OMPI_COMM_WORLD_RANK=str(rank),
+                OMPI_COMM_WORLD_LOCAL_RANK=str(rank),
+                JAX_COMPILATION_CACHE_DIR=str(cache_dir),
+                JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES="-1",
+                JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="0",
+            )
+            procs.append(
+                subprocess.Popen(
+                    [sys.executable, str(WORKER), "ompi", str(tmp_path)],
+                    env=env,
+                    cwd=REPO_ROOT,
+                    stdout=subprocess.PIPE,
+                    stderr=subprocess.STDOUT,
+                    text=True,
+                )
+            )
+        results = []
+        try:
+            for proc in procs:
+                try:
+                    out, _ = proc.communicate(timeout=240.0)
+                    results.append((proc.returncode, out))
+                except subprocess.TimeoutExpired:
+                    proc.kill()
+                    out, _ = proc.communicate()
+                    results.append((-1, (out or "") + "\n<pair timed out>"))
+        finally:
+            for proc in procs:
+                if proc.poll() is None:
+                    proc.kill()
+        if all(rc == 0 for rc, _ in results):
+            assert all("OMPI OK" in out for _, out in results)
+            return
+        outputs = "".join(out for _, out in results)
+        infrastructure = (
+            _GLOO_TIMEOUT in outputs or "<pair timed out>" in outputs
+        )
+        if attempt == 0 and infrastructure:
+            continue
+        for rank, (rc, out) in enumerate(results):
+            assert rc == 0, f"ompi worker {rank} failed (rc={rc}):\n{out}"
 
 
 def test_two_process_collective_ingest(tmp_path):

@@ -59,6 +59,23 @@ class TestNativeKernels:
         assert_allclose(nc, fc, rtol=1e-12)
         assert_allclose(nr, fr, rtol=1e-12)
 
+    def test_encode_fixedpoint_matches_numpy(self, points, rng, monkeypatch):
+        n = len(points)
+        ts = tiles_mod.build_tile_set(
+            points, rng.integers(0, 6, n), 6,
+            weights=rng.uniform(0.5, 2, n),
+            zbins=rng.integers(0, 4, n), num_bins=4, tile_size=64,
+        )
+        native_packed, native_params = tiles_mod.encode_fixedpoint_lanes(
+            ts.lane_data, ts.tile_center
+        )
+        monkeypatch.setattr(_native, "NATIVE_ENABLED", False)
+        fallback_packed, fallback_params = tiles_mod.encode_fixedpoint_lanes(
+            ts.lane_data, ts.tile_center
+        )
+        assert np.array_equal(native_packed, fallback_packed)
+        assert np.array_equal(native_params, fallback_params)
+
     def test_tileset_native_equals_fallback(self, points, rng, monkeypatch):
         n = len(points)
         weights = rng.uniform(0.5, 2, n)

@@ -188,6 +188,36 @@ class TestDistributedHelpers:
             )
         distributed.initialize()  # argument-less call stays a no-op
 
+    def test_launched_world_size_detection(self, monkeypatch):
+        """MPI-style launcher environments are recognised (the reference's
+        mpirun auto-detection); a single-rank launch or no launcher means
+        single-host."""
+        from yet_another_wizz_tpu.parallel import distributed
+
+        for var in distributed._LAUNCHER_WORLD_SIZE_VARS:
+            monkeypatch.delenv(var, raising=False)
+        assert distributed._launched_world_size() is None
+
+        monkeypatch.setenv("OMPI_COMM_WORLD_SIZE", "4")
+        assert distributed._launched_world_size() == 4
+        monkeypatch.delenv("OMPI_COMM_WORLD_SIZE")
+
+        monkeypatch.setenv("SLURM_NTASKS", "garbage")
+        assert distributed._launched_world_size() is None
+
+    def test_launcher_after_single_host_latch_raises(self, monkeypatch):
+        """An argument-less initialize() under a multi-rank launcher
+        environment must not silently no-op after a single-host latch —
+        that would strand this rank outside the cluster."""
+        from yet_another_wizz_tpu.parallel import distributed
+
+        distributed.initialize()  # latch (idempotent if already latched)
+        monkeypatch.setenv("OMPI_COMM_WORLD_SIZE", "2")
+        with pytest.raises(RuntimeError, match="single-host"):
+            distributed.initialize()
+        monkeypatch.setenv("OMPI_COMM_WORLD_SIZE", "1")
+        distributed.initialize()  # single-rank launcher: still a no-op
+
 
 def test_sharded_empty_pairs_result_shape(problem):
     """An empty pair list returns the same result shape as the

@@ -451,12 +451,16 @@ class TestCacheLifecycle:
 
     def test_resume_reingests_truncated_cache(self, data_files, tmp_path):
         """A crash mid-ingestion leaves catalog files without the
-        completion sentinel; resume must re-ingest, not silently measure
-        the truncated catalog."""
+        writers' final artifact (``patch_ids.bin``) or the pair
+        sentinel; resume must re-ingest, not silently measure the
+        truncated catalog."""
         pipeline = run(tmp_path, base_setup(data_files, ["hist"]))
         handle = pipeline.project.cache.unknown[1]
         assert handle.exists()
-        handle._sentinel.unlink()  # simulate the crash
+        # simulate the crash: the sentinel is written after both
+        # catalogs, patch_ids.bin is each writer's final artifact
+        handle._sentinel.unlink()
+        (handle.data.path / "patch_ids.bin").unlink()
         assert not handle.exists()
         resumed = run_setup(
             tmp_path / "project", setup_file=None, resume=True, quiet=True

@@ -22,6 +22,7 @@ import numpy as np
 __all__ = [
     "NATIVE_ENABLED",
     "assign_patches",
+    "encode_fixedpoint",
     "morton_codes",
     "pack_tiles",
     "patch_geometry",
@@ -88,6 +89,9 @@ def _load() -> None:
     _lib.patch_geometry.argtypes = [
         f64p, ctypes.c_void_p, i32p, i64, i64, f64p, f64p
     ]
+    _lib.encode_fixedpoint.argtypes = [
+        f32p, f64p, i64, i64, ctypes.c_double, i32p, f32p
+    ]
     NATIVE_ENABLED = True
 
 
@@ -147,6 +151,27 @@ def tile_caps(
         np.ascontiguousarray(centers), max_chord,
     )
     return centers, max_chord
+
+
+def encode_fixedpoint(
+    lane_data: np.ndarray, tile_center: np.ndarray, scale_floor: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """Fixed-point lane encoding (the upload hot path; see
+    ops.tiles.encode_fixedpoint_lanes for the numpy fallback and the
+    layout contract)."""
+    num_tiles, _, tile_size = lane_data.shape
+    packed = np.empty((num_tiles, 5, tile_size), dtype=np.int32)
+    params = np.empty((num_tiles, 8), dtype=np.float32)
+    _lib.encode_fixedpoint(
+        np.ascontiguousarray(lane_data, np.float32),
+        np.ascontiguousarray(tile_center, np.float64),
+        num_tiles,
+        tile_size,
+        scale_floor,
+        packed,
+        params,
+    )
+    return packed, params
 
 
 def assign_patches(xyz: np.ndarray, centers: np.ndarray) -> np.ndarray:

@@ -86,6 +86,67 @@ void tile_max_chord(const double* xyz, const int64_t* dest, int64_t n,
     }
 }
 
+// Fixed-point lane encoding (ops/tiles.py:encode_fixedpoint_lanes): per
+// tile, reconstruct the float64 coordinates from the (hi, lo) float32
+// channels, pick the smallest power-of-two scale with |offset| <=
+// scale * 2^30, quantise the tile-relative offsets to int32
+// (round-half-even, matching np.rint), and bit-copy the weight/zbin
+// float32 channels into the two remaining int32 channels. `params` rows
+// are [cx_hi, cy_hi, cz_hi, cx_lo, cy_lo, cz_lo, scale, 0].
+void encode_fixedpoint(const float* lane_data, const double* centers,
+                       int64_t num_tiles, int64_t tile_size,
+                       double scale_floor, int32_t* packed, float* params) {
+    const int64_t in_stride = 8 * tile_size;
+    const int64_t out_stride = 5 * tile_size;
+#pragma omp parallel for schedule(static)
+    for (int64_t t = 0; t < num_tiles; ++t) {
+        const float* in = lane_data + t * in_stride;
+        int32_t* out = packed + t * out_stride;
+        std::vector<double> offsets(3 * tile_size);
+        double maxabs = 0.0;
+        for (int dim = 0; dim < 3; ++dim) {
+            const double c = centers[3 * t + dim];
+            const float* hi = in + dim * tile_size;
+            const float* lo = in + (3 + dim) * tile_size;
+            double* off = offsets.data() + dim * tile_size;
+            for (int64_t j = 0; j < tile_size; ++j) {
+                const double v = ((double)hi[j] + (double)lo[j]) - c;
+                off[j] = v;
+                const double a = std::fabs(v);
+                if (a > maxabs) maxabs = a;
+            }
+        }
+        if (maxabs < scale_floor) maxabs = scale_floor;
+        // smallest power of two >= maxabs (frexp: maxabs = m * 2^e with
+        // m in [0.5, 1) -> 2^e, except exactly-2^(e-1) -> itself)
+        int e;
+        const double m = std::frexp(maxabs, &e);
+        const double scale = std::ldexp(1.0, (m == 0.5 ? e - 1 : e) - 30);
+        const double inv = 1.0 / scale;  // power of two: exact
+        for (int dim = 0; dim < 3; ++dim) {
+            const double* off = offsets.data() + dim * tile_size;
+            int32_t* q = out + dim * tile_size;
+            for (int64_t j = 0; j < tile_size; ++j) {
+                q[j] = (int32_t)std::nearbyint(off[j] * inv);
+            }
+        }
+        std::memcpy(out + 3 * tile_size, in + 6 * tile_size,
+                    sizeof(float) * 2 * tile_size);
+        float* p = params + 8 * t;
+        for (int dim = 0; dim < 3; ++dim) {
+            const double c = centers[3 * t + dim];
+            // volatile forces the narrowing round-trip: gcc 12's -O3 SLP
+            // vectorizer otherwise elides the float rounding and folds
+            // the residual c - (double)(float)c to zero
+            volatile float c_hi = (float)c;
+            p[dim] = c_hi;
+            p[3 + dim] = (float)(c - (double)c_hi);
+        }
+        p[6] = (float)scale;
+        p[7] = 0.0f;
+    }
+}
+
 void radec_to_xyz(const double* ra, const double* dec, int64_t n,
                   double* out) {
     // unit-sphere 3-vectors; one output allocation, one write pass

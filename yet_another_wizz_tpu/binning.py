@@ -5,7 +5,7 @@ Capability parity with the reference ``yaw.binning``
 with edge/center/width accessors, slicing and iteration, HDF5 round trips
 (including the legacy v2 layout), and edge validation. The HDF5 group
 layout (``edges`` dataset + ``closed`` string dataset + version tag) is
-kept byte-compatible so pair-count files interoperate with the reference.
+kept compatible so pair-count files interoperate with the reference.
 """
 
 from __future__ import annotations
@@ -26,11 +26,7 @@ if TYPE_CHECKING:
     from numpy.typing import ArrayLike, NDArray
     from typing_extensions import Self
 
-__all__ = [
-    "Binning",
-    "parse_binning",
-    "load_legacy_binning",
-]
+__all__ = ["Binning", "parse_binning", "load_legacy_binning"]
 
 
 def parse_binning(
@@ -49,7 +45,9 @@ def parse_binning(
 
     edges = np.atleast_1d(np.asarray(edges, dtype=np.float64))
     if edges.ndim > 1:
-        raise ValueError(f"bin edges must be one-dimensional, got {edges.ndim} dims")
+        raise ValueError(
+            f"bin edges must be one-dimensional, got {edges.ndim} dims"
+        )
     if edges.size < 2:
         raise ValueError(f"need at least two bin edges, got {edges.size}")
     widths = np.diff(edges)
@@ -69,66 +67,19 @@ class Binning(HdfSerializable):
             ``"right"`` (default).
     """
 
-    __slots__ = ("edges", "closed")
+    __slots__ = ("closed", "edges")
 
-    edges: NDArray
-    """All bin edges, including the rightmost."""
-    closed: Closed
-    """Which side of the bin intervals is closed."""
-
-    def __init__(self, edges: ArrayLike, closed: Closed | str = Closed.right) -> None:
-        self.edges = parse_binning(edges)
+    def __init__(
+        self,
+        edges: ArrayLike,
+        closed: Closed | str = Closed.right,
+    ) -> None:
+        #: Which side of the bin intervals is closed.
         self.closed = Closed(closed)
+        #: All bin edges, including the rightmost.
+        self.edges = parse_binning(edges)
 
-    @classmethod
-    def from_hdf(cls: type[Self], source: Group) -> Self:
-        closed = source["closed"][()]
-        if isinstance(closed, bytes):
-            closed = closed.decode("utf-8")
-        return cls(source["edges"][:], closed=closed)
-
-    def to_hdf(self, dest: Group) -> None:
-        write_version_tag(dest)
-        dest.create_dataset("closed", data=str(self.closed))
-        dest.create_dataset("edges", data=self.edges, **HDF_COMPRESSION)
-
-    def __repr__(self) -> str:
-        closed_left = self.closed == Closed.left
-        interval = "{}{:.3f}...{:.3f}{}".format(
-            "[" if closed_left else "(",
-            self.edges[0],
-            self.edges[-1],
-            ")" if closed_left else "]",
-        )
-        return f"{len(self)} bins @ {interval}"
-
-    def __len__(self) -> int:
-        return self.edges.size - 1
-
-    def __getitem__(self, item: TypeSliceIndex) -> Binning:
-        # a slice of bins maps to a slice of edges one element longer; go
-        # through the per-bin (left, right) pairs so integer indexing,
-        # negative indices and strides all behave like a length-N sequence
-        lefts = np.atleast_1d(self.left[item])
-        rights = np.atleast_1d(self.right[item])
-        return type(self)(np.append(lefts, rights[-1]), closed=self.closed)
-
-    def __iter__(self) -> Iterator[Binning]:
-        return (self[i] for i in range(len(self)))
-
-    def __eq__(self, other: Any) -> bool:
-        if not isinstance(other, type(self)):
-            return NotImplemented
-        return self.closed == other.closed and np.array_equal(
-            self.edges, other.edges
-        )
-
-    __hash__ = None
-
-    @property
-    def mids(self) -> NDArray:
-        """Centers of the bins."""
-        return 0.5 * (self.left + self.right)
+    # ---- derived views -------------------------------------------------
 
     @property
     def left(self) -> NDArray:
@@ -139,6 +90,11 @@ class Binning(HdfSerializable):
     def right(self) -> NDArray:
         """Right edges of the bins."""
         return self.edges[1:]
+
+    @property
+    def mids(self) -> NDArray:
+        """Centers of the bins."""
+        return 0.5 * (self.left + self.right)
 
     @property
     def dz(self) -> NDArray:
@@ -157,8 +113,59 @@ class Binning(HdfSerializable):
         values exactly on an edge belong to the bin to the left.
         """
         return np.digitize(
-            np.asarray(redshifts), self.edges, right=(self.closed == Closed.right)
+            np.asarray(redshifts),
+            self.edges,
+            right=(self.closed == Closed.right),
         )
+
+    # ---- sequence protocol ---------------------------------------------
+
+    def __len__(self) -> int:
+        return self.edges.size - 1
+
+    def __getitem__(self, item: TypeSliceIndex) -> Binning:
+        # a slice of bins maps to a slice of edges one element longer; go
+        # through the per-bin (left, right) pairs so integer indexing,
+        # negative indices and strides all behave like a length-N sequence
+        lefts = np.atleast_1d(self.left[item])
+        rights = np.atleast_1d(self.right[item])
+        return type(self)(np.append(lefts, rights[-1]), closed=self.closed)
+
+    def __iter__(self) -> Iterator[Binning]:
+        return (self[i] for i in range(len(self)))
+
+    def __eq__(self, other: Any) -> bool:
+        if not isinstance(other, type(self)):
+            return NotImplemented
+        if self.closed != other.closed:
+            return False
+        return np.array_equal(self.edges, other.edges)
+
+    __hash__ = None
+
+    def __repr__(self) -> str:
+        closed_left = self.closed == Closed.left
+        interval = "{}{:.3f}...{:.3f}{}".format(
+            "[" if closed_left else "(",
+            self.edges[0],
+            self.edges[-1],
+            ")" if closed_left else "]",
+        )
+        return f"{len(self)} bins @ {interval}"
+
+    # ---- HDF5 round trip -----------------------------------------------
+
+    def to_hdf(self, dest: Group) -> None:
+        write_version_tag(dest)
+        dest.create_dataset("edges", data=self.edges, **HDF_COMPRESSION)
+        dest.create_dataset("closed", data=str(self.closed))
+
+    @classmethod
+    def from_hdf(cls: type[Self], source: Group) -> Self:
+        closed = source["closed"][()]
+        if isinstance(closed, bytes):
+            closed = closed.decode("utf-8")
+        return cls(source["edges"][:], closed=closed)
 
 
 def load_legacy_binning(source: Group) -> Binning:

@@ -101,12 +101,19 @@ class BaseReader(ABC):
         )
 
     @abstractmethod
-    def _load_range(self, start: int, stop: int) -> dict[str, NDArray]:
-        """Load the raw named columns for a row range."""
+    def _load_range(
+        self, start: int, stop: int, columns: dict | None = None
+    ) -> dict[str, NDArray]:
+        """Load the raw named columns for a row range. ``columns``
+        overrides the reader's configured column mapping — an explicit
+        parameter, so a narrowed read (the probe pass) never mutates
+        shared reader state observable by concurrent iterations."""
 
-    def _to_chunk(self, raw: dict[str, NDArray]) -> NDArray:
+    def _to_chunk(
+        self, raw: dict[str, NDArray], columns: dict | None = None
+    ) -> NDArray:
         kwargs = {}
-        for attr, name in self.columns.items():
+        for attr, name in (columns or self.columns).items():
             if name is not None:
                 kwargs[attr] = raw[attr]
         ra = kwargs.pop("ra")
@@ -127,32 +134,29 @@ class BaseReader(ABC):
     def get_probe(self, probe_size: int) -> NDArray:
         """A sparse, approximately uniform subsample of ``probe_size`` rows
         (used to bound the patch-center generation cost)."""
-        full_columns = self.columns
-        self.columns = {
+        probe_columns = {
             attr: (name if attr in self.PROBE_ATTRS else None)
-            for attr, name in full_columns.items()
+            for attr, name in self.columns.items()
         }
-        try:
-            if probe_size >= self.num_records:
-                chunks = list(self)
-                return np.concatenate(chunks)
+        if probe_size >= self.num_records:
+            rows = np.arange(self.num_records, dtype=np.int64)
+        else:
             stride = self.num_records / probe_size
             rows = (np.arange(probe_size) * stride).astype(np.int64)
-            parts = []
-            for start in range(0, self.num_records, self.chunksize):
-                stop = min(start + self.chunksize, self.num_records)
-                local = rows[(rows >= start) & (rows < stop)] - start
-                if len(local) == 0:
-                    continue
-                raw = self._load_range(start, stop)
-                parts.append(
-                    self._to_chunk(
-                        {k: np.asarray(v)[local] for k, v in raw.items()}
-                    )
+        parts = []
+        for start in range(0, self.num_records, self.chunksize):
+            stop = min(start + self.chunksize, self.num_records)
+            local = rows[(rows >= start) & (rows < stop)] - start
+            if len(local) == 0:
+                continue
+            raw = self._load_range(start, stop, probe_columns)
+            parts.append(
+                self._to_chunk(
+                    {k: np.asarray(v)[local] for k, v in raw.items()},
+                    probe_columns,
                 )
-            return np.concatenate(parts)
-        finally:
-            self.columns = full_columns
+            )
+        return np.concatenate(parts)
 
 
 class DataFrameReader(BaseReader):
@@ -163,11 +167,11 @@ class DataFrameReader(BaseReader):
         self._frame = dataframe
         self._num_records = len(dataframe)
 
-    def _load_range(self, start, stop):
+    def _load_range(self, start, stop, columns=None):
         view = self._frame.iloc[start:stop]
         return {
             attr: np.asarray(view[name])
-            for attr, name in self.columns.items()
+            for attr, name in (columns or self.columns).items()
             if name is not None
         }
 
@@ -184,7 +188,7 @@ class RandomReader(BaseReader):
         self._generator = generator
         self._num_records = int(num_randoms)
 
-    def _load_range(self, start, stop):
+    def _load_range(self, start, stop, columns=None):
         chunk = self._generator(stop - start)
         raw = {"ra": chunk["ra"], "dec": chunk["dec"]}
         for attr in ("weights", "redshifts"):
@@ -193,7 +197,8 @@ class RandomReader(BaseReader):
                 raw[attr] = value
         return raw
 
-    def _to_chunk(self, raw):
+    def _to_chunk(self, raw, columns=None):
+        raw = dict(raw)
         return DataChunk.create(
             raw.pop("ra"), raw.pop("dec"), degrees=False, **raw
         )
@@ -217,11 +222,11 @@ class CsvReader(BaseReader):
         self._frame = pd.read_csv(self.path, usecols=usecols)
         self._num_records = len(self._frame)
 
-    def _load_range(self, start, stop):
+    def _load_range(self, start, stop, columns=None):
         view = self._frame.iloc[start:stop]
         return {
             attr: np.asarray(view[name])
-            for attr, name in self.columns.items()
+            for attr, name in (columns or self.columns).items()
             if name is not None
         }
 
@@ -249,10 +254,11 @@ class ParquetReader(BaseReader):
     def close(self) -> None:
         self._file.close()
 
-    def _load_range(self, start, stop):
+    def _load_range(self, start, stop, columns=None):
+        columns = columns or self.columns
         first = int(np.searchsorted(self._rg_offsets, start, "right")) - 1
         last = int(np.searchsorted(self._rg_offsets, stop, "left"))
-        names = [n for n in self.columns.values() if n is not None]
+        names = [n for n in columns.values() if n is not None]
         table = self._file.read_row_groups(
             list(range(first, last)), columns=names
         )
@@ -260,7 +266,7 @@ class ParquetReader(BaseReader):
         table = table.slice(offset, stop - start)
         return {
             attr: np.asarray(table[name])
-            for attr, name in self.columns.items()
+            for attr, name in columns.items()
             if name is not None
         }
 
@@ -286,10 +292,10 @@ class HDFReader(BaseReader):
     def close(self) -> None:
         self._file.close()
 
-    def _load_range(self, start, stop):
+    def _load_range(self, start, stop, columns=None):
         return {
             attr: self._file[name][start:stop]
-            for attr, name in self.columns.items()
+            for attr, name in (columns or self.columns).items()
             if name is not None
         }
 
@@ -476,7 +482,7 @@ class FitsReader(BaseReader):
             values = tzero + tscale * values
         return values
 
-    def _load_range(self, start, stop):
+    def _load_range(self, start, stop, columns=None):
         rows = np.fromfile(
             self.path,
             dtype=self._dtype,
@@ -492,7 +498,7 @@ class FitsReader(BaseReader):
             )
         return {
             attr: self._physical_values(rows, name)
-            for attr, name in self.columns.items()
+            for attr, name in (columns or self.columns).items()
             if name is not None
         }
 

@@ -102,13 +102,34 @@ class CacheHandle(Handle):
     def _sentinel(self) -> Path:
         return self.path / ".complete"
 
+    @staticmethod
+    def _catalog_complete(path: Path) -> bool:
+        """Whether one catalog cache directory finished ingesting: every
+        writer (streaming, collective pod, ``Catalog.to_cache``) writes
+        ``patch_ids.bin`` as its final artifact, so its presence rules
+        out a truncated cache left behind by a mid-stream crash."""
+        return path.is_dir() and (path / "patch_ids.bin").exists()
+
     def exists(self) -> bool:
         """Whether the pair was cached COMPLETELY.
 
-        Requires the sentinel written after a successful ingestion — a
-        crash mid-stream leaves patch files of a truncated catalog on
-        disk, which a bare directory check would happily resume into."""
-        return self.data.path.exists() and self._sentinel.exists()
+        Accepts the pair sentinel the CLI writes after creating both
+        catalogs, or — for caches produced through the public API or by
+        earlier versions, which a resumed pipeline must not silently
+        re-ingest with ``overwrite=True`` — per-catalog completeness via
+        the ingestion writers' final artifact. The CLI creates the random
+        catalog before the data catalog, so a complete data catalog
+        implies the pair finished."""
+        if not self.data.path.exists():
+            return False
+        if self._sentinel.exists():
+            return True
+        if not self._catalog_complete(self.data.path):
+            return False
+        return (
+            not self.rand.path.exists()
+            or self._catalog_complete(self.rand.path)
+        )
 
     def mark_complete(self) -> None:
         """Record that both catalogs of the pair finished ingesting

@@ -36,6 +36,39 @@ __all__ = [
 logger = logging.getLogger(__name__)
 
 
+def _clear_external_cache(cache_dir: Path) -> None:
+    """Delete only the entries the pipeline itself creates inside an
+    external cache directory (catalog pair caches + shared patch
+    centers).
+
+    Project creation ADOPTS a pre-existing user-supplied directory
+    (``external.mkdir(exist_ok=True)``), so clearing it wholesale on
+    overwrite could destroy foreign contents; unexpected entries are
+    kept and logged instead. Deletion errors propagate: a partially
+    cleared cache that went unnoticed would hand the new run the old
+    run's patch centers."""
+    import re
+    import shutil
+
+    pipeline_entry = re.compile(r"^(reference|unknown_\d+|patch_centers\.npy)$")
+    foreign: list[str] = []
+    for entry in sorted(cache_dir.iterdir()):
+        if pipeline_entry.match(entry.name):
+            if entry.is_dir() and not entry.is_symlink():
+                shutil.rmtree(entry)
+            else:
+                entry.unlink()
+        else:
+            foreign.append(entry.name)
+    if foreign:
+        logger.warning(
+            "external cache %s: keeping %d entr%s not created by the "
+            "pipeline: %s",
+            cache_dir, len(foreign), "y" if len(foreign) == 1 else "ies",
+            ", ".join(foreign[:8]),
+        )
+
+
 class LockFile:
     """Guards a project against concurrent or resumed-after-crash runs.
 
@@ -145,12 +178,14 @@ class Pipeline:
             def remove_project() -> None:
                 import shutil
 
-                # an external (symlinked) cache belongs to this project:
-                # clear its CONTENTS too, or the new run silently reuses
-                # the old run's patch centers and cached catalogs
+                # an external (symlinked) cache holds this project's
+                # catalogs: clear them too, or the new run silently
+                # reuses the old run's patch centers and cached catalogs
+                # (only pipeline-created entries — the directory may have
+                # pre-existed with foreign contents)
                 cache = wdir / "cache"
                 if cache.is_symlink():
-                    shutil.rmtree(cache.resolve(), ignore_errors=True)
+                    _clear_external_cache(cache.resolve())
                 shutil.rmtree(wdir)
 
             run_on_root(remove_project)
@@ -243,7 +278,7 @@ class Pipeline:
 
             cache = self.project.path / "cache"
             if cache.is_symlink():
-                shutil.rmtree(cache.resolve())
+                _clear_external_cache(cache.resolve())
                 cache.unlink()
             elif cache.exists():
                 shutil.rmtree(cache)

@@ -20,6 +20,7 @@ Enabled through ``max_resident_patches`` on the measurement functions.
 from __future__ import annotations
 
 import contextlib
+import contextvars
 import logging
 from typing import TYPE_CHECKING
 
@@ -547,13 +548,21 @@ def _make_tile_cache(
     )
 
 
-_ACTIVE_CACHES: list[_ColumnTileCache] = []
+# a ContextVar (not a process-global list) so the ambient scoping follows
+# the context that opened the cache: a cache opened in one thread must not
+# become the ambient cache — one shared budget and spill directory — for
+# unrelated measurements running concurrently in other threads (same
+# rationale as cli/directory.py's _CATALOG_MEMO)
+_ACTIVE_CACHES: contextvars.ContextVar[tuple[_ColumnTileCache, ...]] = (
+    contextvars.ContextVar("yawt_active_tile_caches", default=())
+)
 
 
 def active_tile_cache() -> _ColumnTileCache | None:
-    """The innermost ambient tile cache (see
+    """The innermost ambient tile cache of the current context (see
     :func:`measurement_tile_cache`), or None."""
-    return _ACTIVE_CACHES[-1] if _ACTIVE_CACHES else None
+    stack = _ACTIVE_CACHES.get()
+    return stack[-1] if stack else None
 
 
 @contextlib.contextmanager
@@ -600,11 +609,11 @@ def measurement_tile_cache(
         cache = _make_tile_cache(
             stack, tile_cache_bytes, resident_tile_bytes, store_rows=True
         )
-        _ACTIVE_CACHES.append(cache)
+        stack_token = _ACTIVE_CACHES.set(_ACTIVE_CACHES.get() + (cache,))
         try:
             yield cache
         finally:
-            _ACTIVE_CACHES.remove(cache)
+            _ACTIVE_CACHES.reset(stack_token)
         logger.debug(
             "measurement tile cache: %d hits, %d rebuilds",
             cache.hits, cache.misses,
@@ -1024,6 +1033,7 @@ def _blocked_loop(
         return tiles
 
     num_block_pairs = 0
+    num_candidate_pairs = 0
     # direct separation-weighted counting when available (audit and the
     # oracle backend require the union representation, see
     # measurements._run_engine); the combined device table is built
@@ -1058,6 +1068,10 @@ def _blocked_loop(
                 if pairs.num_pairs == 0:
                     continue
                 num_block_pairs += 1
+                num_candidate_pairs += (
+                    int(pairs.num_pairs)
+                    * tiles1.tile_size * tiles2.tile_size
+                )
 
                 # defer=True queues the device work; the fetch + scatter
                 # happen in drain() while later block pairs pack and
@@ -1116,6 +1130,12 @@ def _blocked_loop(
     PHASE_TOTALS["num_block_pairs"] = (
         PHASE_TOTALS.get("num_block_pairs", 0) + num_block_pairs
     )
+    # the engine's work statistic (num_tile_pairs x tile_size^2), summed
+    # over blocks — the only place it is knowable for LazyCatalogs, whose
+    # full-catalog tile sets never exist (read by scripts/survey_proof.py)
+    PHASE_TOTALS["candidate_pairs"] = (
+        PHASE_TOTALS.get("candidate_pairs", 0) + num_candidate_pairs
+    )
     return result
 
 
@@ -1125,7 +1145,8 @@ this process (diagnostic, read by bench.py; reset with
 :func:`reset_phase_totals`): host tile packing (``rows``, ``cols``),
 pair-list builds (``pairs``), device dispatch (``queue``) and result
 drains split into device-queue ``drain_wait``, host-device link
-``drain_fetch`` and host ``drain_scatter``. Attributes where a blocked
+``drain_fetch`` and host ``drain_scatter``, plus the work counters
+``num_block_pairs`` and ``candidate_pairs``. Attributes where a blocked
 run's wall time goes — on a tunneled chip the link fetch dominates,
 which locally attached hardware does not pay."""
 

@@ -420,6 +420,39 @@ class PatchLinkage:
         )
         return int(pairs.num_pairs) * tiles1.tile_size ** 2
 
+    def engine_work_stats(
+        self,
+        catalog1: Catalog,
+        catalog2: Catalog | None = None,
+        *,
+        binned2: bool | None = None,
+        mode: str = "nn",
+    ) -> dict:
+        """Work statistics of one count for performance models
+        (bench.py's roofline): ``candidate_pairs`` as in
+        :meth:`num_candidate_pairs`, ``slot_transitions`` (changes of the
+        output slot along the slot-sorted tile-pair list — each flushes
+        the kernel's VMEM accumulator block to HBM) and ``fetch_bytes``
+        (the float32 ``(num_slots, B, E)`` result tensor the host fetches
+        from the device)."""
+        auto = catalog2 is None
+        if binned2 is None:
+            binned2 = auto
+        tiles1, _, pairs = self._build_engine_inputs(
+            catalog1, catalog1 if auto else catalog2,
+            auto=auto, binned2=binned2, mode=mode,
+        )
+        transitions = 0
+        if pairs.num_pairs:
+            transitions = int(np.count_nonzero(np.diff(pairs.slot) != 0)) + 1
+        num_bins = len(self.config.binning.binning)
+        num_edges = self.edges.num_counting_edges
+        return {
+            "candidate_pairs": int(pairs.num_pairs) * tiles1.tile_size ** 2,
+            "slot_transitions": transitions,
+            "fetch_bytes": int(pairs.num_slots) * num_bins * num_edges * 4,
+        }
+
     def _run_engine(
         self, catalog1, catalog2, *, auto, binned2, mode, backend="auto",
         audit=False, mesh=None, data_sharding="replicated", defer=False,

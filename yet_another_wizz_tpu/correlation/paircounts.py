@@ -114,11 +114,11 @@ class BinwisePatchwiseArray(BinwiseData, PatchwiseData, HdfSerializable):
     def auto(self) -> bool:
         """Whether the data describes an autocorrelation measurement."""
 
-    def __repr__(self) -> str:
-        return (
-            f"{type(self).__name__}(auto={self.auto}, binning={self.binning}, "
-            f"num_patches={self.num_patches})"
-        )
+    @abstractmethod
+    def get_array(self) -> NDArray:
+        """Dense representation with shape (num_bins, num_patches,
+        num_patches); element [b, i, j] pairs patch i of catalog 1 with
+        patch j of catalog 2 in redshift bin b."""
 
     @abstractmethod
     def __eq__(self, other: Any) -> bool:
@@ -126,17 +126,18 @@ class BinwisePatchwiseArray(BinwiseData, PatchwiseData, HdfSerializable):
 
     __hash__ = None
 
+    def __repr__(self) -> str:
+        return (
+            f"{type(self).__name__}(auto={self.auto}, "
+            f"binning={self.binning}, num_patches={self.num_patches})"
+        )
+
     def is_compatible(self, other: Any, *, require: bool = False) -> bool:
         """Compatible = same binning and number of patches."""
-        return BinwiseData.is_compatible(
+        binwise_ok = BinwiseData.is_compatible(self, other, require=require)
+        return binwise_ok and PatchwiseData.is_compatible(
             self, other, require=require
-        ) and PatchwiseData.is_compatible(self, other, require=require)
-
-    @abstractmethod
-    def get_array(self) -> NDArray:
-        """Dense representation with shape (num_bins, num_patches,
-        num_patches); element [b, i, j] pairs patch i of catalog 1 with
-        patch j of catalog 2 in redshift bin b."""
+        )
 
     def sample_patch_sum(
         self,
@@ -179,20 +180,11 @@ class PatchedSumWeights(BinwisePatchwiseArray):
     diagonal to match the pair counting conventions.
     """
 
-    __slots__ = ("binning", "auto", "sum_weights1", "sum_weights2")
-
-    binning: Binning
-    sum_weights1: NDArray
-    sum_weights2: NDArray
-    auto: bool
+    __slots__ = ("auto", "binning", "sum_weights1", "sum_weights2")
 
     def __init__(
-        self,
-        binning: Binning,
-        sum_weights1: NDArray,
-        sum_weights2: NDArray,
-        *,
-        auto: bool,
+        self, binning: Binning, sum_weights1: NDArray,
+        sum_weights2: NDArray, *, auto: bool,
     ) -> None:
         self.binning = binning
         self.auto = auto
@@ -208,47 +200,29 @@ class PatchedSumWeights(BinwisePatchwiseArray):
                 f"{self.sum_weights1.shape} vs {self.sum_weights2.shape}"
             )
 
-    @classmethod
-    def from_hdf(cls: type[Self], source: Group) -> Self:
-        auto = bool(source["auto"][()])
-        if is_legacy_dataset(source):
-            return cls(
-                load_legacy_binning(source),
-                np.transpose(source["totals1"][:]),
-                np.transpose(source["totals2"][:]),
-                auto=auto,
-            )
-        return cls(
-            Binning.from_hdf(source["binning"]),
-            source["sum_weights1"][:],
-            source["sum_weights2"][:],
-            auto=auto,
-        )
-
-    def to_hdf(self, dest: Group) -> None:
-        write_version_tag(dest)
-        self.binning.to_hdf(dest.create_group("binning"))
-        dest.create_dataset("auto", data=self.auto)
-        dest.create_dataset(
-            "sum_weights1", data=self.sum_weights1, **HDF_COMPRESSION
-        )
-        dest.create_dataset(
-            "sum_weights2", data=self.sum_weights2, **HDF_COMPRESSION
-        )
-
     @property
     def num_patches(self) -> int:
         return self.sum_weights1.shape[1]
 
+    def get_array(self) -> NDArray:
+        array = self.sum_weights1[:, :, None] * self.sum_weights2[:, None, :]
+        if self.auto:
+            # pairs are only counted for patch id2 >= id1, with same-patch
+            # pairs halved — weight the product matrix with the identical
+            # convention so counts/norm stays an unbiased estimator
+            num = self.num_patches
+            convention = np.triu(np.ones((num, num)), k=1) + 0.5 * np.eye(num)
+            array = array * convention
+        return array
+
     def __eq__(self, other: Any) -> bool:
         if not isinstance(other, type(self)):
             return NotImplemented
-        return (
-            self.binning == other.binning
-            and self.auto == other.auto
-            and np.array_equal(self.sum_weights1, other.sum_weights1)
-            and np.array_equal(self.sum_weights2, other.sum_weights2)
-        )
+        if self.binning != other.binning or self.auto != other.auto:
+            return False
+        return np.array_equal(
+            self.sum_weights1, other.sum_weights1
+        ) and np.array_equal(self.sum_weights2, other.sum_weights2)
 
     __hash__ = None
 
@@ -271,28 +245,45 @@ class PatchedSumWeights(BinwisePatchwiseArray):
             auto=self.auto,
         )
 
-    def get_array(self) -> NDArray:
-        array = self.sum_weights1[:, :, None] * self.sum_weights2[:, None, :]
-        if self.auto:
-            # pairs are only counted for patch id2 >= id1, with same-patch
-            # pairs halved — weight the product matrix with the identical
-            # convention so counts/norm stays an unbiased estimator
-            num = self.num_patches
-            convention = np.triu(np.ones((num, num)), k=1) + 0.5 * np.eye(num)
-            array = array * convention
-        return array
+    # ---- HDF5 round trip -----------------------------------------------
+
+    def to_hdf(self, dest: Group) -> None:
+        write_version_tag(dest)
+        dest.create_dataset(
+            "sum_weights1", data=self.sum_weights1, **HDF_COMPRESSION
+        )
+        dest.create_dataset(
+            "sum_weights2", data=self.sum_weights2, **HDF_COMPRESSION
+        )
+        dest.create_dataset("auto", data=self.auto)
+        self.binning.to_hdf(dest.create_group("binning"))
+
+    @classmethod
+    def from_hdf(cls: type[Self], source: Group) -> Self:
+        auto = bool(source["auto"][()])
+        if is_legacy_dataset(source):
+            return cls(
+                load_legacy_binning(source),
+                np.transpose(source["totals1"][:]),
+                np.transpose(source["totals2"][:]),
+                auto=auto,
+            )
+        return cls(
+            Binning.from_hdf(source["binning"]),
+            source["sum_weights1"][:],
+            source["sum_weights2"][:],
+            auto=auto,
+        )
 
 
 class PatchedCounts(BinwisePatchwiseArray):
     """Weighted pair counts per redshift bin and patch pair."""
 
-    __slots__ = ("binning", "counts", "auto")
+    __slots__ = ("auto", "binning", "counts")
 
-    binning: Binning
-    counts: NDArray
-    auto: bool
-
-    def __init__(self, binning: Binning, counts: NDArray, *, auto: bool) -> None:
+    def __init__(
+        self, binning: Binning, counts: NDArray, *, auto: bool
+    ) -> None:
         self.binning = binning
         self.auto = auto
         self.counts = _check_tensor_shape(
@@ -307,51 +298,27 @@ class PatchedCounts(BinwisePatchwiseArray):
         shape = (len(binning), num_patches, num_patches)
         return cls(binning, np.zeros(shape), auto=auto)
 
-    @classmethod
-    def from_hdf(cls: type[Self], source: Group) -> Self:
-        auto = bool(source["auto"][()])
-        if is_legacy_dataset(source):
-            binning = load_legacy_binning(source)
-            num_patches = int(source["n_patches"][()])
-            patch_pairs = source["keys"][:]
-            binned_counts = source["data"][:]
-        else:
-            binning = Binning.from_hdf(source["binning"])
-            num_patches = int(source["num_patches"][()])
-            patch_pairs = source["patch_pairs"][:]
-            binned_counts = source["binned_counts"][:]
-
-        new = cls.zeros(binning, num_patches, auto=auto)
-        for (id1, id2), counts in zip(patch_pairs, binned_counts):
-            new.set_patch_pair(id1, id2, counts)
-        return new
-
-    def to_hdf(self, dest: Group) -> None:
-        write_version_tag(dest)
-        self.binning.to_hdf(dest.create_group("binning"))
-        dest.create_dataset("auto", data=self.auto)
-        dest.create_dataset("num_patches", data=self.num_patches)
-
-        # sparse storage: only patch pairs with counts in any bin
-        ids1, ids2 = np.nonzero(np.any(self.counts, axis=0))
-        dest.create_dataset(
-            "patch_pairs", data=np.column_stack([ids1, ids2]), **HDF_COMPRESSION
-        )
-        binned = np.moveaxis(self.counts[:, ids1, ids2], 0, -1)
-        dest.create_dataset("binned_counts", data=binned, **HDF_COMPRESSION)
-
     @property
     def num_patches(self) -> int:
         return self.counts.shape[1]
 
+    def get_array(self) -> NDArray:
+        return self.counts
+
+    def set_patch_pair(
+        self, patch_id1: int, patch_id2: int, counts_binned: NDArray
+    ) -> None:
+        """Assign the per-bin counts for one pair of patches."""
+        self.counts[:, patch_id1, patch_id2] = counts_binned
+
+    # ---- arithmetic and slicing ------------------------------------------
+
     def __eq__(self, other: Any) -> bool:
         if not isinstance(other, type(self)):
             return NotImplemented
-        return (
-            self.binning == other.binning
-            and self.auto == other.auto
-            and np.array_equal(self.counts, other.counts)
-        )
+        if self.binning != other.binning or self.auto != other.auto:
+            return False
+        return np.array_equal(self.counts, other.counts)
 
     __hash__ = None
 
@@ -377,23 +344,47 @@ class PatchedCounts(BinwisePatchwiseArray):
         sub = self.counts[:, keep, :][:, :, keep]
         return type(self)(self.binning, sub, auto=self.auto)
 
-    def get_array(self) -> NDArray:
-        return self.counts
+    # ---- HDF5 round trip -----------------------------------------------
 
-    def set_patch_pair(
-        self, patch_id1: int, patch_id2: int, counts_binned: NDArray
-    ) -> None:
-        """Assign the per-bin counts for one pair of patches."""
-        self.counts[:, patch_id1, patch_id2] = counts_binned
+    def to_hdf(self, dest: Group) -> None:
+        write_version_tag(dest)
+        # sparse storage: only patch pairs with counts in any bin
+        ids1, ids2 = np.nonzero(np.any(self.counts, axis=0))
+        dest.create_dataset(
+            "patch_pairs",
+            data=np.column_stack([ids1, ids2]),
+            **HDF_COMPRESSION,
+        )
+        binned = np.moveaxis(self.counts[:, ids1, ids2], 0, -1)
+        dest.create_dataset("binned_counts", data=binned, **HDF_COMPRESSION)
+        dest.create_dataset("num_patches", data=self.num_patches)
+        dest.create_dataset("auto", data=self.auto)
+        self.binning.to_hdf(dest.create_group("binning"))
+
+    @classmethod
+    def from_hdf(cls: type[Self], source: Group) -> Self:
+        auto = bool(source["auto"][()])
+        if is_legacy_dataset(source):
+            binning = load_legacy_binning(source)
+            num_patches = int(source["n_patches"][()])
+            patch_pairs = source["keys"][:]
+            binned_counts = source["data"][:]
+        else:
+            binning = Binning.from_hdf(source["binning"])
+            num_patches = int(source["num_patches"][()])
+            patch_pairs = source["patch_pairs"][:]
+            binned_counts = source["binned_counts"][:]
+
+        new = cls.zeros(binning, num_patches, auto=auto)
+        for (id1, id2), counts in zip(patch_pairs, binned_counts):
+            new.set_patch_pair(id1, id2, counts)
+        return new
 
 
 class BaseNormalisedCounts(BinwisePatchwiseArray):
     """A pair of containers: raw counts and their normalisation."""
 
     __slots__ = ("_counts", "_norm")
-
-    _counts: BinwisePatchwiseArray
-    _norm: BinwisePatchwiseArray
 
     def _init(
         self, counts: BinwisePatchwiseArray, norm: BinwisePatchwiseArray
@@ -409,58 +400,19 @@ class BaseNormalisedCounts(BinwisePatchwiseArray):
         self._counts = counts
         self._norm = norm
 
-    @classmethod
-    @abstractmethod
-    def _hdf_group_names(cls, version_tag: str) -> tuple[str, str]:
-        """HDF5 group names for the counts and normalisation containers."""
-
-    def to_hdf(self, dest: Group) -> None:
-        write_version_tag(dest)
-        counts_name, norm_name = self._hdf_group_names(load_version_tag(dest))
-        self._counts.to_hdf(dest.create_group(counts_name))
-        self._norm.to_hdf(dest.create_group(norm_name))
-
-    @property
-    def binning(self) -> Binning:
-        return self._counts.binning
-
-    @property
-    def auto(self) -> bool:
-        return self._counts.auto
-
-    @property
-    def num_patches(self) -> int:
-        return self._counts.num_patches
+    # the wrapped pair delegates its binning/patch/auto identity
+    binning = property(lambda self: self._counts.binning)
+    auto = property(lambda self: self._counts.auto)
+    num_patches = property(lambda self: self._counts.num_patches)
 
     def is_compatible(self, other: Any, *, require: bool = False) -> bool:
         if type(self) is not type(other):
             if not require:
                 return False
-            raise TypeError(f"{type(other)} is not compatible with {type(self)}")
+            raise TypeError(
+                f"{type(other)} is not compatible with {type(self)}"
+            )
         return self._counts.is_compatible(other._counts, require=require)
-
-    def __eq__(self, other: Any) -> bool:
-        if type(self) is not type(other):
-            return NotImplemented
-        return self._counts == other._counts and self._norm == other._norm
-
-    __hash__ = None
-
-    def __add__(self, other: Any) -> Self:
-        if type(self) is not type(other):
-            return NotImplemented
-        if self._norm != other._norm:
-            raise ValueError("normalisation of operands does not match")
-        return type(self)(self._counts + other._counts, self._norm)
-
-    def __mul__(self, factor: float) -> Self:
-        return type(self)(self._counts * factor, self._norm)
-
-    def _make_bin_slice(self, item: TypeSliceIndex) -> Self:
-        return type(self)(self._counts.bins[item], self._norm.bins[item])
-
-    def _make_patch_slice(self, item: TypeSliceIndex) -> Self:
-        return type(self)(self._counts.patches[item], self._norm.patches[item])
 
     def get_array(self) -> NDArray:
         """Counts normalised by the *total* patch-summed normalisation."""
@@ -486,6 +438,46 @@ class BaseNormalisedCounts(BinwisePatchwiseArray):
             method=method,
         )
 
+    # ---- arithmetic and slicing ------------------------------------------
+
+    def __eq__(self, other: Any) -> bool:
+        if type(self) is not type(other):
+            return NotImplemented
+        return self._counts == other._counts and self._norm == other._norm
+
+    __hash__ = None
+
+    def __add__(self, other: Any) -> Self:
+        if type(self) is not type(other):
+            return NotImplemented
+        if self._norm != other._norm:
+            raise ValueError("normalisation of operands does not match")
+        return type(self)(self._counts + other._counts, self._norm)
+
+    def __mul__(self, factor: float) -> Self:
+        return type(self)(self._counts * factor, self._norm)
+
+    def _make_bin_slice(self, item: TypeSliceIndex) -> Self:
+        return type(self)(self._counts.bins[item], self._norm.bins[item])
+
+    def _make_patch_slice(self, item: TypeSliceIndex) -> Self:
+        return type(self)(
+            self._counts.patches[item], self._norm.patches[item]
+        )
+
+    # ---- HDF5 round trip -----------------------------------------------
+
+    @classmethod
+    @abstractmethod
+    def _hdf_group_names(cls, version_tag: str) -> tuple[str, str]:
+        """HDF5 group names for the counts and normalisation containers."""
+
+    def to_hdf(self, dest: Group) -> None:
+        write_version_tag(dest)
+        counts_name, norm_name = self._hdf_group_names(load_version_tag(dest))
+        self._counts.to_hdf(dest.create_group(counts_name))
+        self._norm.to_hdf(dest.create_group(norm_name))
+
 
 class NormalisedCounts(BaseNormalisedCounts):
     """Pair counts normalised by the product of catalog sums of weights."""
@@ -495,15 +487,10 @@ class NormalisedCounts(BaseNormalisedCounts):
     def __init__(self, counts: PatchedCounts, sum_weights: PatchedSumWeights):
         self._init(counts, sum_weights)
 
-    @property
-    def counts(self) -> PatchedCounts:
-        """The raw pair counts."""
-        return self._counts
-
-    @property
-    def sum_weights(self) -> PatchedSumWeights:
-        """The sum-of-weights normalisation."""
-        return self._norm
+    #: The raw pair counts.
+    counts = property(lambda self: self._counts)
+    #: The sum-of-weights normalisation.
+    sum_weights = property(lambda self: self._norm)
 
     @classmethod
     def _hdf_group_names(cls, version_tag: str) -> tuple[str, str]:
@@ -526,18 +513,15 @@ class NormalisedScalarCounts(BaseNormalisedCounts):
 
     __slots__ = ()  # storage lives in BaseNormalisedCounts
 
-    def __init__(self, kappa_counts: PatchedCounts, number_counts: PatchedCounts):
+    def __init__(
+        self, kappa_counts: PatchedCounts, number_counts: PatchedCounts
+    ):
         self._init(kappa_counts, number_counts)
 
-    @property
-    def kappa_counts(self) -> PatchedCounts:
-        """Pair counts weighted by the scalar field."""
-        return self._counts
-
-    @property
-    def number_counts(self) -> PatchedCounts:
-        """Plain pair counts used for normalisation."""
-        return self._norm
+    #: Pair counts weighted by the scalar field.
+    kappa_counts = property(lambda self: self._counts)
+    #: Plain pair counts used for normalisation.
+    number_counts = property(lambda self: self._norm)
 
     @classmethod
     def _hdf_group_names(cls, version_tag: str) -> tuple[str, str]:

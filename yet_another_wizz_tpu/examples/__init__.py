@@ -147,6 +147,24 @@ _BUNDLED_DIR = _Path("/root/reference/src/yaw/examples")
 """The externally provided (read-only) copy of the prepared files, when
 the reference package happens to be mounted."""
 
+_PACKAGE_PRODUCTS = _Path(__file__).parent / "products"
+"""Precomputed products of the deterministic mock example, committed
+with the package (mirroring the reference, which ships cross.hdf /
+auto.hdf / estimate.{dat,smp,cov} in-package,
+/root/reference/src/yaw/examples/__init__.py:46-301): a fresh offline
+install loads ``examples.cross/auto/estimate`` without computing.
+Regenerate with ``scripts/create_example_products.py``."""
+
+
+def _packaged_products_dir() -> "_Path | None":
+    """The committed mock products, unless absent or explicitly ignored
+    (``YAWT_EXAMPLE_IGNORE_PACKAGED``, used when regenerating them)."""
+    if _os.environ.get("YAWT_EXAMPLE_IGNORE_PACKAGED"):
+        return None
+    if (_PACKAGE_PRODUCTS / "cross.hdf").exists():
+        return _PACKAGE_PRODUCTS
+    return None
+
 
 def _search_dirs() -> "list[_Path]":
     """Candidate directories for the prepared 2dFLenS files, in priority
@@ -253,9 +271,10 @@ def _refresh_paths() -> None:
         PATH.data = PATH.root / "mock_data.pqt"
         PATH.rand = PATH.root / "mock_rand.pqt"
         PATH.unknown = PATH.root / "mock_unknown.pqt"
-        PATH.cross = PATH.root / "cross.hdf"
-        PATH.auto = PATH.root / "auto.hdf"
-        PATH.estimate = PATH.root / "estimate"
+        products = _packaged_products_dir() or PATH.root
+        PATH.cross = products / "cross.hdf"
+        PATH.auto = products / "auto.hdf"
+        PATH.estimate = products / "estimate"
 
 
 _refresh_paths()
@@ -500,11 +519,15 @@ class ExampleData:
         the mock, missing products are computed on demand.
         """
         products_exist = PATH.cross.exists() and PATH.auto.exists()
-        if products_exist and PATH.cross.parent == _BUNDLED_DIR:
+        if products_exist and PATH.cross.parent in (
+            _BUNDLED_DIR, _PACKAGE_PRODUCTS
+        ):
             if force:
                 raise RuntimeError(
-                    "the committed 2dFLenS products are read-only; set "
-                    "YAWT_EXAMPLE_FORCE_MOCK=1 to regenerate mock products"
+                    "the committed example products are read-only; set "
+                    "YAWT_EXAMPLE_IGNORE_PACKAGED=1 (mock) or "
+                    "YAWT_EXAMPLE_FORCE_MOCK=1 (survey data) to compute "
+                    "fresh products into the example cache"
                 )
             return
         if not force and products_exist:

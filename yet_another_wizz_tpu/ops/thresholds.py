@@ -220,6 +220,14 @@ class AngularEdges:
         return self.edges.shape[1]
 
     @property
+    def num_counting_edges(self) -> int:
+        """Width of the engine's output edge axis: all union edges in
+        cumulative mode, only the scale-limit edges in direct mode."""
+        if self.direct is not None:
+            return self.direct.edges.shape[1]
+        return self.num_edges
+
+    @property
     def num_scales(self) -> int:
         return self.scale_maps.shape[2]
 

@@ -111,6 +111,9 @@ def encode_fixedpoint_lanes(
     ``(N, 8)`` per-tile decode parameters (center split into a float32
     (hi, lo) pair, plus the scale).
     """
+    if _native.NATIVE_ENABLED:
+        return _native.encode_fixedpoint(lane_data, tile_center, _SCALE_FLOOR)
+
     num_tiles, _, tile_size = lane_data.shape
     packed = np.empty((num_tiles, FIXEDPOINT_CHANNELS, tile_size), np.int32)
     params = np.zeros((num_tiles, FIXEDPOINT_PARAMS), np.float32)

@@ -49,6 +49,29 @@ ENV_COORDINATOR = "YAWT_COORDINATOR"
 ENV_NUM_PROCESSES = "YAWT_NUM_PROCESSES"
 ENV_PROCESS_ID = "YAWT_PROCESS_ID"
 
+# world-size variables exported by common multi-process launchers, in
+# detection order: Open MPI / mpiexec (ORTE), MPICH-style PMI, Slurm srun
+_LAUNCHER_WORLD_SIZE_VARS = (
+    "OMPI_COMM_WORLD_SIZE",
+    "PMI_SIZE",
+    "SLURM_NTASKS",
+)
+
+
+def _launched_world_size() -> int | None:
+    """World size advertised by an MPI-style launcher environment, or
+    None when not running under one. The analogue of the reference
+    answering ``mpirun -n 4`` by asking mpi4py for its world size
+    (/root/reference/src/yaw/utils/parallel.py:88-99)."""
+    for var in _LAUNCHER_WORLD_SIZE_VARS:
+        value = os.environ.get(var)
+        if value is not None:
+            try:
+                return int(value)
+            except ValueError:  # malformed launcher env; ignore it
+                return None
+    return None
+
 
 def initialize(
     coordinator_address: str | None = None,
@@ -60,8 +83,11 @@ def initialize(
 
     Arguments default to the ``YAWT_COORDINATOR`` / ``YAWT_NUM_PROCESSES``
     / ``YAWT_PROCESS_ID`` environment variables, so launchers only need to
-    export those before starting one process per host. The analogue of the
-    reference running under ``mpirun``
+    export those before starting one process per host. When neither is
+    given but the process was started by an MPI-style launcher (Open
+    MPI/``mpiexec``, Slurm ``srun``) with more than one rank, the cluster
+    configuration is auto-detected from the launcher environment — the
+    analogue of the reference running under ``mpirun``
     (/root/reference/src/yaw/utils/parallel.py:75-101).
     """
     global _initialized, _multiprocess
@@ -77,6 +103,10 @@ def initialize(
         if not _multiprocess and (
             coordinator_address is not None
             or process_count not in (None, 1)
+            or (
+                process_count is None
+                and (_launched_world_size() or 1) > 1
+            )
         ):
             # an earlier argument-less call latched single-host mode; a
             # silent no-op here (whether the cluster is requested by
@@ -90,9 +120,18 @@ def initialize(
             )
         return
 
+    autodetect = False
     if coordinator_address is None and process_count in (None, 1):
-        _initialized = True  # single host, nothing to set up
-        return
+        launched = _launched_world_size()
+        if process_count == 1 or launched is None or launched <= 1:
+            _initialized = True  # single host, nothing to set up
+            return
+        # launched under mpirun/mpiexec/srun with no explicit wiring:
+        # delegate to jax.distributed's cluster auto-detection (Open
+        # MPI ORTE URI, Slurm, GKE/GCE TPU pods), which derives the
+        # coordinator address from the launcher environment — the
+        # auto-detection the reference gets from mpi4py
+        autodetect = True
 
     import jax
 
@@ -103,11 +142,25 @@ def initialize(
         jax.config.update("jax_cpu_collectives_implementation", "gloo")
     except Exception:  # pragma: no cover - option absent in older jax
         pass
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=process_count,
-        process_id=process_id,
-    )
+    try:
+        if autodetect:
+            jax.distributed.initialize()
+        else:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=process_count,
+                process_id=process_id,
+            )
+    except Exception as exc:
+        if not autodetect:
+            raise
+        raise RuntimeError(
+            "running under a multi-process launcher (world size "
+            f"{_launched_world_size()}) but jax could not derive the "
+            "cluster configuration from its environment; export "
+            f"{ENV_COORDINATOR}/{ENV_NUM_PROCESSES}/{ENV_PROCESS_ID} "
+            "explicitly"
+        ) from exc
     _multiprocess = True
     _initialized = True
     logger.info(
