@@ -161,6 +161,56 @@ class TestTileSet:
         assert ts.num_points == 220
         assert_allclose(ts.sum_weights.sum(), w[80:].sum(), rtol=1e-12)
 
+    def test_fixedpoint_encode_decode_roundtrip(self, rng):
+        """Properties the link-compressed lane encoding guarantees:
+        weight/zbin channels survive bit-exactly, quantisation moves each
+        coordinate by at most scale/2 with scale <= max_offset/2^29, and
+        the device decode is EXACT — the (hi, lo) float32 pair sums (in
+        float64) to the encoded value center + q * scale up to the
+        compensated-pair residual, far below the quantisation step."""
+        from yet_another_wizz_tpu.ops.tiles import (
+            decode_fixedpoint_lanes,
+            encode_fixedpoint_lanes,
+        )
+
+        xyz, w, z = random_cap_catalog(rng, 2000, 3)
+        patches = simple_patches(xyz, 5, rng)
+        ts = build_tile_set(
+            xyz, patches, 5, weights=w, zbins=z, num_bins=3, tile_size=64
+        )
+        packed, params = encode_fixedpoint_lanes(ts.lane_data, ts.tile_center)
+        decoded = np.asarray(decode_fixedpoint_lanes()(packed, params))
+
+        # weight and zbin lanes are bit-cast, not re-encoded
+        assert np.array_equal(decoded[:, 6, :], ts.lane_data[:, 6, :])
+        assert np.array_equal(decoded[:, 7, :], ts.lane_data[:, 7, :])
+
+        original = (
+            ts.lane_data[:, 0:3, :].astype(np.float64)
+            + ts.lane_data[:, 3:6, :]
+        )
+        recovered = decoded[:, 0:3, :].astype(np.float64) + decoded[:, 3:6, :]
+        scale = params[:, 6].astype(np.float64)[:, None, None]
+
+        # the decode reproduces center + q * scale essentially exactly
+        center = (
+            params[:, 0:3].astype(np.float64) + params[:, 3:6]
+        )[:, :, None]
+        exact = center + packed[:, 0:3, :].astype(np.float64) * scale
+        assert np.abs(recovered - exact).max() <= 2.0**-40
+
+        # quantisation error bounded by half a step per axis
+        err = np.abs(recovered - original)
+        assert np.all(err <= 0.5 * scale + 2.0**-40)
+
+        # the per-tile scale is as tight as the power-of-two grid allows
+        offsets = original - ts.tile_center[:, :, None]
+        maxabs = np.abs(offsets).max(axis=(1, 2))
+        occupied = maxabs > 0
+        assert np.all(
+            scale[occupied, 0, 0] * 2**29 <= np.maximum(maxabs[occupied], 2.0**-50)
+        )
+
     def test_tile_caps_contain_points(self, rng):
         xyz, w, z = random_cap_catalog(rng, 1000, 2)
         patches = simple_patches(xyz, 3, rng)
