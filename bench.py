@@ -99,7 +99,10 @@ def timed_stall_aware(fn, runs: int = SURVEY_WARM_RUNS, max_reruns: int = 3):
         return [t > STALL_FACTOR * floor for t in ts]
 
     reruns = 0
-    while any(stall_flags(times)) and reruns < max_reruns:
+    # one replacement run per DETECTED stall (flagged times stay in the
+    # list, so comparing the flag count against reruns already granted
+    # prevents a single stall from burning the whole rerun budget)
+    while sum(stall_flags(times)) > reruns and reruns < max_reruns:
         t0 = time.perf_counter()
         result = fn()
         times.append(time.perf_counter() - t0)
@@ -621,11 +624,16 @@ def main() -> None:
         **mock["randoms"], degrees=False, patch_centers=centers_256
     )
 
+    stress_nz_s = [0.0]
+
     def run_stress():
         (w_sp,) = crosscorrelate(
             config, reference_256, unknown_256, ref_rand=randoms_256
         )
-        return RedshiftData.from_corrfuncs(w_sp)
+        t0 = time.perf_counter()
+        nz_stress = RedshiftData.from_corrfuncs(w_sp)
+        stress_nz_s[0] = time.perf_counter() - t0
+        return nz_stress
 
     run_stress()
     t_256, lo, hi, nz_256 = timed_median(run_stress)
@@ -645,6 +653,32 @@ def main() -> None:
         links_256.edges, stress_pairs, t_256, work_stats=work_256,
         link=link,
     )
+    # residual attribution (wall - bound): measured host-side costs the
+    # roofline deliberately excludes — float64 jackknife post-processing
+    # and the warm pair-list rebuild; what remains after those is launch
+    # dispatch + index-list upload (documented in BASELINE.md)
+    t0 = time.perf_counter()
+    for cat1, cat2 in (
+        (reference_256, unknown_256), (randoms_256, unknown_256)
+    ):
+        links_256._build_engine_inputs(
+            cat1, cat2, auto=False, binned2=False, mode="nn"
+        )
+    pair_build_s = time.perf_counter() - t0
+    rooflines["stress_256_patches"]["residual_s"] = {
+        "nz_post": round(stress_nz_s[0], 4),
+        "pair_build": round(pair_build_s, 4),
+        "dispatch_upload": round(
+            max(
+                t_256
+                - rooflines["stress_256_patches"]["bound_s"]
+                - stress_nz_s[0]
+                - pair_build_s,
+                0.0,
+            ),
+            4,
+        ),
+    }
     log(
         f"stress config 256 patches: {t_256:.2f}s warm median "
         f"[{lo:.2f}, {hi:.2f}], {stress_pairs:.3e} candidate pairs "

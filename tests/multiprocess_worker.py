@@ -230,6 +230,21 @@ def run_ompi(workdir: Path) -> None:
     print(f"OMPI OK rank={rank}")
 
 
+def run_ompi_error(workdir: Path) -> None:
+    """A multi-rank launcher environment whose cluster configuration jax
+    cannot derive (world size exported, no coordinator discoverable) must
+    fail with the actionable error, not latch single-host mode."""
+    os.environ["OMPI_COMM_WORLD_SIZE"] = "2"
+    os.environ.pop("OMPI_MCA_orte_hnp_uri", None)
+    try:
+        parallel.initialize()
+    except RuntimeError as err:
+        assert "YAWT_COORDINATOR" in str(err), err
+        print("OMPI ERROR OK")
+        return
+    raise AssertionError("initialize() silently ignored the launcher env")
+
+
 def run_root_error(workdir: Path) -> None:
     """Root-side failures must propagate to every process (collective
     re-raise) instead of deadlocking non-root ranks at a barrier."""
@@ -274,6 +289,8 @@ def main() -> None:
         run_pod4(workdir)
     elif mode == "ompi":
         run_ompi(workdir)
+    elif mode == "ompi_error":
+        run_ompi_error(workdir)
     elif mode == "root_error":
         run_root_error(workdir)
     else:

@@ -1093,6 +1093,9 @@ def test_tile_pair_enumeration_chunked_identical(rng, monkeypatch):
     linkage = build_linkage(centers, radii, 0.02)
     angles = np.array([0.015, 0.018, 0.02])
 
+    from yet_another_wizz_tpu import _native
+
+    monkeypatch.setattr(_native, "NATIVE_ENABLED", False)
     base = build_tile_pairs(ts1, ts2, linkage, auto=False, bin_max_angles=angles)
     monkeypatch.setattr(linkage_mod, "MAX_CANDIDATE_CHUNK", 7)
     tiny = linkage_mod.build_tile_pairs(
@@ -1101,3 +1104,50 @@ def test_tile_pair_enumeration_chunked_identical(rng, monkeypatch):
     np.testing.assert_array_equal(tiny.tile1, base.tile1)
     np.testing.assert_array_equal(tiny.tile2, base.tile2)
     np.testing.assert_array_equal(tiny.slot, base.slot)
+
+
+def test_tile_pair_filter_native_equals_numpy(rng, monkeypatch):
+    """The native streaming tile-pair filter reproduces the numpy group
+    pass EXACTLY (same kept set, same slot-sorted row-major order) in all
+    three cutoff modes: global angle, row-binned, and both-binned."""
+    from yet_another_wizz_tpu import _native
+
+    if not _native.NATIVE_ENABLED:
+        pytest.skip("native library unavailable")
+    import yet_another_wizz_tpu.ops.linkage as linkage_mod
+
+    xyz1, w1, z1 = random_cap_catalog(rng, 3000, 3)
+    xyz2, w2, z2 = random_cap_catalog(rng, 4000, 3)
+    p1 = simple_patches(xyz1, 6, np.random.default_rng(3))
+    p2 = simple_patches(xyz2, 6, np.random.default_rng(3))
+    binned1 = build_tile_set(
+        xyz1, p1, 6, weights=w1, zbins=z1, num_bins=3, tile_size=64
+    )
+    binned2 = build_tile_set(
+        xyz2, p2, 6, weights=w2, zbins=z2, num_bins=3, tile_size=64
+    )
+    spatial2 = build_tile_set(xyz2, p2, 6, weights=w2, tile_size=64)
+    centers, radii = patch_geometry(xyz1, p1, 6)
+    linkage = build_linkage(centers, radii, 0.02)
+    angles = np.array([0.015, 0.018, 0.02])
+
+    cases = [
+        dict(tiles2=spatial2, bin_max_angles=None),      # global cutoff
+        dict(tiles2=spatial2, bin_max_angles=angles),    # row-binned
+        dict(tiles2=binned2, bin_max_angles=angles),     # both-binned
+    ]
+    for case in cases:
+        native = build_tile_pairs(
+            binned1, case["tiles2"], linkage, auto=False,
+            bin_max_angles=case["bin_max_angles"],
+        )
+        monkeypatch.setattr(_native, "NATIVE_ENABLED", False)
+        fallback = linkage_mod.build_tile_pairs(
+            binned1, case["tiles2"], linkage, auto=False,
+            bin_max_angles=case["bin_max_angles"],
+        )
+        monkeypatch.setattr(_native, "NATIVE_ENABLED", True)
+        assert len(native.tile1) > 0
+        np.testing.assert_array_equal(native.tile1, fallback.tile1)
+        np.testing.assert_array_equal(native.tile2, fallback.tile2)
+        np.testing.assert_array_equal(native.slot, fallback.slot)

@@ -423,6 +423,29 @@ def test_ompi_launcher_autodetect(tmp_path):
             assert rc == 0, f"ompi worker {rank} failed (rc={rc}):\n{out}"
 
 
+def test_ompi_launcher_unresolvable_raises(tmp_path):
+    """World size exported by a launcher but no derivable coordinator:
+    initialize() must raise the actionable error (pointing at the YAWT_*
+    variables) instead of silently latching single-host mode."""
+    env = {
+        k: v for k, v in os.environ.items() if not k.startswith("YAWT_")
+    }
+    env.update(
+        JAX_PLATFORMS="cpu",
+        PALLAS_AXON_POOL_IPS="",
+        OMPI_COMM_WORLD_SIZE="2",
+        OMPI_COMM_WORLD_RANK="0",
+    )
+    env.pop("OMPI_MCA_orte_hnp_uri", None)
+    result = subprocess.run(
+        [sys.executable, str(WORKER), "ompi_error", str(tmp_path)],
+        env=env, cwd=REPO_ROOT, capture_output=True, text=True,
+        timeout=120.0,
+    )
+    assert result.returncode == 0, result.stdout + result.stderr
+    assert "OMPI ERROR OK" in result.stdout
+
+
 def test_two_process_collective_ingest(tmp_path):
     """Collective streaming ingestion: root reads and assigns, both ranks
     write the patches they own; the shared cache must equal a

@@ -23,6 +23,7 @@ __all__ = [
     "NATIVE_ENABLED",
     "assign_patches",
     "encode_fixedpoint",
+    "filter_tile_pairs",
     "morton_codes",
     "pack_tiles",
     "patch_geometry",
@@ -92,6 +93,17 @@ def _load() -> None:
     _lib.encode_fixedpoint.argtypes = [
         f32p, f64p, i64, i64, ctypes.c_double, i32p, f32p
     ]
+    _lib.filter_tile_pairs.argtypes = [
+        i64p, i64p, i64p, i64p, i64,            # slot starts/sizes
+        f64p, f64p, f64p, f64p,                 # caps
+        ctypes.c_double, ctypes.c_int32,        # cutoff, per_tile mode
+        ctypes.c_void_p, ctypes.c_void_p,       # zmin1/zmax1 (optional)
+        ctypes.c_void_p, ctypes.c_void_p,       # zmin2/zmax2 (optional)
+        ctypes.c_void_p, i64,                   # range_max table (optional)
+        i64p,                                   # per-slot kept counts
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # outputs
+    ]
+    _lib.filter_tile_pairs.restype = i64
     NATIVE_ENABLED = True
 
 
@@ -172,6 +184,72 @@ def encode_fixedpoint(
         params,
     )
     return packed, params
+
+
+def filter_tile_pairs(
+    start1: np.ndarray,
+    start2: np.ndarray,
+    n1: np.ndarray,
+    n2: np.ndarray,
+    centers1: np.ndarray,
+    radii1: np.ndarray,
+    centers2: np.ndarray,
+    radii2: np.ndarray,
+    *,
+    cutoff_angle: float = 0.0,
+    per_tile: int = 0,
+    zmin1: np.ndarray | None = None,
+    zmax1: np.ndarray | None = None,
+    zmin2: np.ndarray | None = None,
+    zmax2: np.ndarray | None = None,
+    range_max: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Cap-pruned tile-pair enumeration over linked patch-pair slots (the
+    build_tile_pairs hot loop; see ops/linkage.py for the numpy fallback
+    and tilepack.cpp for the predicate contract). Two native passes: a
+    sizing pass, then a fill pass into exactly-sized outputs — peak
+    memory is the RESULT, never the candidate grid."""
+    num_slots = len(start1)
+    args = [
+        np.ascontiguousarray(start1, np.int64),
+        np.ascontiguousarray(start2, np.int64),
+        np.ascontiguousarray(n1, np.int64),
+        np.ascontiguousarray(n2, np.int64),
+        num_slots,
+        np.ascontiguousarray(centers1, np.float64),
+        np.ascontiguousarray(radii1, np.float64),
+        np.ascontiguousarray(centers2, np.float64),
+        np.ascontiguousarray(radii2, np.float64),
+        float(cutoff_angle),
+        int(per_tile),
+    ]
+    holders = []  # keep the contiguous copies alive across both calls
+
+    def opt(arr, dtype):
+        if arr is None:
+            return None
+        arr = np.ascontiguousarray(arr, dtype)
+        holders.append(arr)
+        return arr.ctypes.data
+
+    args += [
+        opt(zmin1, np.int32), opt(zmax1, np.int32),
+        opt(zmin2, np.int32), opt(zmax2, np.int32),
+        opt(range_max, np.float64),
+        0 if range_max is None else range_max.shape[1],
+    ]
+    slot_counts = np.empty(num_slots, dtype=np.int64)
+    total = _lib.filter_tile_pairs(
+        *args, slot_counts, None, None, None
+    )
+    tile1 = np.empty(total, dtype=np.int32)
+    tile2 = np.empty(total, dtype=np.int32)
+    slot = np.empty(total, dtype=np.int32)
+    _lib.filter_tile_pairs(
+        *args, slot_counts,
+        tile1.ctypes.data, tile2.ctypes.data, slot.ctypes.data,
+    )
+    return tile1, tile2, slot
 
 
 def assign_patches(xyz: np.ndarray, centers: np.ndarray) -> np.ndarray:

@@ -239,6 +239,85 @@ void patch_geometry(const double* xyz, const double* weights,
 
 extern "C" {
 
+// Tile-pair candidate filtering (ops/linkage.py:build_tile_pairs): for
+// every linked patch-pair slot, walk its dense (n1 x n2) tile grid in
+// row-major order and keep pairs whose cap distance can reach the
+// angular cutoff. Replaces the numpy group pass, whose ~10 array
+// temporaries per candidate dominate the host wall at survey scale
+// (31.6 s of a 63 s warm 40M-row measurement). Bit-identical predicate:
+// sequential 3-term dot, clip, 2*asin(sqrt(max(0.5*(1-d), 0))) against
+// radii + theta — the build intentionally omits -march/-mfma so gcc
+// cannot contract the arithmetic differently from numpy.
+//
+// per_tile: 0 = global cutoff_angle; 1 = row tiles binned (theta from
+// range_max[zmin1, zmax1]); 2 = both binned (theta from the overlapping
+// bin range). Invalid/disjoint ranges drop the pair outright, matching
+// the numpy `valid` mask. Two modes of operation: with `out1 == null`
+// only per-slot kept counts are written (sizing pass); otherwise the
+// kept pairs stream into the output arrays. Returns the total kept.
+int64_t filter_tile_pairs(
+    const int64_t* start1, const int64_t* start2,
+    const int64_t* n1, const int64_t* n2, int64_t num_slots,
+    const double* centers1, const double* radii1,
+    const double* centers2, const double* radii2,
+    double cutoff_angle, int32_t per_tile,
+    const int32_t* zmin1, const int32_t* zmax1,
+    const int32_t* zmin2, const int32_t* zmax2,
+    const double* range_max, int64_t num_bins,
+    int64_t* slot_counts, int32_t* out1, int32_t* out2, int32_t* out_slot) {
+    int64_t kept_total = 0;
+    for (int64_t s = 0; s < num_slots; ++s) {
+        const int64_t s1 = start1[s], s2 = start2[s];
+        const int64_t m1 = n1[s], m2 = n2[s];
+        int64_t kept = 0;
+        for (int64_t i = 0; i < m1; ++i) {
+            const int64_t t1 = s1 + i;
+            const double* c1 = centers1 + 3 * t1;
+            const double r1 = radii1[t1];
+            double theta_row = cutoff_angle;
+            int32_t lo1 = 0, hi1 = 0;
+            if (per_tile >= 1) {
+                lo1 = zmin1[t1];
+                hi1 = zmax1[t1];
+                if (hi1 < lo1) continue;  // empty tile: never links
+                if (per_tile == 1)
+                    theta_row = range_max[lo1 * num_bins + hi1];
+            }
+            for (int64_t j = 0; j < m2; ++j) {
+                const int64_t t2 = s2 + j;
+                double theta = theta_row;
+                if (per_tile == 2) {
+                    int32_t lo = lo1 > zmin2[t2] ? lo1 : zmin2[t2];
+                    int32_t hi = hi1 < zmax2[t2] ? hi1 : zmax2[t2];
+                    if (lo > hi) continue;  // disjoint bin ranges
+                    theta = range_max[lo * num_bins + hi];
+                }
+                const double* c2 = centers2 + 3 * t2;
+                double dot = c1[0] * c2[0];
+                dot += c1[1] * c2[1];
+                dot += c1[2] * c2[2];
+                if (dot < -1.0) dot = -1.0;
+                if (dot > 1.0) dot = 1.0;
+                double h = 0.5 * (1.0 - dot);
+                if (h < 0.0) h = 0.0;
+                const double dist = 2.0 * std::asin(std::sqrt(h));
+                if (dist < r1 + radii2[t2] + theta) {
+                    if (out1 != nullptr) {
+                        const int64_t k = kept_total + kept;
+                        out1[k] = (int32_t)t1;
+                        out2[k] = (int32_t)t2;
+                        out_slot[k] = (int32_t)s;
+                    }
+                    ++kept;
+                }
+            }
+        }
+        slot_counts[s] = kept;
+        kept_total += kept;
+    }
+    return kept_total;
+}
+
 // Nearest-center assignment: argmax of xyz . center over centers, with no
 // score-matrix temporaries (OpenMP over points).
 void assign_patches(const double* xyz, int64_t n, const double* centers,

@@ -197,6 +197,37 @@ def build_tile_pairs(
     n2 = (tiles2.patch_tile_stop[p2] - tiles2.patch_tile_start[p2]).astype(
         np.int64
     )
+    # native streaming filter: identical predicate evaluated slot by slot
+    # in C++ (two passes: size, then fill) — no candidate-grid
+    # temporaries at all, ~8x the numpy group pass on one core (the
+    # numpy path is the dominant host cost of a 40M-row blocked run)
+    from yet_another_wizz_tpu import _native
+
+    if _native.NATIVE_ENABLED:
+        kwargs = {}
+        if per_tile_cutoff:
+            kwargs.update(
+                per_tile=2 if tiles2.binned else 1,
+                zmin1=tiles1.tile_zmin,
+                zmax1=tiles1.tile_zmax,
+                range_max=range_max,
+            )
+            if tiles2.binned:
+                kwargs.update(
+                    zmin2=tiles2.tile_zmin, zmax2=tiles2.tile_zmax
+                )
+        else:
+            kwargs.update(cutoff_angle=cutoff_angle)
+        tile1, tile2, slot = _native.filter_tile_pairs(
+            start1, start2, n1, n2,
+            tiles1.tile_center, tiles1.tile_radius,
+            tiles2.tile_center, tiles2.tile_radius,
+            **kwargs,
+        )
+        return TilePairs(
+            tile1=tile1, tile2=tile2, slot=slot, slot_patches=pairs
+        )
+
     sizes = n1 * n2
     bounds = np.concatenate([[0], np.cumsum(sizes)])
     num_slots = len(pairs)
