@@ -307,7 +307,7 @@ def run_survey_scale(rooflines: dict, link: dict | None = None) -> dict:
     # each of the warm runs above streams every catalog through the
     # host-device link once (fresh per-measurement cache): the honest
     # bound for THIS config on THIS link is the upload time of the
-    # packed lanes in the active encoding (20 B/point fixed-point +
+    # packed lanes in the active encoding (17 B/point fixed-point +
     # 32 B/tile decode parameters, or 32 B/point float)
     from yet_another_wizz_tpu.ops.tiles import (
         DEFAULT_TILE_SIZE,
@@ -316,7 +316,7 @@ def run_survey_scale(rooflines: dict, link: dict | None = None) -> dict:
 
     out["lane_encoding"] = lane_encoding()
     if link and link.get("upload_mb_s"):
-        point_bytes = 20.0 if out["lane_encoding"] == "fixedpoint" else 32.0
+        point_bytes = 17.0 if out["lane_encoding"] == "fixedpoint" else 32.0
         upload_mb = (
             point_bytes + 32.0 / DEFAULT_TILE_SIZE
         ) * out["rows"] / 1e6

@@ -178,10 +178,13 @@ class TestTileSet:
         ts = build_tile_set(
             xyz, patches, 5, weights=w, zbins=z, num_bins=3, tile_size=64
         )
-        packed, params = encode_fixedpoint_lanes(ts.lane_data, ts.tile_center)
-        decoded = np.asarray(decode_fixedpoint_lanes()(packed, params))
+        packed, params, zbins = encode_fixedpoint_lanes(
+            ts.lane_data, ts.tile_center
+        )
+        decoded = np.asarray(decode_fixedpoint_lanes()(packed, params, zbins))
 
-        # weight and zbin lanes are bit-cast, not re-encoded
+        # the weight lane is bit-cast and the int8 bin lane holds small
+        # integers — both survive exactly
         assert np.array_equal(decoded[:, 6, :], ts.lane_data[:, 6, :])
         assert np.array_equal(decoded[:, 7, :], ts.lane_data[:, 7, :])
 

@@ -66,15 +66,17 @@ class TestNativeKernels:
             weights=rng.uniform(0.5, 2, n),
             zbins=rng.integers(0, 4, n), num_bins=4, tile_size=64,
         )
-        native_packed, native_params = tiles_mod.encode_fixedpoint_lanes(
-            ts.lane_data, ts.tile_center
+        native_packed, native_params, native_zbins = (
+            tiles_mod.encode_fixedpoint_lanes(ts.lane_data, ts.tile_center)
         )
         monkeypatch.setattr(_native, "NATIVE_ENABLED", False)
-        fallback_packed, fallback_params = tiles_mod.encode_fixedpoint_lanes(
-            ts.lane_data, ts.tile_center
+        fallback_packed, fallback_params, fallback_zbins = (
+            tiles_mod.encode_fixedpoint_lanes(ts.lane_data, ts.tile_center)
         )
         assert np.array_equal(native_packed, fallback_packed)
         assert np.array_equal(native_params, fallback_params)
+        assert native_zbins.dtype == fallback_zbins.dtype == np.int8
+        assert np.array_equal(native_zbins, fallback_zbins)
 
     def test_tileset_native_equals_fallback(self, points, rng, monkeypatch):
         n = len(points)

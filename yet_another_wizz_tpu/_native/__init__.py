@@ -90,8 +90,9 @@ def _load() -> None:
     _lib.patch_geometry.argtypes = [
         f64p, ctypes.c_void_p, i32p, i64, i64, f64p, f64p
     ]
+    i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
     _lib.encode_fixedpoint.argtypes = [
-        f32p, f64p, i64, i64, ctypes.c_double, i32p, f32p
+        f32p, f64p, i64, i64, ctypes.c_double, i32p, f32p, i8p
     ]
     _lib.filter_tile_pairs.argtypes = [
         i64p, i64p, i64p, i64p, i64,            # slot starts/sizes
@@ -167,13 +168,14 @@ def tile_caps(
 
 def encode_fixedpoint(
     lane_data: np.ndarray, tile_center: np.ndarray, scale_floor: float
-) -> tuple[np.ndarray, np.ndarray]:
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Fixed-point lane encoding (the upload hot path; see
     ops.tiles.encode_fixedpoint_lanes for the numpy fallback and the
     layout contract)."""
     num_tiles, _, tile_size = lane_data.shape
-    packed = np.empty((num_tiles, 5, tile_size), dtype=np.int32)
+    packed = np.empty((num_tiles, 4, tile_size), dtype=np.int32)
     params = np.empty((num_tiles, 8), dtype=np.float32)
+    zbins = np.empty((num_tiles, tile_size), dtype=np.int8)
     _lib.encode_fixedpoint(
         np.ascontiguousarray(lane_data, np.float32),
         np.ascontiguousarray(tile_center, np.float64),
@@ -182,8 +184,9 @@ def encode_fixedpoint(
         scale_floor,
         packed,
         params,
+        zbins,
     )
-    return packed, params
+    return packed, params, zbins
 
 
 def filter_tile_pairs(

@@ -90,14 +90,16 @@ void tile_max_chord(const double* xyz, const int64_t* dest, int64_t n,
 // tile, reconstruct the float64 coordinates from the (hi, lo) float32
 // channels, pick the smallest power-of-two scale with |offset| <=
 // scale * 2^30, quantise the tile-relative offsets to int32
-// (round-half-even, matching np.rint), and bit-copy the weight/zbin
-// float32 channels into the two remaining int32 channels. `params` rows
-// are [cx_hi, cy_hi, cz_hi, cx_lo, cy_lo, cz_lo, scale, 0].
+// (round-half-even, matching np.rint), bit-copy the weight float32
+// channel into the fourth int32 channel, and narrow the redshift-bin
+// channel (small integer indices) to a lossless int8 side array.
+// `params` rows are [cx_hi, cy_hi, cz_hi, cx_lo, cy_lo, cz_lo, scale, 0].
 void encode_fixedpoint(const float* lane_data, const double* centers,
                        int64_t num_tiles, int64_t tile_size,
-                       double scale_floor, int32_t* packed, float* params) {
+                       double scale_floor, int32_t* packed, float* params,
+                       int8_t* zbins) {
     const int64_t in_stride = 8 * tile_size;
-    const int64_t out_stride = 5 * tile_size;
+    const int64_t out_stride = 4 * tile_size;
 #pragma omp parallel for schedule(static)
     for (int64_t t = 0; t < num_tiles; ++t) {
         const float* in = lane_data + t * in_stride;
@@ -131,7 +133,12 @@ void encode_fixedpoint(const float* lane_data, const double* centers,
             }
         }
         std::memcpy(out + 3 * tile_size, in + 6 * tile_size,
-                    sizeof(float) * 2 * tile_size);
+                    sizeof(float) * tile_size);
+        const float* zb = in + 7 * tile_size;
+        int8_t* zq = zbins + t * tile_size;
+        for (int64_t j = 0; j < tile_size; ++j) {
+            zq[j] = (int8_t)zb[j];
+        }
         float* p = params + 8 * t;
         for (int dim = 0; dim < 3; ++dim) {
             const double c = centers[3 * t + dim];

@@ -60,11 +60,12 @@ LANE_ENCODING_ENV = "YAWT_LANE_ENCODING"
 
 # Fixed-point lane encoding: per-point payload crossing the host-device
 # link drops from 32 B (xyz as (hi, lo) float32 pairs + weight + zbin) to
-# 20 B (3x int32 tile-relative offsets + weight + zbin), which matters
-# precisely on link-bound devices (the uncached survey-scale measurement
-# runs at the transfer floor, see ROADMAP.md). Channels of the packed
-# int32 layout:
-FIXEDPOINT_CHANNELS = 5  # [qx, qy, qz, weight (bitcast), zbin (bitcast)]
+# 17 B (3x int32 tile-relative offsets + float32 weight bit-cast + int8
+# redshift-bin index — bin indices are small ints, so the narrow lane is
+# LOSSLESS), which matters precisely on link-bound devices (the uncached
+# survey-scale measurement runs at the transfer floor, see ROADMAP.md).
+# Channels of the packed int32 layout:
+FIXEDPOINT_CHANNELS = 4  # [qx, qy, qz, weight (bitcast)]
 FIXEDPOINT_PARAMS = 8  # [cx_hi, cy_hi, cz_hi, cx_lo, cy_lo, cz_lo, scale, 0]
 
 # The per-tile quantisation step is a power of two >= maxabs_offset/2^30,
@@ -75,9 +76,10 @@ _SCALE_FLOOR = 2.0**-80
 
 def lane_encoding() -> str:
     """The active packed-lane encoding: ``"fixedpoint"`` (default; int32
-    tile-relative coordinates, 20 B/point across the host-device link) or
-    ``"float"`` (the raw (hi, lo) float32 lanes, 32 B/point), selectable
-    via the ``YAWT_LANE_ENCODING`` environment variable.
+    tile-relative coordinates + int8 bin lane, 17 B/point across the
+    host-device link) or ``"float"`` (the raw (hi, lo) float32 lanes,
+    32 B/point), selectable via the ``YAWT_LANE_ENCODING`` environment
+    variable.
 
     The fixed-point quantisation moves each point by at most
     ``sqrt(3)/2 * scale`` with ``scale <= 2 * chord(tile_radius) / 2^30``
@@ -97,21 +99,26 @@ def lane_encoding() -> str:
 
 
 def encode_fixedpoint_lanes(
-    lane_data: NDArray, tile_center: NDArray, chunk_tiles: int = 4096
-) -> tuple[NDArray, NDArray]:
+    lane_data: NDArray,
+    tile_center: NDArray,
+    chunk_tiles: int = 4096,
+    zbin_dtype: type = np.int8,
+) -> tuple[NDArray, NDArray, NDArray]:
     """Encode float32 (hi, lo) lanes into the packed int32 representation.
 
     Per tile, coordinates are stored as ``q = rint((xyz - center) / scale)``
     with a power-of-two ``scale`` chosen so ``|q| <= 2^30`` — the
     power-of-two choice makes the device decode exact (float32 products
-    with it are just exponent shifts). Weight and zbin float32 lanes are
-    bit-cast into the remaining two int32 channels losslessly.
+    with it are just exponent shifts). The weight float32 lane is bit-cast
+    into the fourth int32 channel losslessly; the redshift-bin lane holds
+    small integer indices and crosses as ``zbin_dtype`` (int8 for up to
+    128 bins, int16 beyond — both lossless).
 
-    Returns ``(packed, params)``: int32 ``(N, 5, T)`` and float32
+    Returns ``(packed, params, zbins)``: int32 ``(N, 4, T)``, float32
     ``(N, 8)`` per-tile decode parameters (center split into a float32
-    (hi, lo) pair, plus the scale).
+    (hi, lo) pair, plus the scale), and the ``(N, T)`` integer bin lane.
     """
-    if _native.NATIVE_ENABLED:
+    if _native.NATIVE_ENABLED and zbin_dtype == np.int8:
         return _native.encode_fixedpoint(lane_data, tile_center, _SCALE_FLOOR)
 
     num_tiles, _, tile_size = lane_data.shape
@@ -141,10 +148,8 @@ def encode_fixedpoint_lanes(
     packed[:, 3, :] = np.ascontiguousarray(
         lane_data[:, CHANNEL_WEIGHT, :]
     ).view(np.int32)
-    packed[:, 4, :] = np.ascontiguousarray(
-        lane_data[:, CHANNEL_ZBIN, :]
-    ).view(np.int32)
-    return packed, params
+    zbins = lane_data[:, CHANNEL_ZBIN, :].astype(zbin_dtype)
+    return packed, params, zbins
 
 
 _decode_fn = None
@@ -169,14 +174,12 @@ def decode_fixedpoint_lanes():
         import jax.numpy as jnp
 
         @jax.jit
-        def decode(packed, params):
+        def decode(packed, params, zbins):
             q = packed[..., 0:3, :]
             weight = jax.lax.bitcast_convert_type(
                 packed[..., 3:4, :], jnp.float32
             )
-            zbin = jax.lax.bitcast_convert_type(
-                packed[..., 4:5, :], jnp.float32
-            )
+            zbin = zbins[..., None, :].astype(jnp.float32)  # exact: small ints
             q_lo = ((q + 16384) & 0x7FFF) - 16384  # in [-2^14, 2^14)
             q_hi = q - q_lo  # multiple of 2^15, <= 16 significant bits
             s = params[..., 6][..., None, None]
@@ -336,8 +339,9 @@ class HostLanes(NamedTuple):
     """A tile set's lane payload ready for host-to-device transfer."""
 
     encoding: str  # "float" or "fixedpoint"
-    data: NDArray  # float32 (N, 8, T) lanes, or int32 (N, 5, T) packed
+    data: NDArray  # float32 (N, 8, T) lanes, or int32 (N, 4, T) packed
     params: NDArray | None  # float32 (N, 8) decode parameters (fixedpoint)
+    zbins: NDArray | None = None  # int8/int16 (N, T) bin lane (fixedpoint)
 
 
 @dataclass
@@ -403,7 +407,7 @@ class TileSet:
         """The lane payload to move across the host-device link, in the
         active encoding (:func:`lane_encoding`), with the tile axis
         zero-padded to ``padded_tiles`` when given. Fixed-point payloads
-        carry 20 B/point plus 32 B/tile of decode parameters; float
+        carry 17 B/point plus 32 B/tile of decode parameters; float
         payloads are the raw 32 B/point lanes."""
         num_pad = 0
         if padded_tiles is not None and padded_tiles > self.num_tiles:
@@ -417,10 +421,14 @@ class TileSet:
             )
 
         if lane_encoding() == "fixedpoint":
-            packed, params = encode_fixedpoint_lanes(
-                self.lane_data, self.tile_center
+            packed, params, zbins = encode_fixedpoint_lanes(
+                self.lane_data,
+                self.tile_center,
+                zbin_dtype=np.int8 if self.num_bins <= 128 else np.int16,
             )
-            return HostLanes("fixedpoint", pad(packed), pad(params))
+            return HostLanes(
+                "fixedpoint", pad(packed), pad(params), pad(zbins)
+            )
         return HostLanes("float", pad(self.lane_data), None)
 
     def device_data(self):
@@ -454,7 +462,9 @@ class TileSet:
                     host = self.host_lanes(padded_tiles)
                     if host.encoding == "fixedpoint":
                         token = decode_fixedpoint_lanes()(
-                            jnp.asarray(host.data), jnp.asarray(host.params)
+                            jnp.asarray(host.data),
+                            jnp.asarray(host.params),
+                            jnp.asarray(host.zbins),
                         )
                     else:
                         token = jnp.asarray(host.data)

@@ -138,7 +138,7 @@ def _put_global(arr, sharding: NamedSharding):
 
 def _place_lanes(host, sharding: NamedSharding):
     """Place a :class:`~yet_another_wizz_tpu.ops.tiles.HostLanes` payload
-    onto the mesh. Fixed-point payloads cross the link packed (20 B/point)
+    onto the mesh. Fixed-point payloads cross the link packed (17 B/point)
     and expand to the engine's float32 layout through the jitted decode;
     the decode is elementwise over the tile axis, so jit propagates the
     input sharding to the output without any resharding."""
@@ -147,7 +147,9 @@ def _place_lanes(host, sharding: NamedSharding):
     from yet_another_wizz_tpu.ops.tiles import decode_fixedpoint_lanes
 
     return decode_fixedpoint_lanes()(
-        _put_global(host.data, sharding), _put_global(host.params, sharding)
+        _put_global(host.data, sharding),
+        _put_global(host.params, sharding),
+        _put_global(host.zbins, sharding),
     )
 
 
@@ -481,22 +483,28 @@ def _shard_host_lanes(host, num_devices):
     per-device decode stays aligned (zero-padded tiles decode to zero
     lanes with zero weights)."""
     data, logical, shard = _shard_tiles(host.data, num_devices)
-    params = None
+    params = zbins = None
     if host.params is not None:
         params, _, _ = _shard_tiles(host.params, num_devices)
-    return type(host)(host.encoding, data, params), logical, shard
+    if host.zbins is not None:
+        zbins, _, _ = _shard_tiles(host.zbins, num_devices)
+    return type(host)(host.encoding, data, params, zbins), logical, shard
 
 
 def _reshape_host_lanes(host, num_devices, shard):
     """Reshape a sharded HostLanes payload to an explicit leading device
     axis (the ring layout's block form)."""
     data = host.data.reshape(num_devices, shard, *host.data.shape[1:])
-    params = None
+    params = zbins = None
     if host.params is not None:
         params = host.params.reshape(
             num_devices, shard, *host.params.shape[1:]
         )
-    return type(host)(host.encoding, data, params)
+    if host.zbins is not None:
+        zbins = host.zbins.reshape(
+            num_devices, shard, *host.zbins.shape[1:]
+        )
+    return type(host)(host.encoding, data, params, zbins)
 
 
 def _count_pairs_ring(
