@@ -307,8 +307,9 @@ def run_survey_scale(rooflines: dict, link: dict | None = None) -> dict:
     # each of the warm runs above streams every catalog through the
     # host-device link once (fresh per-measurement cache): the honest
     # bound for THIS config on THIS link is the upload time of the
-    # packed lanes in the active encoding (17 B/point fixed-point +
-    # 32 B/tile decode parameters, or 32 B/point float)
+    # packed lanes in the active encoding (17 B/point fixed-point,
+    # 13 B/point for uniform-weight catalogs with the weight lane
+    # elided, + ~36 B/tile decode parameters; or 32 B/point float)
     from yet_another_wizz_tpu.ops.tiles import (
         DEFAULT_TILE_SIZE,
         lane_encoding,
@@ -316,10 +317,19 @@ def run_survey_scale(rooflines: dict, link: dict | None = None) -> dict:
 
     out["lane_encoding"] = lane_encoding()
     if link and link.get("upload_mb_s"):
-        point_bytes = 17.0 if out["lane_encoding"] == "fixedpoint" else 32.0
-        upload_mb = (
-            point_bytes + 32.0 / DEFAULT_TILE_SIZE
-        ) * out["rows"] / 1e6
+        if out["lane_encoding"] == "fixedpoint":
+            # the mock reference/unknown carry per-point weights
+            # (17 B/point); the unit-weight randoms elide the weight lane
+            # (13 B/point, ops/tiles.py:uniform_weight_fill)
+            payload_bytes = (
+                17.0 * (SURVEY_REFERENCE + SURVEY_UNKNOWN)
+                + 13.0 * SURVEY_RANDOMS
+            )
+            param_bytes = 36.0 / DEFAULT_TILE_SIZE * out["rows"]
+        else:
+            payload_bytes = 32.0 * out["rows"]
+            param_bytes = 0.0
+        upload_mb = (payload_bytes + param_bytes) / 1e6
         out["link_bound_s"] = round(upload_mb / link["upload_mb_s"], 2)
         out["link_fraction"] = round(out["link_bound_s"] / t_sv, 3)
 

@@ -100,6 +100,61 @@ def test_auto_blocked_equals_in_memory(catalogs, config):
     assert_allclose(blocked.sample().data, full.sample().data, rtol=1e-6)
 
 
+def test_device_accumulate_escape_hatch(catalogs, config, monkeypatch):
+    """The on-device result accumulation (default) and the per-block-pair
+    host fetch (``YAWT_DEVICE_ACCUMULATE=0``) are two drain modes of the
+    same measurement — both must match the in-memory engine path."""
+    reference, unknown, randoms = catalogs
+    (full,) = crosscorrelate(
+        config, reference, unknown, ref_rand=randoms, backend="xla"
+    )
+    monkeypatch.setenv("YAWT_DEVICE_ACCUMULATE", "0")
+    (host_mode,) = crosscorrelate(
+        config, reference, unknown, ref_rand=randoms, backend="xla",
+        max_resident_patches=4,
+    )
+    monkeypatch.setenv("YAWT_DEVICE_ACCUMULATE", "1")
+    (device_mode,) = crosscorrelate(
+        config, reference, unknown, ref_rand=randoms, backend="xla",
+        max_resident_patches=4,
+    )
+    for blocked in (host_mode, device_mode):
+        assert_allclose(
+            blocked.dd.counts.counts, full.dd.counts.counts,
+            rtol=1e-6, atol=1e-3,
+        )
+        assert_allclose(blocked.sample().data, full.sample().data, rtol=1e-6)
+    # the two drain modes differ only in float32-vs-float64 reduction
+    # order: tighter than either is to the engine baseline
+    assert_allclose(
+        device_mode.dd.counts.counts, host_mode.dd.counts.counts,
+        rtol=1e-6, atol=1e-4,
+    )
+
+
+def test_direct_counting_blocked_accumulate(catalogs, config):
+    """Separation-weighted configs past the direct-counting crossover run
+    the direct mapper through the blocked loop; with the on-device
+    accumulation its scale reduction happens on device too and must match
+    the in-memory result."""
+    reference, unknown, randoms = catalogs
+    weighted = config.modify(rweight=-1.0, resolution=16)
+    (full,) = crosscorrelate(
+        weighted, reference, unknown, ref_rand=randoms, backend="xla"
+    )
+    (blocked,) = crosscorrelate(
+        weighted, reference, unknown, ref_rand=randoms, backend="xla",
+        max_resident_patches=4,
+    )
+    assert_allclose(
+        blocked.dd.counts.counts, full.dd.counts.counts, rtol=1e-6, atol=1e-3
+    )
+    assert_allclose(
+        blocked.rd.counts.counts, full.rd.counts.counts, rtol=1e-6, atol=1e-3
+    )
+    assert_allclose(blocked.sample().data, full.sample().data, rtol=1e-6)
+
+
 def test_audit_through_public_api(catalogs, config):
     reference, unknown, randoms = catalogs
     (plain,) = crosscorrelate(

@@ -214,6 +214,62 @@ class TestTileSet:
             scale[occupied, 0, 0] * 2**29 <= np.maximum(maxabs[occupied], 2.0**-50)
         )
 
+    def test_uniform_weight_lane_elision(self, rng):
+        """Unit-weight catalogs drop the weight channel from the link
+        payload (17 -> 13 B/point): the host payload self-describes as
+        3 packed channels + 9 decode parameters, and the device decode
+        reconstructs the weight lane bit-exactly from the per-tile point
+        count. Per-point weights keep the full 4-channel payload."""
+        from yet_another_wizz_tpu.ops.tiles import (
+            decode_fixedpoint_lanes,
+            uniform_weight_fill,
+        )
+
+        xyz, w, z = random_cap_catalog(rng, 1500, 3)
+        patches = simple_patches(xyz, 4, rng)
+
+        for w0 in (1.0, 2.5):
+            ts = build_tile_set(
+                xyz, patches, 4, weights=np.full(len(xyz), w0),
+                zbins=z, num_bins=3, tile_size=64,
+            )
+            host = ts.host_lanes()
+            assert host.data.shape[1] == 3
+            assert host.params.shape[1] == 9
+            decoded = np.asarray(
+                decode_fixedpoint_lanes()(host.data, host.params, host.zbins)
+            )
+            assert np.array_equal(decoded[:, 6, :], ts.lane_data[:, 6, :])
+            assert np.array_equal(decoded[:, 7, :], ts.lane_data[:, 7, :])
+
+        # per-point weights: detection declines, the full payload crosses
+        ts = build_tile_set(
+            xyz, patches, 4, weights=w, zbins=z, num_bins=3, tile_size=64
+        )
+        assert uniform_weight_fill(ts.lane_data) is None
+        host = ts.host_lanes()
+        assert host.data.shape[1] == 4
+        assert host.params.shape[1] == 8
+        decoded = np.asarray(
+            decode_fixedpoint_lanes()(host.data, host.params, host.zbins)
+        )
+        assert np.array_equal(decoded[:, 6, :], ts.lane_data[:, 6, :])
+
+        # a zero weight INSIDE a tile's front run (a real point the user
+        # weighted to zero) breaks the padding contract — detection must
+        # decline rather than misread the hole as the tile's fill level
+        ts = build_tile_set(
+            xyz, patches, 4, weights=np.ones(len(xyz)), zbins=z,
+            num_bins=3, tile_size=64,
+        )
+        full = np.flatnonzero(
+            np.all(ts.lane_data[:, 6, :] != 0.0, axis=1)
+        )
+        assert len(full) > 0  # tile_size 64 over 1500 points: full tiles
+        lane_hole = ts.lane_data.copy()
+        lane_hole[full[0], 6, 3] = 0.0
+        assert uniform_weight_fill(lane_hole) is None
+
     def test_tile_caps_contain_points(self, rng):
         xyz, w, z = random_cap_catalog(rng, 1000, 2)
         patches = simple_patches(xyz, 3, rng)
@@ -278,6 +334,53 @@ class TestEngineVsOracle:
         )
         assert_allclose(result, expect, atol=2.0)
         assert_allclose(result.sum(axis=0), expect.sum(axis=0), rtol=2e-6)
+
+    def test_padded_slots_contract(self, rng):
+        """``padded_slots=True`` keeps the engine's bucketed slot axis for
+        jitted consumers: valid rows match the sliced result and the mode
+        is refused outside single-device deferred execution."""
+        import pytest
+
+        from yet_another_wizz_tpu.ops.tiles import bucket_size
+
+        xyz1, w1, z1 = random_cap_catalog(rng, 700, 2)
+        xyz2, w2, _ = random_cap_catalog(rng, 800, 2)
+        patch1 = simple_patches(xyz1, 3, np.random.default_rng(5))
+        patch2 = simple_patches(xyz2, 3, np.random.default_rng(5))
+        ts1 = build_tile_set(
+            xyz1, patch1, 3, weights=w1, zbins=z1, num_bins=2, tile_size=64
+        )
+        ts2 = build_tile_set(xyz2, patch2, 3, weights=w2, tile_size=64)
+        edges = np.deg2rad(np.tile((0.3, 2.0), (2, 1)))
+        chord2 = ((2 * np.sin(edges / 2)) ** 2).astype(np.float32)
+        centers, radii = patch_geometry(xyz1, patch1, 3)
+        linkage = build_linkage(centers, radii, edges.max() * 1.000001)
+        pairs = build_tile_pairs(ts1, ts2, linkage, auto=False)
+
+        base = count_pairs_tiles(ts1, ts2, pairs, chord2, backend="xla")
+        padded = np.asarray(
+            count_pairs_tiles(
+                ts1, ts2, pairs, chord2, backend="xla", defer=True,
+                padded_slots=True,
+            )
+        )
+        assert padded.shape[0] == bucket_size(pairs.num_slots + 1, base=64)
+        assert_allclose(
+            padded[: pairs.num_slots].astype(np.float64), base,
+            rtol=1e-6, atol=1e-3,
+        )
+
+        # refused without deferred execution, and with the audit/oracle
+        # paths (both return repaired HOST counts)
+        with pytest.raises(ValueError, match="padded_slots"):
+            count_pairs_tiles(
+                ts1, ts2, pairs, chord2, backend="xla", padded_slots=True
+            )
+        with pytest.raises(ValueError, match="padded_slots"):
+            count_pairs_tiles(
+                ts1, ts2, pairs, chord2, backend="xla", defer=True,
+                padded_slots=True, audit=True, edges_radian=edges,
+            )
 
     def test_small_angles_precision(self, rng):
         """Separations around 1e-4 rad: far below float32 resolution of the

@@ -49,6 +49,40 @@ def test_sharded_matches_single_device(problem, data_sharding):
         assert_allclose(sharded, single, rtol=1e-5, atol=1e-2)
 
 
+@pytest.mark.parametrize("data_sharding", ["replicated", "columns", "ring"])
+def test_sharded_elided_weight_lane(problem, data_sharding):
+    """Unit-weight catalogs cross the link with the weight lane elided
+    (ops/tiles.py:uniform_weight_fill); every sharded layout must decode
+    the reconstructed lane to the same counts as the float64-equivalent
+    single-device run with explicit unit weights."""
+    rng = np.random.default_rng(777)
+    num_bins, num_patches = 3, 5
+    xyz1, _, z1 = random_cap_catalog(rng, 3000, num_bins)
+    xyz2, _, _ = random_cap_catalog(rng, 4000, num_bins)
+    patch1 = simple_patches(xyz1, num_patches, np.random.default_rng(3))
+    patch2 = simple_patches(xyz2, num_patches, np.random.default_rng(3))
+    ts1 = build_tile_set(
+        xyz1, patch1, num_patches, weights=np.ones(len(xyz1)), zbins=z1,
+        num_bins=num_bins, tile_size=64,
+    )
+    ts2 = build_tile_set(
+        xyz2, patch2, num_patches, weights=np.ones(len(xyz2)), tile_size=64
+    )
+    assert ts1.host_lanes().data.shape[1] == 3  # elision active
+    edges = np.deg2rad(np.tile((0.2, 1.0), (num_bins, 1)))
+    chord2 = ((2 * np.sin(edges / 2)) ** 2).astype(np.float32)
+    centers, radii = patch_geometry(xyz1, patch1, num_patches)
+    linkage = build_linkage(centers, radii, edges.max() * 1.000001)
+    pairs = build_tile_pairs(ts1, ts2, linkage, auto=False)
+
+    single = count_pairs_tiles(ts1, ts2, pairs, chord2, backend="xla")
+    mesh = default_mesh(8)
+    sharded = count_pairs_sharded(
+        ts1, ts2, pairs, chord2, mesh=mesh, data_sharding=data_sharding
+    )
+    assert_allclose(sharded, single, rtol=1e-5, atol=1e-2)
+
+
 def test_column_sharding_distributes_tiles(problem):
     """With column sharding every device holds only its shard of the
     column catalog (the memory-scaling property)."""

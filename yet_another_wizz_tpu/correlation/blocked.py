@@ -757,6 +757,55 @@ def count_pairs_blocked(
     return result
 
 
+_scatter_scales_jit = None
+
+
+def _scatter_block_scales(counts, scale_map, idx, accum):
+    """On-device per-scale reduction + scatter of one block pair.
+
+    ``counts``: the engine's BUCKETED ``(K, B, E)`` float32 cumulative
+    output (``padded_slots=True``); ``scale_map``: the mapper's
+    ``(B, E-1, S)`` interval-to-scale table; ``idx``: a host-built
+    ``(3, K)`` int32 stack of global patch indices ``(g1, g2)`` plus a
+    validity/halving code (0 = padding or dump row, 1 = auto same-patch
+    half weight, 2 = full weight); ``accum``: the running
+    ``(S, B, P+1, P+1)`` float32 result (row/column ``P`` is the dump
+    target of padded entries, sliced off at fetch time).
+
+    The padding rows of ``counts`` can hold uninitialised device scratch
+    (see ``count_pairs_pallas(padded_slots=True)``), so invalid rows are
+    removed with a ``jnp.where`` selection — a multiplicative mask would
+    propagate their NaNs. Everything runs in float32: the interval
+    differences are exactly-rounded subtractions of the float32
+    cumulatives (no cancellation amplification — the error is relative to
+    the interval value) and the scale reduction sums a handful of
+    non-negative terms per scale, bounded well inside the engine's 1e-6
+    oracle-parity budget. Each global patch pair lives in exactly ONE
+    block pair, so the scatter adds every slot once — there is no
+    round-off accumulation across block pairs.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    global _scatter_scales_jit
+    if _scatter_scales_jit is None:
+
+        def _impl(counts, scale_map, idx, accum):
+            intervals = jnp.diff(counts, axis=-1)  # (K, B, E-1)
+            per_scale = jnp.einsum(
+                "kbe,bes->sbk", intervals, scale_map,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            factor = idx[2].astype(jnp.float32) * 0.5
+            contrib = jnp.where(factor > 0.0, per_scale * factor, 0.0)
+            return accum.at[:, :, idx[0], idx[1]].add(contrib)
+
+        # no buffer donation: the accumulator is ~O(P^2) small, and CPU
+        # (the test platform) logs a warning for every donated call
+        _scatter_scales_jit = jax.jit(_impl)
+    return _scatter_scales_jit(counts, scale_map, idx, accum)
+
+
 PIPELINE_DEPTH = 8
 """Deferred block pairs kept in flight: the device computes (and the
 result transfers) block pairs while the host packs/loads the tiles of
@@ -794,7 +843,13 @@ def _blocked_loop(
 
         All drained results come down in ONE ``jax.device_get`` call:
         batching the transfers amortises the per-call link round trip
-        (the dominant cost on a tunneled device)."""
+        (the dominant cost on a tunneled device).
+
+        In the on-device accumulation mode (see below) the pending
+        entries hold only the raw count tensors — draining then just
+        WAITS on the older ones to bound the in-flight device inputs;
+        nothing crosses the link until the single accumulator fetch at
+        the end of the sweep."""
         import jax
         import time
 
@@ -809,6 +864,9 @@ def _blocked_loop(
             jax.block_until_ready(outs)
             t1 = time.perf_counter()
             phases["drain_wait"] += t1 - t0
+            if len(take[0]) == 1:  # accumulate mode: no per-pair fetch
+                phases["drain"] += time.perf_counter() - t0
+                return
             fetched = jax.device_get(outs)
             t2 = time.perf_counter()
             phases["drain_fetch"] += t2 - t1
@@ -879,6 +937,64 @@ def _blocked_loop(
         single_device = auto_mesh() is None
     else:
         single_device = False
+
+    # On-device result accumulation (single-device engines, no audit —
+    # audit returns repaired HOST counts): blocks partition patches, so
+    # each global patch pair is computed by exactly one block pair and
+    # the per-scale reduction + scatter can run on the device into one
+    # small (S, B, P+1, P+1) float32 accumulator. One ~O(P^2) fetch per
+    # count then replaces the per-block-pair (slots, B, E) transfers —
+    # at survey scale this removes ~100 MB of result traffic per count
+    # from a link whose bandwidth is the measured bottleneck.
+    # YAWT_DEVICE_ACCUMULATE=0 restores the per-block-pair host fetch
+    # (the same escape-hatch convention as YAWT_LANE_ENCODING=float).
+    import os
+
+    device_accumulate = (
+        single_device
+        and not audit
+        and os.environ.get("YAWT_DEVICE_ACCUMULATE", "1").strip() != "0"
+    )
+    accum_state = {"accum": None, "scale_map": None}
+
+    def queue_scatter(cumulative, mapper, pairs, lo1, lo2):
+        """Queue the on-device reduction of one block pair's counts."""
+        import jax.numpy as jnp
+
+        from yet_another_wizz_tpu.ops.paircount import _device_table
+
+        if accum_state["accum"] is None:
+            accum_state["accum"] = jnp.zeros(
+                (
+                    result.shape[0],
+                    result.shape[1],
+                    num_patches + 1,
+                    num_patches + 1,
+                ),
+                dtype=jnp.float32,
+            )
+        if accum_state["scale_map"] is None:
+            accum_state["scale_map"] = _device_table(mapper.scale_maps)
+        # one stacked int32 upload per block pair (every host-to-device
+        # transfer pays a full link round trip): global patch indices
+        # plus the validity/halving code consumed by the jitted scatter
+        k = cumulative.shape[0]
+        idx = np.zeros((3, k), dtype=np.int32)
+        idx[0] = num_patches  # padding/dump rows scatter to the dump row
+        idx[1] = num_patches
+        n = len(pairs.slot_patches)
+        global1 = pairs.slot_patches[:, 0] + lo1
+        global2 = pairs.slot_patches[:, 1] + lo2
+        idx[0, :n] = global1
+        idx[1, :n] = global2
+        if auto:
+            idx[2, :n] = np.where(global1 == global2, 1, 2)
+        else:
+            idx[2, :n] = 2
+        accum_state["accum"] = _scatter_block_scales(
+            cumulative, accum_state["scale_map"], jnp.asarray(idx),
+            accum_state["accum"],
+        )
 
     def warm_upload(tiles):
         """Start the async host-to-device transfer of a block's lanes
@@ -1083,6 +1199,7 @@ def _blocked_loop(
                         backend=backend, edges_radian=direct.edges,
                         mesh=mesh, data_sharding=data_sharding,
                         direct=direct.spec, defer=True,
+                        padded_slots=device_accumulate,
                     )
                     mapper = direct
                 else:
@@ -1096,13 +1213,39 @@ def _blocked_loop(
                         backend=backend, edges_radian=edges.edges,
                         mesh=mesh, data_sharding=data_sharding,
                         audit=audit, defer=True,
+                        padded_slots=device_accumulate,
                     )
                     mapper = edges
-                pending.append((cumulative, mapper, pairs, lo1, lo2))
+                if device_accumulate:
+                    timed(
+                        "queue", queue_scatter,
+                        cumulative, mapper, pairs, lo1, lo2,
+                    )
+                    pending.append((cumulative,))
+                else:
+                    pending.append((cumulative, mapper, pairs, lo1, lo2))
                 if len(pending) >= PIPELINE_DEPTH:
                     drain(PIPELINE_DEPTH // 2)
 
         drain(0)
+        if accum_state["accum"] is not None:
+            # the single result fetch of the accumulation mode
+            import time as _time
+
+            import jax
+
+            t0 = _time.perf_counter()
+            jax.block_until_ready(accum_state["accum"])
+            t1 = _time.perf_counter()
+            phases["drain_wait"] += t1 - t0
+            fetched = jax.device_get(accum_state["accum"])
+            t2 = _time.perf_counter()
+            phases["drain_fetch"] += t2 - t1
+            result += np.asarray(fetched, dtype=np.float64)[
+                :, :, :num_patches, :num_patches
+            ]
+            phases["drain_scatter"] += _time.perf_counter() - t2
+            phases["drain"] += _time.perf_counter() - t0
     finally:
         # shut the prefetch workers down on EVERY path: an exception
         # mid-sweep must not leak two live executors whose pending

@@ -524,6 +524,7 @@ def count_pairs_tiles(
     data_sharding: str = "replicated",
     defer: bool = False,
     direct: tuple | None = None,
+    padded_slots: bool = False,
 ) -> NDArray:
     """Run the pair-count engine over a tile-pair list.
 
@@ -559,9 +560,21 @@ def count_pairs_tiles(
     and the output edge axis covers only the counting edges. Not
     available with ``audit`` or the ``oracle`` backend, which require the
     union-edge cumulative representation (callers fall back to it).
+
+    With ``padded_slots=True`` (single-device deferred execution only)
+    the slot axis of the returned device array keeps the engine's
+    BUCKETED padding instead of being sliced to ``num_slots``: jitted
+    consumers (the blocked loop's on-device scale reduction) then compile
+    once per bucket, and rows ``>= num_slots`` (dump slot, padding,
+    potentially uninitialised scratch) must be masked out by the caller.
     """
     if audit and edges_radian is None:
         raise ValueError("audit=True requires 'edges_radian'")
+    if padded_slots and (audit or backend == "oracle" or not defer):
+        raise ValueError(
+            "padded_slots=True requires deferred device execution "
+            "(defer=True without audit or the oracle backend)"
+        )
     if direct is not None and (audit or backend == "oracle"):
         raise ValueError(
             "direct counting requires the cumulative representation for "
@@ -578,9 +591,8 @@ def count_pairs_tiles(
 
     if pairs.num_pairs == 0:
         width = _counting_width(table, direct)
-        return np.zeros(
-            (num_slots, table.shape[0], width), dtype=np.float64
-        )
+        rows = bucket_size(num_slots + 1, base=64) if padded_slots else num_slots
+        return np.zeros((rows, table.shape[0], width), dtype=np.float64)
 
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
@@ -603,6 +615,12 @@ def count_pairs_tiles(
         mesh = auto_mesh()
 
     if mesh is not None and backend != "oracle":
+        if padded_slots:
+            raise ValueError(
+                "padded_slots=True is only supported on the single-device "
+                "engines (the sharded path returns sliced host-shape "
+                "results)"
+            )
         from yet_another_wizz_tpu.parallel import count_pairs_sharded
 
         result = count_pairs_sharded(
@@ -638,6 +656,7 @@ def count_pairs_tiles(
             table,
             cols_binned=cols_binned,
             direct=direct,
+            padded_slots=padded_slots,
         )
     elif backend == "xla":
         # pad the pair list to a bucketed chunk multiple and the slot axis
@@ -667,7 +686,9 @@ def count_pairs_tiles(
             num_slots_out=num_slots_out,
             chunk_size=chunk_size,
             direct=direct,
-        )[:num_slots]
+        )
+        if not padded_slots:
+            result = result[:num_slots]
     else:
         raise ValueError(f"unknown backend '{backend}'")
 

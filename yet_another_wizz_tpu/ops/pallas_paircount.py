@@ -423,6 +423,7 @@ def count_pairs_pallas(
     interpret: bool | None = None,
     max_pairs_per_call: int = MAX_PAIRS_PER_CALL,
     direct: tuple | None = None,
+    padded_slots: bool = False,
 ) -> jnp.ndarray:
     """Run the Pallas pair-count kernel over a slot-sorted tile-pair list.
 
@@ -430,6 +431,15 @@ def count_pairs_pallas(
     backends the kernel runs in interpreter mode (for testing). The output
     carries one extra trailing "dump" slot while counting (padding entries
     accumulate there) which is dropped before returning.
+
+    With ``padded_slots=True`` the full BUCKETED slot axis is returned
+    instead (``bucket_size(num_slots + 1)`` rows): downstream jitted
+    consumers then see one compiled shape per bucket instead of one per
+    distinct slot count. Rows at ``num_slots`` (the dump slot) and beyond
+    carry dump counts, zeros, or — in the unmasked single-launch case —
+    uninitialised HBM: callers MUST mask rows ``>= num_slots`` out
+    themselves (a ``jnp.where`` on a host-built validity lane, never a
+    multiply, which would propagate uninitialised NaNs).
     """
     num_slots = pairs.num_slots
     if interpret is None:
@@ -481,7 +491,7 @@ def count_pairs_pallas(
             lane_data1, lane_data2, stacked, chord2_table,
             **static, mask_always=not covered,
         )
-        return total[:num_slots]
+        return total if padded_slots else total[:num_slots]
 
     total = jnp.zeros(
         (
@@ -497,4 +507,4 @@ def count_pairs_pallas(
             stacked, lo, lane_data1, tiles_t, thr, lane_data2,
             chord2_table, total, **static,
         )
-    return total[:num_slots]
+    return total if padded_slots else total[:num_slots]

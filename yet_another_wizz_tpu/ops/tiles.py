@@ -46,6 +46,7 @@ __all__ = [
     "lane_quantisation_scale",
     "morton_codes",
     "preferred_tile_layout",
+    "uniform_weight_fill",
 ]
 
 CHANNEL_XYZ_HI = slice(0, 3)
@@ -152,6 +153,35 @@ def encode_fixedpoint_lanes(
     return packed, params, zbins
 
 
+def uniform_weight_fill(lane_data: NDArray):
+    """Detect an elidable weight lane.
+
+    Returns ``(w0, counts)`` when every tile holds a front-contiguous run
+    of points sharing ONE nonzero weight ``w0`` followed by zero-weight
+    padding — the layout the packer produces for unit-weight catalogs
+    (randoms, unweighted data): the weight lane is then fully determined
+    by the per-tile point count and can be dropped from the link transfer
+    (17 -> 13 B/point, lossless). Returns ``None`` for anything else —
+    per-point weights, scalar (kappa) lanes, zero-weight points inside a
+    tile, or an empty tile set — in which case the weight channel crosses
+    the link bit-cast as usual.
+    """
+    w = lane_data[:, CHANNEL_WEIGHT, :]
+    mask = w != 0.0
+    counts = mask.sum(axis=1, dtype=np.int64)
+    if counts.sum() == 0:
+        return None
+    tile_size = w.shape[1]
+    front = np.arange(tile_size)[None, :] < counts[:, None]
+    if not np.array_equal(mask, front):
+        return None
+    first = int(np.argmax(counts > 0))
+    w0 = w[first, 0]
+    if not np.all((w == 0.0) | (w == w0)):
+        return None
+    return float(w0), counts
+
+
 _decode_fn = None
 
 
@@ -176,9 +206,20 @@ def decode_fixedpoint_lanes():
         @jax.jit
         def decode(packed, params, zbins):
             q = packed[..., 0:3, :]
-            weight = jax.lax.bitcast_convert_type(
-                packed[..., 3:4, :], jnp.float32
-            )
+            if packed.shape[-2] == 3:
+                # elided weight lane (uniform_weight_fill): reconstruct
+                # from the per-tile point count (params[..., 7], exact in
+                # float32 for any practical tile size) and the shared
+                # weight value (params[..., 8]); zero-padded tiles decode
+                # to all-zero weights through their zero params row
+                count = params[..., 7][..., None, None]
+                w0 = params[..., 8][..., None, None]
+                slot = jnp.arange(packed.shape[-1], dtype=jnp.float32)
+                weight = jnp.where(slot < count, w0, jnp.float32(0.0))
+            else:
+                weight = jax.lax.bitcast_convert_type(
+                    packed[..., 3:4, :], jnp.float32
+                )
             zbin = zbins[..., None, :].astype(jnp.float32)  # exact: small ints
             q_lo = ((q + 16384) & 0x7FFF) - 16384  # in [-2^14, 2^14)
             q_hi = q - q_lo  # multiple of 2^15, <= 16 significant bits
@@ -340,7 +381,9 @@ class HostLanes(NamedTuple):
 
     encoding: str  # "float" or "fixedpoint"
     data: NDArray  # float32 (N, 8, T) lanes, or int32 (N, 4, T) packed
-    params: NDArray | None  # float32 (N, 8) decode parameters (fixedpoint)
+    # ((N, 3, T) when the uniform weight lane is elided)
+    params: NDArray | None  # float32 (N, 8) decode parameters (fixedpoint;
+    # (N, 9) with per-tile count + shared weight when the lane is elided)
     zbins: NDArray | None = None  # int8/int16 (N, T) bin lane (fixedpoint)
 
 
@@ -407,8 +450,10 @@ class TileSet:
         """The lane payload to move across the host-device link, in the
         active encoding (:func:`lane_encoding`), with the tile axis
         zero-padded to ``padded_tiles`` when given. Fixed-point payloads
-        carry 17 B/point plus 32 B/tile of decode parameters; float
-        payloads are the raw 32 B/point lanes."""
+        carry 17 B/point plus 32 B/tile of decode parameters — 13 B/point
+        (+36 B/tile) when the weight lane is uniform and elided
+        (:func:`uniform_weight_fill`); float payloads are the raw
+        32 B/point lanes."""
         num_pad = 0
         if padded_tiles is not None and padded_tiles > self.num_tiles:
             num_pad = padded_tiles - self.num_tiles
@@ -426,6 +471,23 @@ class TileSet:
                 self.tile_center,
                 zbin_dtype=np.int8 if self.num_bins <= 128 else np.int16,
             )
+            fill = uniform_weight_fill(self.lane_data)
+            if fill is not None:
+                # uniform-weight catalogs (randoms, unweighted data): drop
+                # the weight channel from the transfer (17 -> 13 B/point)
+                # and ship the per-tile point count + shared value in the
+                # decode parameters instead; the payload self-describes
+                # through the channel count (3) and params width (9)
+                w0, counts = fill
+                packed = np.ascontiguousarray(packed[:, :3, :])
+                params = np.concatenate(
+                    [
+                        params,
+                        np.full((len(params), 1), w0, dtype=np.float32),
+                    ],
+                    axis=1,
+                )
+                params[:, 7] = counts
             return HostLanes(
                 "fixedpoint", pad(packed), pad(params), pad(zbins)
             )
