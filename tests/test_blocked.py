@@ -85,6 +85,38 @@ def test_phase_totals_accumulate(catalogs, config):
     assert totals["drain"] > 0.0
 
 
+@pytest.mark.parametrize("depth", ["3", "8"])
+def test_prefetch_depth_knob(catalogs, config, monkeypatch, depth):
+    """``YAWT_PREFETCH_BLOCKS`` > 1 keeps several packed blocks in
+    flight on two workers per side; the schedule change must not affect
+    the counts (cross AND auto shape, where row/column twin handling is
+    exercised under concurrent builds)."""
+    reference, unknown, randoms = catalogs
+    (full,) = crosscorrelate(
+        config, reference, unknown, ref_rand=randoms, backend="xla"
+    )
+    (full_auto,) = autocorrelate(config, reference, randoms, backend="xla")
+    monkeypatch.setenv("YAWT_PREFETCH_BLOCKS", depth)
+    (deep,) = crosscorrelate(
+        config, reference, unknown, ref_rand=randoms, backend="xla",
+        max_resident_patches=4,
+    )
+    (deep_auto,) = autocorrelate(
+        config, reference, randoms, backend="xla", max_resident_patches=4
+    )
+    assert_allclose(
+        deep.dd.counts.counts, full.dd.counts.counts, rtol=1e-6, atol=1e-3
+    )
+    assert_allclose(
+        deep.rd.counts.counts, full.rd.counts.counts, rtol=1e-6, atol=1e-3
+    )
+    assert_allclose(
+        deep_auto.dd.counts.counts, full_auto.dd.counts.counts,
+        rtol=1e-6, atol=1e-3,
+    )
+    assert_allclose(deep.sample().data, full.sample().data, rtol=1e-6)
+
+
 def test_auto_blocked_equals_in_memory(catalogs, config):
     reference, _, randoms = catalogs
     (full,) = autocorrelate(config, reference, randoms, backend="xla")

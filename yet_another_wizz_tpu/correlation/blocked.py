@@ -660,10 +660,12 @@ def count_pairs_blocked(
     (capped at ``tile_cache_bytes``; 0 disables) and are re-uploaded per
     row sweep. The device working set is therefore bounded by
     ``resident_tile_bytes`` plus the in-flight block pairs
-    (:data:`PIPELINE_DEPTH`); the host additionally holds at most one
-    PREFETCHED block per side — the next row block and the next column
-    block are packed on worker threads while the current block pair
-    queues device work. In autocorrelation-shaped counts (same
+    (:data:`PIPELINE_DEPTH`); the host additionally holds up to
+    ``YAWT_PREFETCH_BLOCKS`` (default 1) PREFETCHED blocks per side —
+    upcoming row and column blocks are packed on worker threads while
+    the current block pair queues device work. Deeper prefetch is an
+    experiment knob: on a link-bound device the pack waits are upload
+    staging, which deeper lookahead only reshuffles. In autocorrelation-shaped counts (same
     catalog, binning and layout on both sides) the row blocks reuse the
     same cache, skipping the per-sweep row packing as well.
 
@@ -1052,13 +1054,18 @@ def _blocked_loop(
             linked = linked & (ids2 >= ids1)
         return linked if linked.any() else None
 
-    # single-worker prefetch per side: packing the NEXT row/column block
-    # (Morton sort + native scatter, seconds at survey scale) overlaps
-    # the current block pair's pair-list build and queued device work.
-    # numpy sorting and the native packer release the GIL. The column
-    # prefetch matters on the FIRST row sweep (and whenever the cache is
-    # disabled); afterwards column loads hit the resident cache. Host
-    # working set grows to at most one extra in-flight block per side.
+    # prefetch per side: packing upcoming row/column blocks (Morton sort
+    # + native scatter, seconds at survey scale) overlaps the current
+    # block pair's pair-list build and queued device work. numpy sorting
+    # and the native packer release the GIL, so up to two workers per
+    # side give real parallelism. The column prefetch matters on the
+    # FIRST row sweep (and whenever the cache is disabled); afterwards
+    # column loads hit the resident cache. Host working set grows by up
+    # to ``YAWT_PREFETCH_BLOCKS`` in-flight blocks per side (default 1:
+    # an on-chip A/B at survey scale showed the pack waits are upload
+    # staging on the shared link, not queue-empty bubbles — depths 3-4
+    # only moved time from the pack phases into drain_wait, and two
+    # workers' concurrent uploads competed with the compute stream).
     from concurrent.futures import ThreadPoolExecutor
 
     # evaluated once per (lo1, lo2); the main loop reuses the slices
@@ -1071,29 +1078,61 @@ def _blocked_loop(
     }
     pair_seq = list(linked_by_pair)
     row_needed = list(dict.fromkeys(lo1 for lo1, _ in pair_seq))
-    next_row = {
-        lo1: row_needed[i + 1]
-        for i, lo1 in enumerate(row_needed[:-1])
-    }
-    next_col = {
-        pair_seq[i]: pair_seq[i + 1][1]
-        for i in range(len(pair_seq) - 1)
-    }
+    prefetch_depth = max(
+        1, int(os.environ.get("YAWT_PREFETCH_BLOCKS", "1") or 1)
+    )
     executor = (
-        ThreadPoolExecutor(max_workers=1, thread_name_prefix="yawt-rowpack")
+        ThreadPoolExecutor(
+            max_workers=min(2, prefetch_depth),
+            thread_name_prefix="yawt-rowpack",
+        )
         if len(row_needed) > 1 else None
     )
     col_executor = (
-        ThreadPoolExecutor(max_workers=1, thread_name_prefix="yawt-colpack")
+        ThreadPoolExecutor(
+            max_workers=min(2, prefetch_depth),
+            thread_name_prefix="yawt-colpack",
+        )
         if len(pair_seq) > 1 else None
     )
     futures: dict = {}
     col_futures: dict = {}
-    if executor is not None and row_needed:
-        futures[row_needed[0]] = executor.submit(acquire_rows, row_needed[0])
-    if col_executor is not None and pair_seq:
-        first_col = pair_seq[0][1]
-        col_futures[first_col] = col_executor.submit(acquire_cols, first_col)
+    # cursors walk the consumption sequences; top-up keeps up to
+    # ``prefetch_depth`` futures outstanding per side. Both dicts are
+    # touched from the main thread only (submit + pop) — the workers
+    # never see them. A cursor may skip a block whose future is consumed
+    # before its later duplicate position comes up; the fallback direct
+    # acquire then hits the resident cache, which is what the duplicate
+    # would have loaded anyway.
+    row_cursor = [0]
+    col_cursor = [0]
+
+    def top_up_rows() -> None:
+        if executor is None:
+            return
+        while (
+            len(futures) < prefetch_depth
+            and row_cursor[0] < len(row_needed)
+        ):
+            lo1 = row_needed[row_cursor[0]]
+            row_cursor[0] += 1
+            if lo1 not in futures:
+                futures[lo1] = executor.submit(acquire_rows, lo1)
+
+    def top_up_cols() -> None:
+        if col_executor is None:
+            return
+        while (
+            len(col_futures) < prefetch_depth
+            and col_cursor[0] < len(pair_seq)
+        ):
+            lo2 = pair_seq[col_cursor[0]][1]
+            col_cursor[0] += 1
+            if lo2 not in col_futures:
+                col_futures[lo2] = col_executor.submit(acquire_cols, lo2)
+
+    top_up_rows()
+    top_up_cols()
 
     # on built=True both getters re-check the RESIDENT cache layer before
     # storing: in autocorrelation-shaped counts row and column keys
@@ -1119,12 +1158,10 @@ def _blocked_loop(
                 tiles = cached  # twin stored by the column path meanwhile
             else:
                 timed("rows", cache.store, row_base + (lo1,), tiles)
-        nxt = next_row.get(lo1)
-        if executor is not None and nxt is not None and nxt not in futures:
-            futures[nxt] = executor.submit(acquire_rows, nxt)
+        top_up_rows()
         return tiles
 
-    def get_col_tiles(lo1, lo2):
+    def get_col_tiles(lo2):
         fut = col_futures.pop(lo2, None)
         if fut is not None:
             tiles, built = timed("cols", fut.result)
@@ -1139,13 +1176,7 @@ def _blocked_loop(
                 tiles = cached  # twin stored by the row path meanwhile
             else:
                 timed("cols", cache.store, col_base + (lo2,), tiles)
-        nxt = next_col.get((lo1, lo2))
-        if (
-            col_executor is not None
-            and nxt is not None
-            and nxt not in col_futures
-        ):
-            col_futures[nxt] = col_executor.submit(acquire_cols, nxt)
+        top_up_cols()
         return tiles
 
     num_block_pairs = 0
@@ -1168,7 +1199,7 @@ def _blocked_loop(
 
                 if tiles1 is None:
                     tiles1 = get_row_tiles(lo1)
-                tiles2 = get_col_tiles(lo1, lo2)
+                tiles2 = get_col_tiles(lo2)
 
                 local_linkage = type(linkage)(
                     max_angle=linkage.max_angle, linked=linked
