@@ -725,16 +725,25 @@ def main() -> None:
         "oracle_max_rel_err": float(f"{max_rel_err:.3e}"),
     }
 
-    # the one-shot out-of-core proof at full survey scale (40M rows; too
-    # slow for the bench loop) is recorded by scripts/survey_proof.py and
-    # committed — embed it so every bench record carries the evidence
-    proof = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "BENCH_oneshot_survey40m.json",
-    )
-    if os.path.exists(proof):
+    # the one-shot out-of-core proofs at full survey scale (40M/70M
+    # rows; too slow for the bench loop) are recorded by
+    # scripts/survey_proof.py and committed — embed them so every bench
+    # record carries the evidence. "survey_proof" stays the largest run
+    # for record-shape compatibility; all records land under
+    # "survey_proofs" keyed by filename.
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    proofs = {}
+    for proof in sorted(glob.glob(os.path.join(here, "BENCH_oneshot_*.json"))):
         with open(proof) as f:
-            result["survey_proof"] = json.load(f)
+            proofs[os.path.basename(proof)] = json.load(f)
+    if proofs:
+        result["survey_proofs"] = proofs
+        result["survey_proof"] = max(
+            proofs.values(),
+            key=lambda rec: rec.get("total_rows_requested", 0),
+        )
 
     print(json.dumps(result), flush=True)
 
