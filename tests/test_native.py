@@ -78,6 +78,35 @@ class TestNativeKernels:
         assert native_zbins.dtype == fallback_zbins.dtype == np.int8
         assert np.array_equal(native_zbins, fallback_zbins)
 
+    def test_sort_order_matches_lexsort(self, rng):
+        """The composite-key radix argsort must reproduce np.lexsort's
+        stable (patch, zbin, morton) order exactly, including ties (both
+        layouts; duplicates force the stability to matter)."""
+        for n in (0, 1, 7, 100_000):
+            patches = rng.integers(0, 97, n).astype(np.int32)
+            zbins = rng.integers(0, 300, n).astype(np.int32)
+            morton = rng.integers(0, 2**30, n).astype(np.int64)
+            expect = np.lexsort((morton, zbins, patches))
+            got = _native.sort_order(patches, zbins, morton)
+            assert np.array_equal(got, expect)
+            expect_spatial = np.lexsort((morton, patches))
+            got_spatial = _native.sort_order(patches, None, morton)
+            assert np.array_equal(got_spatial, expect_spatial)
+
+    def test_gathers_match_fancy_indexing(self, rng):
+        n = 50_000
+        order = rng.permutation(n).astype(np.int64)
+        vec = rng.normal(size=(n, 3))
+        flat = rng.normal(size=n)
+        ints = rng.integers(-5, 5, n).astype(np.int32)
+        assert np.array_equal(_native.gather_f64(vec, order), vec[order])
+        assert np.array_equal(_native.gather_f64(flat, order), flat[order])
+        assert np.array_equal(_native.gather_i32(ints, order), ints[order])
+        assert np.array_equal(
+            _native.gather_i32_to_f64(ints, order),
+            ints[order].astype(np.float64),
+        )
+
     def test_tileset_native_equals_fallback(self, points, rng, monkeypatch):
         n = len(points)
         weights = rng.uniform(0.5, 2, n)

@@ -24,10 +24,14 @@ __all__ = [
     "assign_patches",
     "encode_fixedpoint",
     "filter_tile_pairs",
+    "gather_f64",
+    "gather_i32",
+    "gather_i32_to_f64",
     "morton_codes",
     "pack_tiles",
     "patch_geometry",
     "radec_to_xyz",
+    "sort_order",
     "tile_caps",
 ]
 
@@ -105,6 +109,14 @@ def _load() -> None:
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # outputs
     ]
     _lib.filter_tile_pairs.restype = i64
+    u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+    _lib.make_sort_keys.argtypes = [
+        i32p, i32p, i64p, i64, ctypes.c_int32, ctypes.c_int32, u64p
+    ]
+    _lib.radix_argsort.argtypes = [u64p, i64, i64p]
+    _lib.gather_f64.argtypes = [f64p, i64p, i64, i64, f64p]
+    _lib.gather_i32.argtypes = [i32p, i64p, i64, i32p]
+    _lib.gather_i32_to_f64.argtypes = [i32p, i64p, i64, f64p]
     NATIVE_ENABLED = True
 
 
@@ -253,6 +265,63 @@ def filter_tile_pairs(
         tile1.ctypes.data, tile2.ctypes.data, slot.ctypes.data,
     )
     return tile1, tile2, slot
+
+
+def sort_order(
+    patch_ids: np.ndarray,
+    zbins: np.ndarray | None,
+    morton: np.ndarray,
+    *,
+    morton_bits: int = 30,
+) -> np.ndarray:
+    """Stable argsort by (patch, zbin, morton) — the tile-layout sort —
+    as ONE parallel radix pass set over a composite uint64 key, replacing
+    ``np.lexsort``'s three stable single-threaded argsorts. ``zbins=None``
+    sorts by (patch, morton) only (the "spatial" layout)."""
+    n = len(morton)
+    patch_ids = np.ascontiguousarray(patch_ids, np.int32)
+    morton = np.ascontiguousarray(morton, np.int64)
+    keys = np.empty(n, dtype=np.uint64)
+    if zbins is None:
+        zb = np.zeros(n, dtype=np.int32)
+        zbin_bits = 0
+    else:
+        zb = np.ascontiguousarray(zbins, np.int32)
+        zbin_bits = 16
+    _lib.make_sort_keys(patch_ids, zb, morton, n, zbin_bits,
+                        morton_bits, keys)
+    order = np.empty(n, dtype=np.int64)
+    _lib.radix_argsort(keys, n, order)
+    return order
+
+
+def gather_f64(src: np.ndarray, order: np.ndarray) -> np.ndarray:
+    """Parallel ``src[order]`` for float64 arrays of shape (n,) or (n, k)."""
+    src = np.ascontiguousarray(src, np.float64)
+    order = np.ascontiguousarray(order, np.int64)
+    out = np.empty((len(order), *src.shape[1:]), dtype=np.float64)
+    k = int(np.prod(src.shape[1:], dtype=np.int64)) if src.ndim > 1 else 1
+    _lib.gather_f64(src, order, len(order), k, out)
+    return out
+
+
+def gather_i32(src: np.ndarray, order: np.ndarray) -> np.ndarray:
+    """Parallel ``src[order]`` for int32 arrays."""
+    src = np.ascontiguousarray(src, np.int32)
+    order = np.ascontiguousarray(order, np.int64)
+    out = np.empty(len(order), dtype=np.int32)
+    _lib.gather_i32(src, order, len(order), out)
+    return out
+
+
+def gather_i32_to_f64(src: np.ndarray, order: np.ndarray) -> np.ndarray:
+    """Parallel ``src[order].astype(float64)`` for int32 arrays (fuses the
+    gather with the dtype conversion the packed lane layout needs)."""
+    src = np.ascontiguousarray(src, np.int32)
+    order = np.ascontiguousarray(order, np.int64)
+    out = np.empty(len(order), dtype=np.float64)
+    _lib.gather_i32_to_f64(src, order, len(order), out)
+    return out
 
 
 def assign_patches(xyz: np.ndarray, centers: np.ndarray) -> np.ndarray:

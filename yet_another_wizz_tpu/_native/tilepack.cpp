@@ -9,10 +9,15 @@
 //
 // Build: g++ -O3 -march=native -fopenmp -shared -fPIC tilepack.cpp -o libtilepack.so
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
 
 extern "C" {
 
@@ -323,6 +328,128 @@ int64_t filter_tile_pairs(
         kept_total += kept;
     }
     return kept_total;
+}
+
+// Composite sort keys for the tile layout: (patch, zbin, morton) packed
+// into one uint64 so ONE radix sort replaces the three stable argsort
+// passes of np.lexsort. Bit budget: patch ids are int16-bounded (15
+// bits), zbin uses 16 bits (int16 bin lane bound), morton uses
+// 3 * bits/axis (30 at the default 10) — 61 bits total.
+void make_sort_keys(const int32_t* patch, const int32_t* zbin,
+                    const int64_t* morton, int64_t n, int32_t zbin_bits,
+                    int32_t morton_bits, uint64_t* out) {
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; ++i) {
+        out[i] = ((uint64_t)(uint32_t)patch[i] << (zbin_bits + morton_bits))
+               | ((uint64_t)(uint32_t)zbin[i] << morton_bits)
+               | (uint64_t)morton[i];
+    }
+}
+
+// Stable parallel LSD radix argsort on uint64 keys (8-bit digits,
+// constant digits skipped). Matches np.lexsort exactly: both are stable,
+// so equal composite keys keep their input order. Each pass is a
+// parallel stable counting sort — threads own contiguous chunks,
+// histogram them, and scatter through (digit, thread)-ordered offsets,
+// which preserves chunk order within every digit bucket.
+void radix_argsort(const uint64_t* keys, int64_t n, int64_t* order) {
+    if (n <= 0) return;
+    std::vector<uint64_t> kbuf1(keys, keys + n), kbuf2(n);
+    std::vector<int64_t> obuf(n);
+    uint64_t all_or = 0, all_and = ~0ull;
+    for (int64_t i = 0; i < n; ++i) {
+        obuf[i] = i;
+        all_or |= keys[i];
+        all_and &= keys[i];
+    }
+    const uint64_t varying = all_or & ~all_and;
+    uint64_t* src_k = kbuf1.data();
+    uint64_t* dst_k = kbuf2.data();
+    int64_t* src_o = obuf.data();
+    int64_t* dst_o = order;
+    int num_threads = 1;
+#ifdef _OPENMP
+#pragma omp parallel
+    {
+#pragma omp single
+        num_threads = omp_get_num_threads();
+    }
+#endif
+    const int64_t chunk = (n + num_threads - 1) / num_threads;
+    std::vector<int64_t> counts((size_t)num_threads * 256);
+    for (int pass = 0; pass < 8; ++pass) {
+        const int shift = 8 * pass;
+        if (((varying >> shift) & 0xffull) == 0) continue;
+        std::fill(counts.begin(), counts.end(), 0);
+#pragma omp parallel num_threads(num_threads)
+        {
+#ifdef _OPENMP
+            const int t = omp_get_thread_num();
+#else
+            const int t = 0;
+#endif
+            const int64_t lo = t * chunk;
+            const int64_t hi = lo + chunk < n ? lo + chunk : n;
+            int64_t* cnt = counts.data() + (size_t)t * 256;
+            for (int64_t i = lo; i < hi; ++i)
+                ++cnt[(src_k[i] >> shift) & 0xff];
+        }
+        // (digit, thread)-ordered exclusive prefix sums -> write offsets
+        int64_t running = 0;
+        for (int d = 0; d < 256; ++d) {
+            for (int t = 0; t < num_threads; ++t) {
+                int64_t* slot = counts.data() + (size_t)t * 256 + d;
+                const int64_t c = *slot;
+                *slot = running;
+                running += c;
+            }
+        }
+#pragma omp parallel num_threads(num_threads)
+        {
+#ifdef _OPENMP
+            const int t = omp_get_thread_num();
+#else
+            const int t = 0;
+#endif
+            const int64_t lo = t * chunk;
+            const int64_t hi = lo + chunk < n ? lo + chunk : n;
+            int64_t* off = counts.data() + (size_t)t * 256;
+            for (int64_t i = lo; i < hi; ++i) {
+                const int64_t pos = off[(src_k[i] >> shift) & 0xff]++;
+                dst_k[pos] = src_k[i];
+                dst_o[pos] = src_o[i];
+            }
+        }
+        std::swap(src_k, dst_k);
+        std::swap(src_o, dst_o);
+    }
+    if (src_o != order) std::memcpy(order, src_o, sizeof(int64_t) * n);
+}
+
+// Parallel permutation gathers: out[i] = src[order[i]] (random reads,
+// sequential writes). The width-k variant serves (n, 3) xyz rows; the
+// int32 variants fold the dtype conversions np.lexsort paths paid as
+// separate astype passes.
+void gather_f64(const double* src, const int64_t* order, int64_t n,
+                int64_t k, double* out) {
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; ++i) {
+        const double* row = src + order[i] * k;
+        double* dst = out + i * k;
+        for (int64_t j = 0; j < k; ++j) dst[j] = row[j];
+    }
+}
+
+void gather_i32(const int32_t* src, const int64_t* order, int64_t n,
+                int32_t* out) {
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; ++i) out[i] = src[order[i]];
+}
+
+void gather_i32_to_f64(const int32_t* src, const int64_t* order, int64_t n,
+                       double* out) {
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; ++i) out[i] = (double)src[order[i]];
 }
 
 // Nearest-center assignment: argmax of xyz . center over centers, with no

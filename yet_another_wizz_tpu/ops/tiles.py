@@ -628,16 +628,45 @@ def build_tile_set(
     # correlation.measurements._prefer_zmajor_layout).
     if layout not in ("spatial", "zmajor"):
         raise ValueError(f"unknown tile layout '{layout}'")
-    if layout == "zmajor" and num_bins > 0:
-        order = np.lexsort((morton_codes(xyz), zbins, patch_ids))
+    use_zbin_key = layout == "zmajor" and num_bins > 0
+    if (
+        _native.NATIVE_ENABLED
+        and len(xyz)
+        and num_patches < 2**15  # patch field of the composite sort key
+        and num_bins < 2**16  # zbin field (int16 bin-lane bound)
+    ):
+        # one parallel radix argsort over a composite (patch, zbin,
+        # morton) uint64 key plus parallel permutation gathers — the
+        # block-packing hot path of the out-of-core loop, where
+        # np.lexsort's three stable single-threaded passes and the five
+        # fancy-index copies dominated the build wall
+        shared_pair_weights = pair_weights is weights
+        order = _native.sort_order(
+            np.ascontiguousarray(patch_ids, np.int32),
+            zbins.astype(np.int32) if use_zbin_key else None,
+            morton_codes(xyz),
+        )
+        xyz = _native.gather_f64(xyz, order)
+        patch_ids = _native.gather_i32(patch_ids, order)
+        weights = _native.gather_f64(weights, order)
+        pair_weights = (
+            weights
+            if shared_pair_weights
+            else _native.gather_f64(pair_weights, order)
+        )
+        zbins = _native.gather_f64(zbins, order)
+        kappa = _native.gather_f64(kappa, order) if kappa is not None else None
     else:
-        order = np.lexsort((morton_codes(xyz), patch_ids))
-    xyz = np.ascontiguousarray(xyz[order])
-    patch_ids = patch_ids[order]
-    weights = weights[order]
-    pair_weights = pair_weights[order]
-    zbins = zbins[order]
-    kappa = kappa[order] if kappa is not None else None
+        if use_zbin_key:
+            order = np.lexsort((morton_codes(xyz), zbins, patch_ids))
+        else:
+            order = np.lexsort((morton_codes(xyz), patch_ids))
+        xyz = np.ascontiguousarray(xyz[order])
+        patch_ids = patch_ids[order]
+        weights = weights[order]
+        pair_weights = pair_weights[order]
+        zbins = zbins[order]
+        kappa = kappa[order] if kappa is not None else None
 
     counts = np.bincount(patch_ids, minlength=num_patches)
     tiles_per_patch = np.maximum(1, -(-counts // tile_size))  # >=1 tile/patch
