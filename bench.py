@@ -81,8 +81,10 @@ def timed_median(fn, runs: int = WARM_RUNS):
 def timed_stall_aware(fn, runs: int = SURVEY_WARM_RUNS, max_reruns: int = 3):
     """Warm timings with tunnel-stall detection and replacement.
 
-    Runs slower than ``STALL_FACTOR`` x the fastest run are marked as
-    stalls; each detected stall triggers one replacement run (bounded by
+    Runs slower than ``STALL_FACTOR`` x the SECOND-fastest run are marked
+    as stalls (the floor is the second-fastest so one anomalously fast
+    run cannot flag every normal one); each detected stall triggers one
+    replacement run (bounded by
     ``max_reruns``), and the reported median is trimmed to the non-stalled
     runs. Returns ``(trimmed_median, all_times, num_stalled, reruns,
     last_result)``.

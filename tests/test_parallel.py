@@ -236,7 +236,13 @@ class TestDistributedHelpers:
         assert distributed._launched_world_size() == 4
         monkeypatch.delenv("OMPI_COMM_WORLD_SIZE")
 
-        monkeypatch.setenv("SLURM_NTASKS", "garbage")
+        monkeypatch.setenv("SLURM_STEP_NUM_TASKS", "garbage")
+        assert distributed._launched_world_size() is None
+        monkeypatch.delenv("SLURM_STEP_NUM_TASKS")
+
+        # sbatch exports SLURM_NTASKS into the batch step itself, where
+        # only one process exists — it must NOT trigger cluster detection
+        monkeypatch.setenv("SLURM_NTASKS", "4")
         assert distributed._launched_world_size() is None
 
     def test_launcher_after_single_host_latch_raises(self, monkeypatch):

@@ -653,6 +653,48 @@ class TestExecutionConfig:
             assert handle.load_data(lazy=False) is not memoised
         assert handle.load_data(lazy=True) is not memoised
 
+    def test_cache_pair_completeness_expects_configured_randoms(
+        self, tmp_path
+    ):
+        """A pair whose setup configures randoms is incomplete while the
+        rand cache is missing — even when a stale pair sentinel survives a
+        crash inside the overwrite window — so resume re-ingests instead
+        of silently running without randoms."""
+        import shutil
+
+        from yet_another_wizz_tpu import Catalog
+        from yet_another_wizz_tpu.cli.directory import CacheHandle
+        from yet_another_wizz_tpu.examples import generate_mock_data
+
+        mock = generate_mock_data(
+            num_reference=300, num_unknown=1, num_randoms=300, seed=7
+        )
+        handle = CacheHandle(tmp_path / "pair")
+        Catalog.from_arrays(
+            **mock["reference"], degrees=False, patch_num=2,
+            cache_directory=handle.data.path,
+        )
+        # adopted data-only cache: complete unless randoms are expected
+        assert handle.exists()
+        assert handle.exists(expect_rand=False)
+        assert not handle.exists(expect_rand=True)
+
+        Catalog.from_arrays(
+            **mock["randoms"], degrees=False, patch_num=2,
+            cache_directory=handle.rand.path,
+        )
+        assert handle.exists(expect_rand=True)
+        handle.mark_complete()
+
+        # crash window: overwrite deleted the old rand cache, the new one
+        # never landed; the stale sentinel must not mask the loss
+        shutil.rmtree(handle.rand.path)
+        assert not handle.exists(expect_rand=True)
+        assert handle.exists(expect_rand=False)
+        handle.clear_complete()
+        assert not handle._sentinel.exists()
+        handle.clear_complete()  # idempotent
+
     def test_execution_round_trips_through_pipeline_yml(
         self, data_files, tmp_path
     ):

@@ -265,8 +265,70 @@ extern "C" {
 // range_max[zmin1, zmax1]); 2 = both binned (theta from the overlapping
 // bin range). Invalid/disjoint ranges drop the pair outright, matching
 // the numpy `valid` mask. Two modes of operation: with `out1 == null`
-// only per-slot kept counts are written (sizing pass); otherwise the
-// kept pairs stream into the output arrays. Returns the total kept.
+// per-slot kept counts are written to slot_counts (sizing pass);
+// otherwise slot_counts must hold the sizing pass's counts — they become
+// per-slot write offsets, so the fill runs slot-parallel into disjoint
+// output ranges. Both passes are OpenMP-parallel over slots (the
+// predicate is deterministic, so the fill reproduces the sizing counts
+// exactly). Returns the total kept.
+static inline int64_t filter_one_slot(
+    int64_t s, const int64_t* start1, const int64_t* start2,
+    const int64_t* n1, const int64_t* n2,
+    const double* centers1, const double* radii1,
+    const double* centers2, const double* radii2,
+    double cutoff_angle, int32_t per_tile,
+    const int32_t* zmin1, const int32_t* zmax1,
+    const int32_t* zmin2, const int32_t* zmax2,
+    const double* range_max, int64_t num_bins,
+    int64_t write_at, int32_t* out1, int32_t* out2, int32_t* out_slot) {
+    const int64_t s1 = start1[s], s2 = start2[s];
+    const int64_t m1 = n1[s], m2 = n2[s];
+    int64_t kept = 0;
+    for (int64_t i = 0; i < m1; ++i) {
+        const int64_t t1 = s1 + i;
+        const double* c1 = centers1 + 3 * t1;
+        const double r1 = radii1[t1];
+        double theta_row = cutoff_angle;
+        int32_t lo1 = 0, hi1 = 0;
+        if (per_tile >= 1) {
+            lo1 = zmin1[t1];
+            hi1 = zmax1[t1];
+            if (hi1 < lo1) continue;  // empty tile: never links
+            if (per_tile == 1)
+                theta_row = range_max[lo1 * num_bins + hi1];
+        }
+        for (int64_t j = 0; j < m2; ++j) {
+            const int64_t t2 = s2 + j;
+            double theta = theta_row;
+            if (per_tile == 2) {
+                int32_t lo = lo1 > zmin2[t2] ? lo1 : zmin2[t2];
+                int32_t hi = hi1 < zmax2[t2] ? hi1 : zmax2[t2];
+                if (lo > hi) continue;  // disjoint bin ranges
+                theta = range_max[lo * num_bins + hi];
+            }
+            const double* c2 = centers2 + 3 * t2;
+            double dot = c1[0] * c2[0];
+            dot += c1[1] * c2[1];
+            dot += c1[2] * c2[2];
+            if (dot < -1.0) dot = -1.0;
+            if (dot > 1.0) dot = 1.0;
+            double h = 0.5 * (1.0 - dot);
+            if (h < 0.0) h = 0.0;
+            const double dist = 2.0 * std::asin(std::sqrt(h));
+            if (dist < r1 + radii2[t2] + theta) {
+                if (out1 != nullptr) {
+                    const int64_t k = write_at + kept;
+                    out1[k] = (int32_t)t1;
+                    out2[k] = (int32_t)t2;
+                    out_slot[k] = (int32_t)s;
+                }
+                ++kept;
+            }
+        }
+    }
+    return kept;
+}
+
 int64_t filter_tile_pairs(
     const int64_t* start1, const int64_t* start2,
     const int64_t* n1, const int64_t* n2, int64_t num_slots,
@@ -277,56 +339,32 @@ int64_t filter_tile_pairs(
     const int32_t* zmin2, const int32_t* zmax2,
     const double* range_max, int64_t num_bins,
     int64_t* slot_counts, int32_t* out1, int32_t* out2, int32_t* out_slot) {
+    if (out1 == nullptr) {
+        // sizing pass: dynamic schedule — slot grids vary wildly in size
+#pragma omp parallel for schedule(dynamic, 1)
+        for (int64_t s = 0; s < num_slots; ++s)
+            slot_counts[s] = filter_one_slot(
+                s, start1, start2, n1, n2, centers1, radii1, centers2,
+                radii2, cutoff_angle, per_tile, zmin1, zmax1, zmin2,
+                zmax2, range_max, num_bins, 0, nullptr, nullptr, nullptr);
+        int64_t kept_total = 0;
+        for (int64_t s = 0; s < num_slots; ++s) kept_total += slot_counts[s];
+        return kept_total;
+    }
+    // fill pass: exclusive prefix sums of the sizing counts give every
+    // slot its disjoint output range
+    std::vector<int64_t> offsets((size_t)num_slots);
     int64_t kept_total = 0;
     for (int64_t s = 0; s < num_slots; ++s) {
-        const int64_t s1 = start1[s], s2 = start2[s];
-        const int64_t m1 = n1[s], m2 = n2[s];
-        int64_t kept = 0;
-        for (int64_t i = 0; i < m1; ++i) {
-            const int64_t t1 = s1 + i;
-            const double* c1 = centers1 + 3 * t1;
-            const double r1 = radii1[t1];
-            double theta_row = cutoff_angle;
-            int32_t lo1 = 0, hi1 = 0;
-            if (per_tile >= 1) {
-                lo1 = zmin1[t1];
-                hi1 = zmax1[t1];
-                if (hi1 < lo1) continue;  // empty tile: never links
-                if (per_tile == 1)
-                    theta_row = range_max[lo1 * num_bins + hi1];
-            }
-            for (int64_t j = 0; j < m2; ++j) {
-                const int64_t t2 = s2 + j;
-                double theta = theta_row;
-                if (per_tile == 2) {
-                    int32_t lo = lo1 > zmin2[t2] ? lo1 : zmin2[t2];
-                    int32_t hi = hi1 < zmax2[t2] ? hi1 : zmax2[t2];
-                    if (lo > hi) continue;  // disjoint bin ranges
-                    theta = range_max[lo * num_bins + hi];
-                }
-                const double* c2 = centers2 + 3 * t2;
-                double dot = c1[0] * c2[0];
-                dot += c1[1] * c2[1];
-                dot += c1[2] * c2[2];
-                if (dot < -1.0) dot = -1.0;
-                if (dot > 1.0) dot = 1.0;
-                double h = 0.5 * (1.0 - dot);
-                if (h < 0.0) h = 0.0;
-                const double dist = 2.0 * std::asin(std::sqrt(h));
-                if (dist < r1 + radii2[t2] + theta) {
-                    if (out1 != nullptr) {
-                        const int64_t k = kept_total + kept;
-                        out1[k] = (int32_t)t1;
-                        out2[k] = (int32_t)t2;
-                        out_slot[k] = (int32_t)s;
-                    }
-                    ++kept;
-                }
-            }
-        }
-        slot_counts[s] = kept;
-        kept_total += kept;
+        offsets[(size_t)s] = kept_total;
+        kept_total += slot_counts[s];
     }
+#pragma omp parallel for schedule(dynamic, 1)
+    for (int64_t s = 0; s < num_slots; ++s)
+        filter_one_slot(
+            s, start1, start2, n1, n2, centers1, radii1, centers2,
+            radii2, cutoff_angle, per_tile, zmin1, zmax1, zmin2, zmax2,
+            range_max, num_bins, offsets[(size_t)s], out1, out2, out_slot);
     return kept_total;
 }
 
@@ -375,45 +413,42 @@ void radix_argsort(const uint64_t* keys, int64_t n, int64_t* order) {
         num_threads = omp_get_num_threads();
     }
 #endif
+    // Histogram rows are keyed by CHUNK index, and chunks are distributed
+    // with `omp parallel for` — each iteration runs exactly once whatever
+    // team size the runtime actually delivers (OMP_DYNAMIC, thread
+    // limits), unlike thread-id-owned chunks, which silently drop work
+    // when a later region's team is smaller than the measured one.
     const int64_t chunk = (n + num_threads - 1) / num_threads;
-    std::vector<int64_t> counts((size_t)num_threads * 256);
+    const int num_chunks = (int)((n + chunk - 1) / chunk);
+    std::vector<int64_t> counts((size_t)num_chunks * 256);
     for (int pass = 0; pass < 8; ++pass) {
         const int shift = 8 * pass;
         if (((varying >> shift) & 0xffull) == 0) continue;
         std::fill(counts.begin(), counts.end(), 0);
-#pragma omp parallel num_threads(num_threads)
-        {
-#ifdef _OPENMP
-            const int t = omp_get_thread_num();
-#else
-            const int t = 0;
-#endif
-            const int64_t lo = t * chunk;
+#pragma omp parallel for schedule(static)
+        for (int c = 0; c < num_chunks; ++c) {
+            const int64_t lo = (int64_t)c * chunk;
             const int64_t hi = lo + chunk < n ? lo + chunk : n;
-            int64_t* cnt = counts.data() + (size_t)t * 256;
+            int64_t* cnt = counts.data() + (size_t)c * 256;
             for (int64_t i = lo; i < hi; ++i)
                 ++cnt[(src_k[i] >> shift) & 0xff];
         }
-        // (digit, thread)-ordered exclusive prefix sums -> write offsets
+        // (digit, chunk)-ordered exclusive prefix sums -> write offsets;
+        // in-chunk input order + this ordering keep the sort stable
         int64_t running = 0;
         for (int d = 0; d < 256; ++d) {
-            for (int t = 0; t < num_threads; ++t) {
-                int64_t* slot = counts.data() + (size_t)t * 256 + d;
-                const int64_t c = *slot;
+            for (int c = 0; c < num_chunks; ++c) {
+                int64_t* slot = counts.data() + (size_t)c * 256 + d;
+                const int64_t cnt = *slot;
                 *slot = running;
-                running += c;
+                running += cnt;
             }
         }
-#pragma omp parallel num_threads(num_threads)
-        {
-#ifdef _OPENMP
-            const int t = omp_get_thread_num();
-#else
-            const int t = 0;
-#endif
-            const int64_t lo = t * chunk;
+#pragma omp parallel for schedule(static)
+        for (int c = 0; c < num_chunks; ++c) {
+            const int64_t lo = (int64_t)c * chunk;
             const int64_t hi = lo + chunk < n ? lo + chunk : n;
-            int64_t* off = counts.data() + (size_t)t * 256;
+            int64_t* off = counts.data() + (size_t)c * 256;
             for (int64_t i = lo; i < hi; ++i) {
                 const int64_t pos = off[(src_k[i] >> shift) & 0xff]++;
                 dst_k[pos] = src_k[i];

@@ -110,24 +110,31 @@ class CacheHandle(Handle):
         out a truncated cache left behind by a mid-stream crash."""
         return path.is_dir() and (path / "patch_ids.bin").exists()
 
-    def exists(self) -> bool:
+    def exists(self, expect_rand: bool | None = None) -> bool:
         """Whether the pair was cached COMPLETELY.
 
         Accepts the pair sentinel the CLI writes after creating both
         catalogs, or — for caches produced through the public API or by
         earlier versions, which a resumed pipeline must not silently
         re-ingest with ``overwrite=True`` — per-catalog completeness via
-        the ingestion writers' final artifact. The CLI creates the random
-        catalog before the data catalog, so a complete data catalog
-        implies the pair finished."""
-        if not self.data.path.exists():
-            return False
-        if self._sentinel.exists():
-            return True
+        the ingestion writers' final artifact.
+
+        ``expect_rand`` is the caller's knowledge of whether the setup
+        configures a random catalog for this pair. When True, a missing
+        or incomplete rand cache means incomplete REGARDLESS of the
+        sentinel — a crash inside the overwrite window (old rand deleted,
+        new one not yet written) must trigger re-ingestion on resume, not
+        a silent run without randoms. When None (unknown), an absent rand
+        directory is accepted so adopted data-only caches still count."""
         if not self._catalog_complete(self.data.path):
             return False
+        if expect_rand:
+            return self._catalog_complete(self.rand.path)
+        if self._sentinel.exists():
+            return True
         return (
-            not self.rand.path.exists()
+            expect_rand is False
+            or not self.rand.path.exists()
             or self._catalog_complete(self.rand.path)
         )
 
@@ -137,6 +144,13 @@ class CacheHandle(Handle):
         from yet_another_wizz_tpu.parallel.distributed import run_on_root
 
         run_on_root(self._sentinel.touch)
+
+    def clear_complete(self) -> None:
+        """Drop the pair sentinel before re-ingesting, so a crash midway
+        leaves the pair observably incomplete (root-only)."""
+        from yet_another_wizz_tpu.parallel.distributed import run_on_root
+
+        run_on_root(lambda: self._sentinel.unlink(missing_ok=True))
 
     @staticmethod
     def _load(path: Path, lazy: bool):
@@ -229,8 +243,8 @@ class TomographyWrapper(Generic[T]):
     def __len__(self) -> int:
         return len(self.indices)
 
-    def exists(self) -> bool:
-        return all(handle.exists() for handle in self)
+    def exists(self, *args, **kwargs) -> bool:
+        return all(handle.exists(*args, **kwargs) for handle in self)
 
 
 class _Subdirectory:

@@ -184,7 +184,9 @@ class Pipeline:
                 # (only pipeline-created entries — the directory may have
                 # pre-existed with foreign contents)
                 cache = wdir / "cache"
-                if cache.is_symlink():
+                # resolve() keeps a dangling link's target path; there is
+                # nothing to clear when the user already deleted it
+                if cache.is_symlink() and cache.resolve().is_dir():
                     _clear_external_cache(cache.resolve())
                 shutil.rmtree(wdir)
 

@@ -143,6 +143,10 @@ def _create_catalog_pair(project, pair_config, cache_handle, num_patches,
     from yet_another_wizz_tpu.catalog import Catalog
     from yet_another_wizz_tpu.parallel.distributed import run_on_root
 
+    # drop any stale pair sentinel first: the jobs below re-ingest with
+    # overwrite=True, and a crash between the old cache's deletion and the
+    # new one's completion must leave the pair observably incomplete
+    cache_handle.clear_complete()
     columns = pair_config.get_columns()
     jobs = [
         (cache_handle.rand.path, pair_config.path_rand),
@@ -187,7 +191,9 @@ class CacheRefTask(Task):
         self._require_patch_source(self.config.inputs.reference)
 
     def completed(self) -> bool:
-        return self.project.cache.reference.exists()
+        return self.project.cache.reference.exists(
+            expect_rand=self.config.inputs.reference.path_rand is not None
+        )
 
     def run(self) -> None:
         _create_catalog_pair(
@@ -208,7 +214,11 @@ class CacheUnkTask(Task):
         self._require_patch_source(self.config.inputs.unknown)
 
     def completed(self) -> bool:
-        return self.project.cache.unknown.exists()
+        # tomographic rand paths are all-or-nothing (validated at config
+        # parse), so one flag covers every bin's pair
+        return self.project.cache.unknown.exists(
+            expect_rand=self.config.inputs.unknown.path_rand is not None
+        )
 
     def run(self) -> None:
         from yet_another_wizz_tpu.cli.config import CatPairConfig

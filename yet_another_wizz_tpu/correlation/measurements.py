@@ -411,14 +411,10 @@ class PatchLinkage:
         the measurement processes (tile layout choice and per-tile
         redshift-bin pruning included) — the honest work statistic for
         throughput reporting."""
-        auto = catalog2 is None
-        if binned2 is None:
-            binned2 = auto
-        tiles1, _, pairs = self._build_engine_inputs(
-            catalog1, catalog1 if auto else catalog2,
-            auto=auto, binned2=binned2, mode=mode,
+        stats = self.engine_work_stats(
+            catalog1, catalog2, binned2=binned2, mode=mode
         )
-        return int(pairs.num_pairs) * tiles1.tile_size ** 2
+        return stats["candidate_pairs"]
 
     def engine_work_stats(
         self,

@@ -50,11 +50,16 @@ ENV_NUM_PROCESSES = "YAWT_NUM_PROCESSES"
 ENV_PROCESS_ID = "YAWT_PROCESS_ID"
 
 # world-size variables exported by common multi-process launchers, in
-# detection order: Open MPI / mpiexec (ORTE), MPICH-style PMI, Slurm srun
+# detection order: Open MPI / mpiexec (ORTE), MPICH-style PMI, Slurm srun.
+# For Slurm this must be the per-STEP task count (srun exports it for the
+# tasks it spawns) — NOT SLURM_NTASKS, which sbatch also exports into the
+# batch step itself, where exactly one process exists regardless of
+# --ntasks; keying on it would send a plain `python script.py` inside an
+# sbatch allocation into cluster init, blocking for peers that never come.
 _LAUNCHER_WORLD_SIZE_VARS = (
     "OMPI_COMM_WORLD_SIZE",
     "PMI_SIZE",
-    "SLURM_NTASKS",
+    "SLURM_STEP_NUM_TASKS",
 )
 
 
