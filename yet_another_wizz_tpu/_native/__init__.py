@@ -100,11 +100,14 @@ def _load() -> None:
     ]
     _lib.filter_tile_pairs.argtypes = [
         i64p, i64p, i64p, i64p, i64,            # slot starts/sizes
-        f64p, f64p, f64p, f64p,                 # caps
-        ctypes.c_double, ctypes.c_int32,        # cutoff, per_tile mode
+        f64p, f64p, f64p, f64p,                 # caps 1 (+ cos/sin radii)
+        f64p, f64p, f64p, f64p,                 # caps 2 (+ cos/sin radii)
+        ctypes.c_double, ctypes.c_double,       # cutoff, cos(cutoff)
+        ctypes.c_double, ctypes.c_int32,        # sin(cutoff), per_tile mode
         ctypes.c_void_p, ctypes.c_void_p,       # zmin1/zmax1 (optional)
         ctypes.c_void_p, ctypes.c_void_p,       # zmin2/zmax2 (optional)
-        ctypes.c_void_p, i64,                   # range_max table (optional)
+        ctypes.c_void_p, ctypes.c_void_p,       # range_max + cos table
+        ctypes.c_void_p, i64,                   # sin table (all optional)
         i64p,                                   # per-slot kept counts
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # outputs
     ]
@@ -223,8 +226,13 @@ def filter_tile_pairs(
     build_tile_pairs hot loop; see ops/linkage.py for the numpy fallback
     and tilepack.cpp for the predicate contract). Two native passes: a
     sizing pass, then a fill pass into exactly-sized outputs — peak
-    memory is the RESULT, never the candidate grid."""
+    memory is the RESULT, never the candidate grid. All trig is
+    precomputed HERE with numpy (per-tile cos/sin of the cap radii plus
+    the theta table) so the kernel's cosine-form cap test sees the exact
+    inputs the numpy fallback computes for itself."""
     num_slots = len(start1)
+    radii1 = np.ascontiguousarray(radii1, np.float64)
+    radii2 = np.ascontiguousarray(radii2, np.float64)
     args = [
         np.ascontiguousarray(start1, np.int64),
         np.ascontiguousarray(start2, np.int64),
@@ -232,10 +240,16 @@ def filter_tile_pairs(
         np.ascontiguousarray(n2, np.int64),
         num_slots,
         np.ascontiguousarray(centers1, np.float64),
-        np.ascontiguousarray(radii1, np.float64),
+        radii1,
+        np.cos(radii1),
+        np.sin(radii1),
         np.ascontiguousarray(centers2, np.float64),
-        np.ascontiguousarray(radii2, np.float64),
+        radii2,
+        np.cos(radii2),
+        np.sin(radii2),
         float(cutoff_angle),
+        float(np.cos(cutoff_angle)),
+        float(np.sin(cutoff_angle)),
         int(per_tile),
     ]
     holders = []  # keep the contiguous copies alive across both calls
@@ -251,6 +265,8 @@ def filter_tile_pairs(
         opt(zmin1, np.int32), opt(zmax1, np.int32),
         opt(zmin2, np.int32), opt(zmax2, np.int32),
         opt(range_max, np.float64),
+        opt(None if range_max is None else np.cos(range_max), np.float64),
+        opt(None if range_max is None else np.sin(range_max), np.float64),
         0 if range_max is None else range_max.shape[1],
     ]
     slot_counts = np.empty(num_slots, dtype=np.int64)

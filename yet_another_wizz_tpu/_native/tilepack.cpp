@@ -271,16 +271,37 @@ extern "C" {
 // output ranges. Both passes are OpenMP-parallel over slots (the
 // predicate is deterministic, so the fill reproduces the sizing counts
 // exactly). Returns the total kept.
+//
+// The cap test `dist(c1,c2) < r1 + r2 + theta` is evaluated in COSINE
+// form: cos is strictly decreasing on [0, pi] and cos(dist) == dot
+// identically (dist = 2*asin(sqrt(0.5*(1-dot)))), so the condition is
+// `dot > cos(r1 + r2 + theta)` — no sqrt/asin per candidate. The bound
+// expands through precomputed per-tile trig (cosr/sinr arrays, cos/sin
+// of the theta table/cutoff — all computed by NUMPY in the wrapper so
+// the numpy fallback sees bit-identical inputs):
+//   cos(r1+r2+theta) = (cr1*cr2 - sr1*sr2)*ct - (sr1*cr2 + cr1*sr2)*st
+// with the identical operation order in ops/linkage.py. Angle sums
+// >= pi always link (cos wraps), and a shared conservative margin
+// absorbs the formula's last-ulp rounding: the filter is a PRUNE, so
+// admitting a boundary-ulp pair is free while dropping one could lose
+// counted point pairs in degenerate tangent configurations.
+static const double kFilterMargin = 1e-12;
+
 static inline int64_t filter_one_slot(
     int64_t s, const int64_t* start1, const int64_t* start2,
     const int64_t* n1, const int64_t* n2,
     const double* centers1, const double* radii1,
+    const double* cosr1, const double* sinr1,
     const double* centers2, const double* radii2,
-    double cutoff_angle, int32_t per_tile,
+    const double* cosr2, const double* sinr2,
+    double cutoff_angle, double cos_cutoff, double sin_cutoff,
+    int32_t per_tile,
     const int32_t* zmin1, const int32_t* zmax1,
     const int32_t* zmin2, const int32_t* zmax2,
-    const double* range_max, int64_t num_bins,
+    const double* range_max, const double* cos_range,
+    const double* sin_range, int64_t num_bins,
     int64_t write_at, int32_t* out1, int32_t* out2, int32_t* out_slot) {
+    const double pi = 3.14159265358979323846;
     const int64_t s1 = start1[s], s2 = start2[s];
     const int64_t m1 = n1[s], m2 = n2[s];
     int64_t kept = 0;
@@ -288,34 +309,43 @@ static inline int64_t filter_one_slot(
         const int64_t t1 = s1 + i;
         const double* c1 = centers1 + 3 * t1;
         const double r1 = radii1[t1];
+        const double cr1 = cosr1[t1], sr1 = sinr1[t1];
         double theta_row = cutoff_angle;
+        double ct_row = cos_cutoff, st_row = sin_cutoff;
         int32_t lo1 = 0, hi1 = 0;
         if (per_tile >= 1) {
             lo1 = zmin1[t1];
             hi1 = zmax1[t1];
             if (hi1 < lo1) continue;  // empty tile: never links
-            if (per_tile == 1)
-                theta_row = range_max[lo1 * num_bins + hi1];
+            if (per_tile == 1) {
+                const int64_t at = lo1 * num_bins + hi1;
+                theta_row = range_max[at];
+                ct_row = cos_range[at];
+                st_row = sin_range[at];
+            }
         }
         for (int64_t j = 0; j < m2; ++j) {
             const int64_t t2 = s2 + j;
-            double theta = theta_row;
+            double theta = theta_row, ct = ct_row, st = st_row;
             if (per_tile == 2) {
                 int32_t lo = lo1 > zmin2[t2] ? lo1 : zmin2[t2];
                 int32_t hi = hi1 < zmax2[t2] ? hi1 : zmax2[t2];
                 if (lo > hi) continue;  // disjoint bin ranges
-                theta = range_max[lo * num_bins + hi];
+                const int64_t at = lo * num_bins + hi;
+                theta = range_max[at];
+                ct = cos_range[at];
+                st = sin_range[at];
             }
             const double* c2 = centers2 + 3 * t2;
             double dot = c1[0] * c2[0];
             dot += c1[1] * c2[1];
             dot += c1[2] * c2[2];
-            if (dot < -1.0) dot = -1.0;
-            if (dot > 1.0) dot = 1.0;
-            double h = 0.5 * (1.0 - dot);
-            if (h < 0.0) h = 0.0;
-            const double dist = 2.0 * std::asin(std::sqrt(h));
-            if (dist < r1 + radii2[t2] + theta) {
+            const double cr2 = cosr2[t2], sr2 = sinr2[t2];
+            const double ca = cr1 * cr2 - sr1 * sr2;   // cos(r1+r2)
+            const double sa = sr1 * cr2 + cr1 * sr2;   // sin(r1+r2)
+            const double bound = ca * ct - sa * st;    // cos(r1+r2+theta)
+            const bool wrap = r1 + radii2[t2] + theta >= pi;
+            if (dot > bound - kFilterMargin || wrap) {
                 if (out1 != nullptr) {
                     const int64_t k = write_at + kept;
                     out1[k] = (int32_t)t1;
@@ -333,20 +363,26 @@ int64_t filter_tile_pairs(
     const int64_t* start1, const int64_t* start2,
     const int64_t* n1, const int64_t* n2, int64_t num_slots,
     const double* centers1, const double* radii1,
+    const double* cosr1, const double* sinr1,
     const double* centers2, const double* radii2,
-    double cutoff_angle, int32_t per_tile,
+    const double* cosr2, const double* sinr2,
+    double cutoff_angle, double cos_cutoff, double sin_cutoff,
+    int32_t per_tile,
     const int32_t* zmin1, const int32_t* zmax1,
     const int32_t* zmin2, const int32_t* zmax2,
-    const double* range_max, int64_t num_bins,
+    const double* range_max, const double* cos_range,
+    const double* sin_range, int64_t num_bins,
     int64_t* slot_counts, int32_t* out1, int32_t* out2, int32_t* out_slot) {
     if (out1 == nullptr) {
         // sizing pass: dynamic schedule — slot grids vary wildly in size
 #pragma omp parallel for schedule(dynamic, 1)
         for (int64_t s = 0; s < num_slots; ++s)
             slot_counts[s] = filter_one_slot(
-                s, start1, start2, n1, n2, centers1, radii1, centers2,
-                radii2, cutoff_angle, per_tile, zmin1, zmax1, zmin2,
-                zmax2, range_max, num_bins, 0, nullptr, nullptr, nullptr);
+                s, start1, start2, n1, n2, centers1, radii1, cosr1, sinr1,
+                centers2, radii2, cosr2, sinr2, cutoff_angle, cos_cutoff,
+                sin_cutoff, per_tile, zmin1, zmax1, zmin2, zmax2,
+                range_max, cos_range, sin_range, num_bins,
+                0, nullptr, nullptr, nullptr);
         int64_t kept_total = 0;
         for (int64_t s = 0; s < num_slots; ++s) kept_total += slot_counts[s];
         return kept_total;
@@ -362,9 +398,11 @@ int64_t filter_tile_pairs(
 #pragma omp parallel for schedule(dynamic, 1)
     for (int64_t s = 0; s < num_slots; ++s)
         filter_one_slot(
-            s, start1, start2, n1, n2, centers1, radii1, centers2,
-            radii2, cutoff_angle, per_tile, zmin1, zmax1, zmin2, zmax2,
-            range_max, num_bins, offsets[(size_t)s], out1, out2, out_slot);
+            s, start1, start2, n1, n2, centers1, radii1, cosr1, sinr1,
+            centers2, radii2, cosr2, sinr2, cutoff_angle, cos_cutoff,
+            sin_cutoff, per_tile, zmin1, zmax1, zmin2, zmax2,
+            range_max, cos_range, sin_range, num_bins,
+            offsets[(size_t)s], out1, out2, out_slot);
     return kept_total;
 }
 

@@ -126,6 +126,14 @@ MAX_CANDIDATE_CHUNK = 8_000_000
 grouped under this bound, so typical survey problems still run in one
 vectorised pass."""
 
+FILTER_MARGIN = 1e-12
+"""Conservative slack on the cosine-form cap test (`kFilterMargin` in
+tilepack.cpp must match): the tile-pair filter is a PRUNE, so admitting a
+boundary-ulp pair costs a little compute while dropping one could lose
+counted point pairs in degenerate tangent configurations. 1e-12 on the
+cosine dwarfs the bound formula's ~1e-15 rounding yet admits only pairs
+within ~1e-6 rad of the exact boundary."""
+
 
 def _bin_range_max(bin_max_angles: NDArray) -> NDArray:
     """``(B, B)`` table of ``max(bin_max_angles[a..b])`` for bin ranges.
@@ -228,6 +236,19 @@ def build_tile_pairs(
             tile1=tile1, tile2=tile2, slot=slot, slot_patches=pairs
         )
 
+    # per-tile trig for the cosine-form cap test, computed once per call
+    # (the native wrapper computes the identical arrays for its kernel)
+    cos_r1 = np.cos(tiles1.tile_radius)
+    sin_r1 = np.sin(tiles1.tile_radius)
+    cos_r2 = np.cos(tiles2.tile_radius)
+    sin_r2 = np.sin(tiles2.tile_radius)
+    if per_tile_cutoff:
+        cos_range = np.cos(range_max)
+        sin_range = np.sin(range_max)
+    else:
+        cos_cutoff = float(np.cos(cutoff_angle))
+        sin_cutoff = float(np.sin(cutoff_angle))
+
     sizes = n1 * n2
     bounds = np.concatenate([[0], np.cumsum(sizes)])
     num_slots = len(pairs)
@@ -263,13 +284,27 @@ def build_tile_pairs(
         cand1 = start1[slot_of] + k // n2_r
         cand2 = start2[slot_of] + k % n2_r
 
-        # angular cap cut over the group's candidates at once
+        # angular cap cut over the group's candidates at once, in COSINE
+        # form (cos is strictly decreasing on [0, pi] and cos(dist) is
+        # the dot product itself, so `dist < r1 + r2 + theta` becomes
+        # `dot > cos(r1 + r2 + theta)` — no arcsin/sqrt per candidate).
+        # The bound expands through the per-tile trig computed once
+        # above; operation order matches tilepack.cpp exactly so the
+        # native path reproduces this kept set bit for bit. Angle sums
+        # >= pi always link (cos wraps), and the shared margin absorbs
+        # last-ulp rounding — the filter is a prune, so admitting a
+        # boundary-ulp pair is free while dropping one is not.
         c1 = tiles1.tile_center[cand1]
         c2 = tiles2.tile_center[cand2]
-        dots = np.clip(np.einsum("ij,ij->i", c1, c2), -1.0, 1.0)
-        dist = 2.0 * np.arcsin(
-            np.sqrt(np.maximum(0.5 * (1.0 - dots), 0.0))
+        dots = (
+            c1[:, 0] * c2[:, 0] + c1[:, 1] * c2[:, 1] + c1[:, 2] * c2[:, 2]
         )
+        cr1 = cos_r1[cand1]
+        sr1 = sin_r1[cand1]
+        cr2 = cos_r2[cand2]
+        sr2 = sin_r2[cand2]
+        ca = cr1 * cr2 - sr1 * sr2  # cos(r1 + r2)
+        sa = sr1 * cr2 + cr1 * sr2  # sin(r1 + r2)
         radii = tiles1.tile_radius[cand1] + tiles2.tile_radius[cand2]
         if per_tile_cutoff:
             zmin1 = tiles1.tile_zmin[cand1]
@@ -279,16 +314,23 @@ def build_tile_pairs(
                 lo = np.maximum(zmin1, tiles2.tile_zmin[cand2])
                 hi = np.minimum(zmax1, tiles2.tile_zmax[cand2])
                 valid = lo <= hi
-                theta = range_max[np.minimum(lo, hi), np.maximum(hi, 0)]
+                at = (np.minimum(lo, hi), np.maximum(hi, 0))
             else:
                 valid = zmax1 >= zmin1
-                theta = range_max[
+                at = (
                     np.minimum(zmin1, np.maximum(zmax1, 0)),
                     np.maximum(zmax1, 0),
-                ]
-            keep = (dist < radii + theta) & valid
+                )
+            theta = range_max[at]
+            bound = ca * cos_range[at] - sa * sin_range[at]
+            keep = (
+                (dots > bound - FILTER_MARGIN) | (radii + theta >= np.pi)
+            ) & valid
         else:
-            keep = dist < radii + cutoff_angle
+            bound = ca * cos_cutoff - sa * sin_cutoff
+            keep = (dots > bound - FILTER_MARGIN) | (
+                radii + cutoff_angle >= np.pi
+            )
         kept1.append(cand1[keep].astype(np.int32))
         kept2.append(cand2[keep].astype(np.int32))
         kept_slot.append(slot_of[keep].astype(np.int32))
