@@ -59,9 +59,17 @@ def _build_library() -> bool:
         return False
 
 
+def env_flag(name: str) -> bool:
+    """Boolean environment flag: unset, empty, ``0``, ``false`` and ``no``
+    are off (so ``YAWT_DISABLE_NATIVE=0`` really means "do not disable")."""
+    return os.environ.get(name, "").strip().lower() not in (
+        "", "0", "false", "no",
+    )
+
+
 def _load() -> None:
     global _lib, NATIVE_ENABLED
-    if os.environ.get("YAWT_DISABLE_NATIVE"):
+    if env_flag("YAWT_DISABLE_NATIVE"):
         return
     try:
         if not _LIBRARY.exists() or (
@@ -392,8 +400,9 @@ def min_dist2_update(
 
 def interleave_columns(columns, out: np.ndarray) -> int:
     """Interleave float64 column arrays into ``out`` (an (n, k) float64
-    view of a record array) with a fused finite check. Returns the index
-    of the first non-finite column, or -1 on success."""
+    view of a record array) with a fused finite check. Returns the lowest
+    index of any non-finite column (the numpy fallback raises on the
+    first bad column in field order), or -1 on success."""
     ptrs = (ctypes.c_void_p * len(columns))(
         *(c.ctypes.data for c in columns)
     )

@@ -187,21 +187,22 @@ void min_dist2_update(const double* xyz, int64_t n, const double* center,
 int interleave_columns(const double* const* columns, int64_t num_cols,
                        int64_t n, int64_t row_stride_doubles, double* out) {
     // strided interleave of column arrays into row-major records with a
-    // fused finite check; returns the index of the first non-finite
-    // column or -1 on success. Row-major outer loop: sequential output
-    // writes, k sequential column read streams.
-    int bad = -1;
-    #pragma omp parallel for schedule(static) reduction(max : bad)
+    // fused finite check; returns the LOWEST index of any non-finite
+    // column (matching the numpy fallback, which raises on the first bad
+    // column in field order) or -1 on success. Row-major outer loop:
+    // sequential output writes, k sequential column read streams.
+    int bad = static_cast<int>(num_cols);
+    #pragma omp parallel for schedule(static) reduction(min : bad)
     for (int64_t i = 0; i < n; ++i) {
         for (int64_t c = 0; c < num_cols; ++c) {
             const double v = columns[c][i];
-            if (!std::isfinite(v) && static_cast<int>(c) > bad) {
+            if (!std::isfinite(v) && static_cast<int>(c) < bad) {
                 bad = static_cast<int>(c);
             }
             out[i * row_stride_doubles + c] = v;
         }
     }
-    return bad;
+    return bad == static_cast<int>(num_cols) ? -1 : bad;
 }
 
 void patch_geometry(const double* xyz, const double* weights,

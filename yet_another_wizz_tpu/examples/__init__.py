@@ -142,6 +142,8 @@ def generate_mock_data(
 import os as _os
 from pathlib import Path as _Path
 
+from yet_another_wizz_tpu._native import env_flag as _env_flag
+
 
 _BUNDLED_DIR = _Path("/root/reference/src/yaw/examples")
 """The externally provided (read-only) copy of the prepared files, when
@@ -159,7 +161,7 @@ Regenerate with ``scripts/create_example_products.py``."""
 def _packaged_products_dir() -> "_Path | None":
     """The committed mock products, unless absent or explicitly ignored
     (``YAWT_EXAMPLE_IGNORE_PACKAGED``, used when regenerating them)."""
-    if _os.environ.get("YAWT_EXAMPLE_IGNORE_PACKAGED"):
+    if _env_flag("YAWT_EXAMPLE_IGNORE_PACKAGED"):
         return None
     if (_PACKAGE_PRODUCTS / "cross.hdf").exists():
         return _PACKAGE_PRODUCTS
@@ -208,7 +210,7 @@ def _find_real_data_dir() -> "_Path | None":
     when no survey files are available or ``YAWT_EXAMPLE_FORCE_MOCK`` is
     set.
     """
-    if _os.environ.get("YAWT_EXAMPLE_FORCE_MOCK"):
+    if _env_flag("YAWT_EXAMPLE_FORCE_MOCK"):
         return None
     required = ("2dflens_kidss_data.pqt", "2dflens_kidss_rand_5x.pqt")
     for directory in _search_dirs():
