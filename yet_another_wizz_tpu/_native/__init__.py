@@ -23,6 +23,7 @@ __all__ = [
     "NATIVE_ENABLED",
     "assign_patches",
     "encode_fixedpoint",
+    "env_flag",
     "filter_tile_pairs",
     "gather_f64",
     "gather_i32",
