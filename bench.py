@@ -335,6 +335,32 @@ def run_survey_scale(rooflines: dict, link: dict | None = None) -> dict:
         out["link_bound_s"] = round(upload_mb / link["upload_mb_s"], 2)
         out["link_fraction"] = round(out["link_bound_s"] / t_sv, 3)
 
+    # explained-wall decomposition: the kernel roofline fraction is low
+    # for THIS config by design (the wall is host packing + link
+    # transfer, not device compute), so record how much of the wall the
+    # measured phase timers account for, and how drain_wait compares to
+    # the sum of the two measured bounds it is made of (packed-lane
+    # uploads and kernel compute share the device queue). A regression
+    # in the blocked path shows up as phase_fraction holding while one
+    # phase grows past its bound — not as an unexplained residual.
+    top_level_phases = ("rows", "cols", "pairs", "queue", "drain")
+    phase_sum = sum(phases.get(key, 0.0) for key in top_level_phases)
+    explained = {
+        "phase_sum_s": round(phase_sum, 2),
+        "phase_fraction": round(phase_sum / t_sv, 3),
+    }
+    if "link_bound_s" in out:
+        explained["drain_bound_s"] = round(
+            out["link_bound_s"] + rooflines["survey_scale"]["bound_s"], 2
+        )
+        drain_wait = phases.get("drain_wait", 0.0)
+        if explained["drain_bound_s"] > 0:
+            explained["drain_wait_vs_bound"] = round(
+                drain_wait / explained["drain_bound_s"], 2
+            )
+    out["explained"] = explained
+    log(f"survey-scale explained wall: {explained}")
+
     # the production pattern for repeated measurements over the same
     # catalogs (e.g. every tomographic bin reuses the reference sample):
     # one ambient measurement_tile_cache shares packed + device-resident
