@@ -78,7 +78,12 @@ def timed_median(fn, runs: int = WARM_RUNS):
     return float(np.median(times)), min(times), max(times), result
 
 
-def timed_stall_aware(fn, runs: int = SURVEY_WARM_RUNS, max_reruns: int = 3):
+def timed_stall_aware(
+    fn,
+    runs: int = SURVEY_WARM_RUNS,
+    max_reruns: int = 3,
+    snapshot=None,
+):
     """Warm timings with tunnel-stall detection and replacement.
 
     Runs slower than ``STALL_FACTOR`` x the SECOND-fastest run are marked
@@ -86,15 +91,33 @@ def timed_stall_aware(fn, runs: int = SURVEY_WARM_RUNS, max_reruns: int = 3):
     run cannot flag every normal one); each detected stall triggers one
     replacement run (bounded by
     ``max_reruns``), and the reported median is trimmed to the non-stalled
-    runs. Returns ``(trimmed_median, all_times, num_stalled, reruns,
-    last_result)``.
+    runs. ``snapshot`` (a callable returning a dict of monotonically
+    accumulating counters, e.g. ``lambda: blocked.PHASE_TOTALS``) captures
+    per-run counter deltas and sums them over the NON-STALLED runs only —
+    phase attribution then covers exactly the runs the trimmed median
+    covers, so one stalled run cannot inflate the per-run phase means.
+    Returns ``(trimmed_median, all_times, num_stalled, reruns,
+    last_result, kept_metrics)`` where ``kept_metrics`` is the summed
+    non-stalled deltas (``None`` without ``snapshot``).
     """
     times: list[float] = []
+    deltas: list[dict] = []
     result = None
-    for _ in range(runs):
+
+    def one_run():
+        nonlocal result
+        before = dict(snapshot()) if snapshot is not None else {}
         t0 = time.perf_counter()
         result = fn()
         times.append(time.perf_counter() - t0)
+        if snapshot is not None:
+            deltas.append({
+                key: value - before.get(key, 0)
+                for key, value in dict(snapshot()).items()
+            })
+
+    for _ in range(runs):
+        one_run()
 
     def stall_flags(ts):
         floor = sorted(ts)[1] if len(ts) > 1 else ts[0]
@@ -105,13 +128,26 @@ def timed_stall_aware(fn, runs: int = SURVEY_WARM_RUNS, max_reruns: int = 3):
     # list, so comparing the flag count against reruns already granted
     # prevents a single stall from burning the whole rerun budget)
     while sum(stall_flags(times)) > reruns and reruns < max_reruns:
-        t0 = time.perf_counter()
-        result = fn()
-        times.append(time.perf_counter() - t0)
+        one_run()
         reruns += 1
     flags = stall_flags(times)
     kept = [t for t, is_stall in zip(times, flags) if not is_stall]
-    return float(np.median(kept)), times, int(sum(flags)), reruns, result
+    kept_metrics = None
+    if snapshot is not None:
+        kept_metrics = {}
+        for delta, is_stall in zip(deltas, flags):
+            if is_stall:
+                continue
+            for key, value in delta.items():
+                kept_metrics[key] = kept_metrics.get(key, 0) + value
+    return (
+        float(np.median(kept)),
+        times,
+        int(sum(flags)),
+        reruns,
+        result,
+        kept_metrics,
+    )
 
 
 NUM_REFERENCE = 200_000
@@ -261,16 +297,19 @@ def run_survey_scale(rooflines: dict, link: dict | None = None) -> dict:
     from yet_another_wizz_tpu.correlation import blocked
 
     blocked.reset_phase_totals()
-    t_sv, all_times, num_stalled, reruns, nz = timed_stall_aware(
-        run, runs=SURVEY_WARM_RUNS
+    t_sv, all_times, num_stalled, reruns, nz, kept_phases = timed_stall_aware(
+        run, runs=SURVEY_WARM_RUNS, snapshot=lambda: blocked.PHASE_TOTALS
     )
     lo, hi = min(all_times), max(all_times)
     num_timed = len(all_times)
-    # per-run phase attribution: on the tunneled chip the link fetch and
-    # device-queue wait dominate; locally attached hardware does not pay them
+    num_kept = max(num_timed - num_stalled, 1)
+    # per-run phase attribution over the NON-STALLED runs only (the same
+    # set the trimmed median covers): on the tunneled chip the link fetch
+    # and device-queue wait dominate; locally attached hardware does not
+    # pay them
     phases = {
-        key: round(value / num_timed, 2)
-        for key, value in blocked.PHASE_TOTALS.items()
+        key: round(value / num_kept, 2)
+        for key, value in (kept_phases or {}).items()
         if key not in ("num_block_pairs", "candidate_pairs")
     }
 

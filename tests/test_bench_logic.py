@@ -33,7 +33,7 @@ def _scripted(durations, clock):
 class TestTimedStallAware:
     def test_no_stalls(self, fake_clock):
         fn = _scripted([1.0, 1.1, 0.9, 1.05, 1.0], fake_clock)
-        med, times, stalled, reruns, res = bench.timed_stall_aware(fn, runs=5)
+        med, times, stalled, reruns, res, _ = bench.timed_stall_aware(fn, runs=5)
         assert times == pytest.approx([1.0, 1.1, 0.9, 1.05, 1.0])
         assert stalled == 0 and reruns == 0
         assert med == 1.0
@@ -44,7 +44,7 @@ class TestTimedStallAware:
         flagged time stays in the list, which must not re-trigger the
         budget) and is excluded from the trimmed median."""
         fn = _scripted([1.0, 1.0, 5.0, 1.1, 0.95, 1.02], fake_clock)
-        med, times, stalled, reruns, res = bench.timed_stall_aware(fn, runs=5)
+        med, times, stalled, reruns, res, _ = bench.timed_stall_aware(fn, runs=5)
         assert reruns == 1
         assert stalled == 1
         assert len(times) == 6
@@ -55,7 +55,7 @@ class TestTimedStallAware:
         """A pathologically stalling link cannot loop forever: reruns are
         capped and every stalled time is still reported."""
         fn = _scripted([1.0, 1.0, 9.0, 9.0, 9.0, 9.0, 9.0, 9.0], fake_clock)
-        med, times, stalled, reruns, res = bench.timed_stall_aware(fn, runs=5)
+        med, times, stalled, reruns, res, _ = bench.timed_stall_aware(fn, runs=5)
         assert reruns == 3  # max_reruns
         assert stalled == 6
         assert med == pytest.approx(1.0)
@@ -64,8 +64,31 @@ class TestTimedStallAware:
         """The floor is the second-fastest run, so one anomalously FAST
         run cannot flag every normal run as stalled."""
         fn = _scripted([0.1, 1.0, 1.05, 1.1, 1.2], fake_clock)
-        med, times, stalled, reruns, res = bench.timed_stall_aware(fn, runs=5)
+        med, times, stalled, reruns, res, _ = bench.timed_stall_aware(fn, runs=5)
         assert stalled == 0 and reruns == 0
+
+    def test_snapshot_metrics_exclude_stalled_runs(self, fake_clock):
+        """Per-run counter deltas from stalled runs are dropped, so one
+        tunnel stall cannot inflate the phase attribution the explained-
+        wall record divides by the trimmed median."""
+        durations = [1.0, 1.0, 5.0, 1.1, 0.95, 1.02]
+        it = iter(durations)
+        totals = {"drain_wait": 0.0}
+
+        def fn():
+            dt = next(it)
+            fake_clock["now"] += dt
+            totals["drain_wait"] += dt  # phase grows with the stall
+            return "result"
+
+        med, times, stalled, reruns, res, kept = bench.timed_stall_aware(
+            fn, runs=5, snapshot=lambda: totals
+        )
+        assert stalled == 1 and reruns == 1
+        # the 5.0 s stalled run's delta is excluded from the kept sum
+        assert kept["drain_wait"] == pytest.approx(
+            sum(durations) - 5.0
+        )
 
 
 class TestRoofline:

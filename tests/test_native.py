@@ -126,26 +126,3 @@ class TestNativeKernels:
         assert_allclose(native_ts.tile_center, fallback_ts.tile_center)
         assert_allclose(native_ts.tile_radius, fallback_ts.tile_radius)
         assert_allclose(native_ts.sum_weights, fallback_ts.sum_weights)
-
-
-@pytest.mark.parametrize(
-    "value,expected",
-    [
-        ("1", True),
-        ("true", True),
-        ("YES", True),
-        ("0", False),
-        ("false", False),
-        ("No", False),
-        ("", False),
-        (" 0 ", False),
-    ],
-)
-def test_env_flag_values(monkeypatch, value, expected):
-    monkeypatch.setenv("YAWT_TEST_FLAG", value)
-    assert _native.env_flag("YAWT_TEST_FLAG") is expected
-
-
-def test_env_flag_unset(monkeypatch):
-    monkeypatch.delenv("YAWT_TEST_FLAG", raising=False)
-    assert _native.env_flag("YAWT_TEST_FLAG") is False

@@ -8,6 +8,7 @@ from numpy.testing import assert_allclose
 from yet_another_wizz_tpu.utils.logging import Indicator, get_logger
 from yet_another_wizz_tpu.utils.misc import (
     common_len_assert,
+    env_flag,
     format_float_fixed_width,
     format_long_num,
     format_time,
@@ -232,3 +233,33 @@ class TestCompileCache:
 
         monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
         assert enable_persistent_compile_cache(None) is None
+
+
+class TestEnvFlag:
+    """Boolean env flags (lives here, NOT in test_native.py: env_flag is
+    pure Python and must stay tested on hosts without the native build,
+    where it gates the YAWT_DISABLE_NATIVE fallback itself)."""
+
+    @pytest.mark.parametrize(
+        "value,expected",
+        [
+            ("1", True),
+            ("true", True),
+            ("YES", True),
+            ("on", True),
+            ("0", False),
+            ("false", False),
+            ("No", False),
+            ("off", False),
+            ("n", False),
+            ("", False),
+            (" 0 ", False),
+        ],
+    )
+    def test_values(self, monkeypatch, value, expected):
+        monkeypatch.setenv("YAWT_TEST_FLAG", value)
+        assert env_flag("YAWT_TEST_FLAG") is expected
+
+    def test_unset(self, monkeypatch):
+        monkeypatch.delenv("YAWT_TEST_FLAG", raising=False)
+        assert env_flag("YAWT_TEST_FLAG") is False

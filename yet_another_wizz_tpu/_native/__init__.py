@@ -19,6 +19,8 @@ from pathlib import Path
 
 import numpy as np
 
+from yet_another_wizz_tpu.utils.misc import env_flag
+
 __all__ = [
     "NATIVE_ENABLED",
     "assign_patches",
@@ -46,8 +48,12 @@ NATIVE_ENABLED = False
 
 
 def _build_library() -> bool:
+    # -ffp-contract=off pins the no-FMA evaluation the numpy parity
+    # tests rely on: gcc's default contracts a*b - c*d into FMA where the
+    # ISA has it as baseline (aarch64), perturbing the tile-pair filter
+    # bound by ~1 ulp vs numpy's two-op evaluation.
     command = [
-        "g++", "-O3", "-fopenmp", "-shared", "-fPIC",
+        "g++", "-O3", "-ffp-contract=off", "-fopenmp", "-shared", "-fPIC",
         str(_SOURCE), "-o", str(_LIBRARY),
     ]
     try:
@@ -58,14 +64,6 @@ def _build_library() -> bool:
     except (OSError, subprocess.SubprocessError) as err:
         logger.warning("building native tilepack library failed: %s", err)
         return False
-
-
-def env_flag(name: str) -> bool:
-    """Boolean environment flag: unset, empty, ``0``, ``false`` and ``no``
-    are off (so ``YAWT_DISABLE_NATIVE=0`` really means "do not disable")."""
-    return os.environ.get(name, "").strip().lower() not in (
-        "", "0", "false", "no",
-    )
 
 
 def _load() -> None:
@@ -402,8 +400,10 @@ def min_dist2_update(
 def interleave_columns(columns, out: np.ndarray) -> int:
     """Interleave float64 column arrays into ``out`` (an (n, k) float64
     view of a record array) with a fused finite check. Returns the lowest
-    index of any non-finite column (the numpy fallback raises on the
-    first bad column in field order), or -1 on success."""
+    index of any non-finite column in the ORDER THE COLUMNS ARE PASSED
+    (the caller passes them in dtype field order, so the error message
+    matches the numpy fallback's first-error when the values dict shares
+    that order), or -1 on success."""
     ptrs = (ctypes.c_void_p * len(columns))(
         *(c.ctypes.data for c in columns)
     )

@@ -7,7 +7,9 @@
 // computation — is implemented in C++ with OpenMP and exposed through
 // ctypes (see __init__.py). A pure-numpy fallback exists in ops/tiles.py.
 //
-// Build: g++ -O3 -march=native -fopenmp -shared -fPIC tilepack.cpp -o libtilepack.so
+// Build: g++ -O3 -ffp-contract=off -fopenmp -shared -fPIC tilepack.cpp -o libtilepack.so
+// (no -march/-mfma and contraction pinned off: the tile-pair filter's
+// numpy parity tests assume the exact two-op a*b - c*d evaluation)
 
 #include <algorithm>
 #include <cmath>
@@ -259,8 +261,9 @@ extern "C" {
 // temporaries per candidate dominate the host wall at survey scale
 // (31.6 s of a 63 s warm 40M-row measurement). Bit-identical predicate:
 // sequential 3-term dot, clip, 2*asin(sqrt(max(0.5*(1-d), 0))) against
-// radii + theta — the build intentionally omits -march/-mfma so gcc
-// cannot contract the arithmetic differently from numpy.
+// radii + theta — the build pins -ffp-contract=off (and omits
+// -march/-mfma) so gcc cannot FMA-contract the arithmetic differently
+// from numpy on any target ISA.
 //
 // per_tile: 0 = global cutoff_angle; 1 = row tiles binned (theta from
 // range_max[zmin1, zmax1]); 2 = both binned (theta from the overlapping

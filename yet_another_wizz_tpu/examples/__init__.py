@@ -142,7 +142,7 @@ def generate_mock_data(
 import os as _os
 from pathlib import Path as _Path
 
-from yet_another_wizz_tpu._native import env_flag as _env_flag
+from yet_another_wizz_tpu.utils.misc import env_flag as _env_flag
 
 
 _BUNDLED_DIR = _Path("/root/reference/src/yaw/examples")

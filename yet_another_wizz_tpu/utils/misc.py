@@ -26,6 +26,7 @@ if TYPE_CHECKING:
 
 __all__ = [
     "HDF_COMPRESSION",
+    "env_flag",
     "groupby",
     "common_len_assert",
     "write_version_tag",
@@ -41,6 +42,19 @@ __all__ = [
 
 HDF_COMPRESSION = dict(fletcher32=True, compression="gzip", shuffle=True)
 """Default compression options applied to HDF5 datasets."""
+
+
+def env_flag(name: str) -> bool:
+    """Boolean environment flag: unset, empty, and the conventional
+    negative spellings (``0``, ``false``, ``no``, ``off``, ``n``) are off
+    — so ``YAWT_DISABLE_NATIVE=0`` really means "do not disable". Lives
+    here (not in ``_native``) so flag parsing never triggers the native
+    library build as an import side effect."""
+    import os
+
+    return os.environ.get(name, "").strip().lower() not in (
+        "", "0", "false", "no", "off", "n",
+    )
 
 
 _THREAD_LIMIT_OVERRIDE: ContextVar[int | None] = ContextVar(
