@@ -4,7 +4,8 @@
 The bench's recurring survey config streams 7M rows; the reference's
 DEFAULT ingestion chunk alone is 16.7M rows
 (/root/reference/src/yaw/catalog/readers.py:49). This script proves the
-out-of-core path at 40M rows (6M reference + 14M unknown + 20M
+out-of-core path at 40M rows and beyond — committed records exist for
+40M, 70M and 100M (``--rows``; 15% reference + 35% unknown + 50%
 HealPix-mask randoms, 128 patches):
 
 1. ``prepare``: mock samples stream into chunked parquet files, then
@@ -23,8 +24,8 @@ HealPix-mask randoms, 128 patches):
    agree to 1e-6 relative, and the full-scale n(z) must be finite and
    correlate with the downsample's n(z).
 
-The JSON record is committed as ``BENCH_oneshot_survey40m.json`` and
-embedded into every bench run's output (too slow for the bench loop
+The JSON records are committed as ``BENCH_oneshot_survey{40,70,100}m.json``
+and embedded into every bench run's output (too slow for the bench loop
 itself). Run:
 
     python scripts/survey_proof.py [--rows 40000000] [--small] \
