@@ -214,6 +214,31 @@ class TestTileSet:
             scale[occupied, 0, 0] * 2**29 <= np.maximum(maxabs[occupied], 2.0**-50)
         )
 
+    def test_wide_binning_int16_zbin_lane(self, rng):
+        """Beyond 128 redshift bins the int8 bin lane cannot hold the
+        indices, so the payload switches to a (still lossless) int16
+        lane via the numpy encoding path — the device decode must
+        round-trip the wide bin indices bit-exactly."""
+        from yet_another_wizz_tpu.ops.tiles import decode_fixedpoint_lanes
+
+        num_bins = 200
+        xyz, w, _ = random_cap_catalog(rng, 2000, 3)
+        z = rng.integers(0, num_bins, len(xyz))
+        patches = simple_patches(xyz, 5, rng)
+        ts = build_tile_set(
+            xyz, patches, 5, weights=w, zbins=z, num_bins=num_bins,
+            tile_size=64,
+        )
+        assert ts.num_bins == num_bins
+        host = ts.host_lanes()
+        assert host.zbins.dtype == np.int16
+        assert host.zbins.max() > 127  # the indices genuinely need int16
+        decoded = np.asarray(
+            decode_fixedpoint_lanes()(host.data, host.params, host.zbins)
+        )
+        assert np.array_equal(decoded[:, 6, :], ts.lane_data[:, 6, :])
+        assert np.array_equal(decoded[:, 7, :], ts.lane_data[:, 7, :])
+
     def test_uniform_weight_lane_elision(self, rng):
         """Unit-weight catalogs drop the weight channel from the link
         payload (17 -> 13 B/point): the host payload self-describes as
