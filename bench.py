@@ -621,11 +621,16 @@ def main() -> None:
         zmin=0.15, zmax=1.0, num_bins=NUM_BINS,
     )
 
+    multi_sample_s = [0.0]
+
     def run_multiscale():
         scales = crosscorrelate(
             config_multi, reference, unknown, ref_rand=randoms
         )
-        return [w.sample() for w in scales]
+        t0 = time.perf_counter()
+        sampled = [w.sample() for w in scales]
+        multi_sample_s[0] = time.perf_counter() - t0
+        return sampled
 
     run_multiscale()
     t_ms, lo, hi, multi = timed_median(run_multiscale)
@@ -642,6 +647,31 @@ def main() -> None:
         links_multi.edges, multi_pairs, t_ms, work_stats=work_multi,
         link=link,
     )
+    # residual attribution (wall - bound), same decomposition as the
+    # 256-patch stress config: measured host costs the per-pair model
+    # excludes — float64 estimator sampling of 3 scales x (DD+RD) and
+    # the warm pair-list rebuild; the remainder is launch dispatch +
+    # index upload of the two counts
+    t0 = time.perf_counter()
+    for cat1, cat2 in ((reference, unknown), (randoms, unknown)):
+        links_multi._build_engine_inputs(
+            cat1, cat2, auto=False, binned2=False, mode="nn"
+        )
+    multi_pair_build_s = time.perf_counter() - t0
+    rooflines["multiscale_rweight"]["residual_s"] = {
+        "sample_post": round(multi_sample_s[0], 4),
+        "pair_build": round(multi_pair_build_s, 4),
+        "dispatch_upload": round(
+            max(
+                t_ms
+                - rooflines["multiscale_rweight"]["bound_s"]
+                - multi_sample_s[0]
+                - multi_pair_build_s,
+                0.0,
+            ),
+            4,
+        ),
+    }
     log(
         f"secondary config multi-scale rweight ({len(multi)} scale ranges, "
         f"theta^-1 weighting): {t_ms:.2f}s warm median [{lo:.2f}, {hi:.2f}], "
