@@ -170,13 +170,17 @@ def ops_per_candidate_pair(edges) -> float:
     tables (see BASELINE.md, 'Roofline model'): 15 for the compensated
     chord distance, 1 for the column weight select, 3 per counting edge
     (compare, select, reduce-add), and in direct separation-weighted
-    mode an 18-op index/weight block plus 3 per adjustment entry."""
+    mode the index/weight block plus 3 per adjustment entry — 12 ops on
+    the small-angle polynomial path (log + 5-FMA correction + grid
+    index + exp), 18 with the explicit sqrt/arcsine chain for grids
+    wider than gweight.THETA_POLY_MAX."""
     base = 16.0
     if edges.direct is not None:
         d = edges.direct
+        block = 12.0 if d.spec[3] else 18.0
         return (
             base + 3.0 * d.chord2_table.shape[1]
-            + 18.0 + 3.0 * (d.num_below + d.num_above)
+            + block + 3.0 * (d.num_below + d.num_above)
         )
     return base + 3.0 * edges.num_edges
 
@@ -650,8 +654,10 @@ def main() -> None:
     # residual attribution (wall - bound), same decomposition as the
     # 256-patch stress config: measured host costs the per-pair model
     # excludes — float64 estimator sampling of 3 scales x (DD+RD) and
-    # the warm pair-list rebuild; the remainder is launch dispatch +
-    # index upload of the two counts
+    # the warm pair-list rebuild; the remainder is device execution
+    # beyond the per-op bound (transcendental/pipeline throughput the
+    # flat op model undercounts) plus launch dispatch and index upload —
+    # scripts/experiment_exec_split.py separates the two directly
     t0 = time.perf_counter()
     for cat1, cat2 in ((reference, unknown), (randoms, unknown)):
         links_multi._build_engine_inputs(
@@ -661,7 +667,7 @@ def main() -> None:
     rooflines["multiscale_rweight"]["residual_s"] = {
         "sample_post": round(multi_sample_s[0], 4),
         "pair_build": round(multi_pair_build_s, 4),
-        "dispatch_upload": round(
+        "kernel_gap_and_dispatch": round(
             max(
                 t_ms
                 - rooflines["multiscale_rweight"]["bound_s"]
@@ -762,8 +768,10 @@ def main() -> None:
     )
     # residual attribution (wall - bound): measured host-side costs the
     # roofline deliberately excludes — float64 jackknife post-processing
-    # and the warm pair-list rebuild; what remains after those is launch
-    # dispatch + index-list upload (documented in BASELINE.md)
+    # and the warm pair-list rebuild; what remains after those is device
+    # execution beyond the per-op bound plus launch dispatch and
+    # index-list upload (documented in BASELINE.md; the exec/dispatch
+    # split is measured by scripts/experiment_exec_split.py)
     t0 = time.perf_counter()
     for cat1, cat2 in (
         (reference_256, unknown_256), (randoms_256, unknown_256)
@@ -775,7 +783,7 @@ def main() -> None:
     rooflines["stress_256_patches"]["residual_s"] = {
         "nz_post": round(stress_nz_s[0], 4),
         "pair_build": round(pair_build_s, 4),
-        "dispatch_upload": round(
+        "kernel_gap_and_dispatch": round(
             max(
                 t_256
                 - rooflines["stress_256_patches"]["bound_s"]

@@ -1180,6 +1180,79 @@ class TestDirectCounting:
                 corr_x.sample().data, corr_o.sample().data, rtol=1e-4
             )
 
+    def test_small_angle_gate(self):
+        """``DirectEdges.spec`` selects the sqrt/arcsine-free index path
+        exactly when every counting edge fits the fitted polynomial range
+        (gweight.THETA_POLY_MAX)."""
+        from yet_another_wizz_tpu.ops.gweight import THETA_POLY_MAX
+
+        narrow = build_angular_edges(
+            self._scales(), self.ZMIDS, weight_scale=-1.0, weight_res=24,
+            counting="direct",
+        )
+        assert float(np.max(narrow.direct.edges)) <= THETA_POLY_MAX
+        assert narrow.direct.spec[3] is True
+
+        wide = build_angular_edges(
+            new_scales([0.05], [1.4], unit="rad"), self.ZMIDS,
+            weight_scale=-1.0, weight_res=24, counting="direct",
+        )
+        assert float(np.max(wide.direct.edges)) > THETA_POLY_MAX
+        assert wide.direct.spec[3] is False
+
+    def test_small_angle_path_matches_arcsine_path(self, rng):
+        """The polynomial log10(theta) evaluation must agree with the
+        explicit sqrt -> arcsine -> log chain: identical static config
+        except the flag, per-scale counts equal to float32 boundary
+        noise."""
+        ts1, ts2, centers, radii = self._problem(rng)
+        edges = build_angular_edges(
+            self._scales(), self.ZMIDS, weight_scale=-1.0, weight_res=24,
+            counting="direct",
+        )
+        assert edges.direct.spec[3] is True
+        linkage = build_linkage(centers, radii, edges.max_angle * 1.000001)
+        pairs = build_tile_pairs(ts1, ts2, linkage, auto=False)
+        table = edges.direct.combined_table()
+        base = edges.direct.spec[:3]
+        poly = count_pairs_tiles(
+            ts1, ts2, pairs, table, backend="xla", direct=base + (True,),
+        )
+        arcsine = count_pairs_tiles(
+            ts1, ts2, pairs, table, backend="xla", direct=base + (False,),
+        )
+        assert_allclose(
+            edges.direct.counts_to_scales(poly),
+            edges.direct.counts_to_scales(arcsine),
+            rtol=2e-5, atol=1e-7,
+        )
+
+    def test_wide_angle_grid_matches_cumulative(self, rng):
+        """A grid wider than the polynomial's fitted range falls back to
+        the arcsine path and still reproduces the union-edge cumulative
+        histogram."""
+        ts1, ts2, centers, radii = self._problem(rng)
+        scales = new_scales([0.05, 0.4], [0.5, 1.35], unit="rad")
+        direct = build_angular_edges(
+            scales, self.ZMIDS, weight_scale=-1.0, weight_res=24,
+            counting="direct",
+        )
+        assert direct.direct.spec[3] is False
+        cumulative = build_angular_edges(
+            scales, self.ZMIDS, weight_scale=-1.0, weight_res=24,
+            counting="cumulative",
+        )
+        linkage = build_linkage(centers, radii, direct.max_angle * 1.000001)
+        pairs = build_tile_pairs(ts1, ts2, linkage, auto=False)
+        via_direct = self._per_scale(ts1, ts2, pairs, direct, "xla")
+        via_cum = self._per_scale(ts1, ts2, pairs, cumulative, "xla")
+        # float32 sub-bin boundary wobble grows with the angle
+        # (d(theta)/d(chord2) diverges towards pi), so the agreement band
+        # is wider than the small-angle tests' 2e-5 — this is a property
+        # of the arcsine formulation at wide angles, independent of the
+        # small-angle polynomial (disabled here)
+        assert_allclose(via_direct, via_cum, rtol=5e-4, atol=1e-7)
+
     @pytest.mark.parametrize("data_sharding", ["replicated", "columns", "ring"])
     def test_direct_sharded_matches_single_device(self, rng, data_sharding):
         """Direct counting composes with the device mesh (all layouts)."""

@@ -7,9 +7,12 @@ Mosaic. See :class:`yet_another_wizz_tpu.ops.thresholds.DirectEdges` for
 the table layout and the exact-equivalence argument versus the reference's
 union-edge histogram (/root/reference/src/yaw/catalog/trees.py:84-117).
 
-Cost: one fixed block of ~15 VPU passes per tile pair (sqrt, arcsine
-polynomial, log, exp, and the adjustment selects), replacing the ~3 passes
-PER SUB-EDGE of cumulative counting.
+Cost: one fixed block of VPU passes per tile pair replacing the ~3 passes
+PER SUB-EDGE of cumulative counting. Grids confined to small angles (every
+survey-relevant configuration; gate :data:`THETA_POLY_MAX`) take the cheap
+small-angle path — ``log10(theta)`` straight from the squared chord through
+one log and a short polynomial, no sqrt/arcsine — while wider grids keep
+the explicit ``sqrt -> arcsine -> log`` chain.
 """
 
 from __future__ import annotations
@@ -17,6 +20,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 __all__ = [
+    "THETA_POLY_MAX",
     "apply_direct_weight",
     "counting_width",
     "num_param_cols",
@@ -24,6 +28,33 @@ __all__ = [
 
 _INV_LN10 = 0.43429448190325176
 _PI_2 = 1.5707963267948966
+
+THETA_POLY_MAX = 1.2
+"""Largest grid edge (radians) for the small-angle direct path.
+
+``log10(theta)`` decomposes as ``0.5 * log10(chord2) + h(chord2 / 4)``
+with ``h(y) = log10(asin(sqrt(y)) / sqrt(y))`` — analytic in ``y``, so a
+degree-4 polynomial (times ``y``; ``h(0) = 0`` exactly) covers
+``theta <= 1.2 rad`` to 3.7e-8 in float64. The float32 evaluation lands
+at 6.0e-7 max error in ``log10(theta)`` versus the explicit
+``sqrt -> arcsine -> log`` chain's 6.2e-7 (measured over 2M pairs,
+theta in [1e-6, 1.2]): the same error class, so sub-interval boundary
+wobble is unchanged while two sqrts and the ~13-op arcsine block drop
+from the per-pair cost. Pairs beyond the grid cannot leak through the
+gate: scale limits compare ``chord2`` directly, pairs above the largest
+counting edge enter no cumulative sum, and pairs below the smallest
+cancel between the two edge sums that bracket their scale (see
+``apply_direct_weight``)."""
+
+_H_POLY = (
+    # power-basis coefficients of h(y)/y over [0, sin^2(THETA_POLY_MAX/2)],
+    # a0 + a1 y + ... + a4 y^4 (Chebyshev fit converted; a0 -> 1/(6 ln 10))
+    0.072382861485278921,
+    0.026515311180259658,
+    0.015040318719047438,
+    0.0068128827079525812,
+    0.014413456335465801,
+)
 
 
 def num_param_cols(num_below: int, num_above: int) -> int:
@@ -69,6 +100,7 @@ def apply_direct_weight(
     num_sub: int,
     num_below: int,
     num_above: int,
+    small_angle: bool = False,
 ):
     """Multiply pair ``weights`` by the normalised separation weight.
 
@@ -88,15 +120,37 @@ def apply_direct_weight(
     clip to the end intervals — they either cancel between the cumulative
     scale-edge sums (below the minimum) or never enter one (above the
     maximum), so their weight value is irrelevant.
+
+    With ``small_angle=True`` (static; set by ``DirectEdges.spec`` when
+    every grid edge is at most :data:`THETA_POLY_MAX`) ``log10(theta)``
+    is evaluated directly from the squared chord as
+    ``0.5 * log10(chord2) + h(chord2 / 4)`` — one log plus five FMAs
+    instead of sqrt, the branchless arcsine block and its internal
+    sqrt. Pairs wider than the fitted range receive a wrong index, but
+    the gate guarantees those lie beyond every counting edge, where the
+    weight value cannot reach any output (see above and
+    :data:`THETA_POLY_MAX`).
     """
     inv_d = params[:, 0:1]
     lo_scaled = params[:, 1:2]
     gc0 = params[:, 2:3]
     gc1 = params[:, 3:4]
 
-    s = jnp.minimum(0.5 * jnp.sqrt(chord2), 1.0)
-    theta = 2.0 * _asin_f32(s)
-    log10_theta = jnp.log(jnp.maximum(theta, 1e-30)) * _INV_LN10
+    if small_angle:
+        y = 0.25 * chord2
+        p = _H_POLY[4]
+        for a in (_H_POLY[3], _H_POLY[2], _H_POLY[1], _H_POLY[0]):
+            p = p * y + a
+        # clamp to a float32-NORMAL value: 1e-30 squared would flush to
+        # zero, and log(0) = -inf turns into NaN against the zero inv_d
+        # of padded empty bins
+        log10_theta = (
+            0.5 * _INV_LN10
+        ) * jnp.log(jnp.maximum(chord2, 1e-37)) + p * y
+    else:
+        s = jnp.minimum(0.5 * jnp.sqrt(chord2), 1.0)
+        theta = 2.0 * _asin_f32(s)
+        log10_theta = jnp.log(jnp.maximum(theta, 1e-30)) * _INV_LN10
     idx = jnp.clip(
         jnp.floor(log10_theta * inv_d - lo_scaled),
         0.0,

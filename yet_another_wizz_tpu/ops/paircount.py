@@ -90,7 +90,8 @@ def pair_block_counts(
             :meth:`yet_another_wizz_tpu.ops.thresholds.DirectEdges.combined_table`).
         cols_binned: require equal bin indices on both sides (both catalogs
             binned, i.e. autocorrelation-style counting).
-        direct: static ``(num_sub, num_below, num_above)`` configuration
+        direct: static ``(num_sub, num_below, num_above[, small_angle])``
+            configuration
             of the direct separation-weighted counting mode, or None.
 
     Returns:
@@ -143,6 +144,7 @@ def pair_block_counts(
         w_cols_eff = apply_direct_weight(
             chord2, selected[:, num_edges:], w_cols_eff,
             num_sub=direct[0], num_below=direct[1], num_above=direct[2],
+            small_angle=len(direct) > 3 and direct[3],
         )
 
     # cumulative counts per row and edge
@@ -553,7 +555,8 @@ def count_pairs_tiles(
     through :func:`audit_boundary_counts`, which repairs any float32
     bin-edge misclassification against the float64 reference semantics.
 
-    With ``direct`` (a static ``(num_sub, num_below, num_above)`` tuple)
+    With ``direct`` (a static ``(num_sub, num_below, num_above[,
+    small_angle])`` tuple)
     the engine runs the direct separation-weighted counting mode:
     ``chord2_table`` must then be the combined counting+parameter table
     (:meth:`yet_another_wizz_tpu.ops.thresholds.DirectEdges.combined_table`)

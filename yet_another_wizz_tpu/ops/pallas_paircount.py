@@ -111,6 +111,7 @@ def _paircount_kernel(
         w_cols_eff = apply_direct_weight(
             chord2, selected[:, num_edges:], w_cols_eff,
             num_sub=direct[0], num_below=direct[1], num_above=direct[2],
+            small_angle=len(direct) > 3 and direct[3],
         )
 
     # cumulative counts per row and edge

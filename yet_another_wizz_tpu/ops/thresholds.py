@@ -160,9 +160,17 @@ class DirectEdges:
     num_above: int
 
     @property
-    def spec(self) -> tuple[int, int, int]:
-        """Static kernel configuration ``(num_sub, num_below, num_above)``."""
-        return (self.num_sub, self.num_below, self.num_above)
+    def spec(self) -> tuple[int, int, int, bool]:
+        """Static kernel configuration ``(num_sub, num_below, num_above,
+        small_angle)``. ``small_angle`` selects the cheaper sqrt/arcsine-
+        free index evaluation when every counting edge sits within the
+        fitted range (:data:`yet_another_wizz_tpu.ops.gweight.THETA_POLY_MAX`);
+        pairs beyond the edges cannot reach any output, so only the
+        in-grid range needs the polynomial's accuracy."""
+        from yet_another_wizz_tpu.ops.gweight import THETA_POLY_MAX
+
+        small_angle = bool(float(np.max(self.edges)) <= THETA_POLY_MAX)
+        return (self.num_sub, self.num_below, self.num_above, small_angle)
 
     def counts_to_scales(self, cumulative: NDArray) -> NDArray:
         """Convert cumulative scale-edge counts ``(..., B, E_s)`` into
