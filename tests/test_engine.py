@@ -1285,6 +1285,11 @@ def test_tile_pair_enumeration_chunked_identical(rng, monkeypatch):
     single slots and the slot-sorted row-major order."""
     import yet_another_wizz_tpu.ops.linkage as linkage_mod
 
+    # the second call repeats the first call's inputs: without this the
+    # pair-list memo would return the first result and the comparison
+    # would be vacuous
+    monkeypatch.setenv("YAWT_PAIR_MEMO", "0")
+
     xyz1, w1, z1 = random_cap_catalog(rng, 3000, 3)
     xyz2, w2, _ = random_cap_catalog(rng, 4000, 3)
     p1 = simple_patches(xyz1, 6, np.random.default_rng(3))
@@ -1319,6 +1324,11 @@ def test_tile_pair_filter_native_equals_numpy(rng, monkeypatch):
     if not _native.NATIVE_ENABLED:
         pytest.skip("native library unavailable")
     import yet_another_wizz_tpu.ops.linkage as linkage_mod
+
+    # the fallback call repeats the native call's inputs: without this the
+    # pair-list memo would return the native result and the comparison
+    # would be vacuous
+    monkeypatch.setenv("YAWT_PAIR_MEMO", "0")
 
     xyz1, w1, z1 = random_cap_catalog(rng, 3000, 3)
     xyz2, w2, z2 = random_cap_catalog(rng, 4000, 3)
@@ -1355,3 +1365,126 @@ def test_tile_pair_filter_native_equals_numpy(rng, monkeypatch):
         np.testing.assert_array_equal(native.tile1, fallback.tile1)
         np.testing.assert_array_equal(native.tile2, fallback.tile2)
         np.testing.assert_array_equal(native.slot, fallback.slot)
+
+
+class TestPairListMemo:
+    """The pruned tile-pair list is memoised per row tile set
+    (ops/linkage.py): identical inputs return the SAME TilePairs object
+    (so the engines reuse its device-resident index upload), any changed
+    input misses, the LRU stays bounded, and entries die with their
+    column tile set."""
+
+    def _inputs(self, rng, num_patches=4):
+        xyz, w, z = random_cap_catalog(rng, 2000, 3)
+        patch = simple_patches(xyz, num_patches, np.random.default_rng(3))
+        ts = build_tile_set(
+            xyz, patch, num_patches, weights=w, zbins=z, num_bins=3,
+            tile_size=64,
+        )
+        centers, radii = patch_geometry(xyz, patch, num_patches)
+        linkage = build_linkage(centers, radii, 0.02)
+        return ts, linkage
+
+    def test_hit_and_key_sensitivity(self, rng):
+        ts, linkage = self._inputs(rng)
+        angles = np.array([0.015, 0.018, 0.02])
+        first = build_tile_pairs(ts, ts, linkage, auto=True, bin_max_angles=angles)
+        again = build_tile_pairs(ts, ts, linkage, auto=True, bin_max_angles=angles)
+        assert again is first
+        # every key ingredient produces a miss when changed
+        other_auto = build_tile_pairs(
+            ts, ts, linkage, auto=False, bin_max_angles=angles
+        )
+        assert other_auto is not first
+        other_angles = build_tile_pairs(
+            ts, ts, linkage, auto=True, bin_max_angles=angles * 0.9
+        )
+        assert other_angles is not first
+        wider = type(linkage)(
+            max_angle=linkage.max_angle * 1.5, linked=linkage.linked
+        )
+        assert (
+            build_tile_pairs(ts, ts, wider, auto=True, bin_max_angles=angles)
+            is not first
+        )
+
+    def test_disabled_by_env(self, rng, monkeypatch):
+        ts, linkage = self._inputs(rng)
+        angles = np.array([0.015, 0.018, 0.02])
+        monkeypatch.setenv("YAWT_PAIR_MEMO", "0")
+        a = build_tile_pairs(ts, ts, linkage, auto=True, bin_max_angles=angles)
+        b = build_tile_pairs(ts, ts, linkage, auto=True, bin_max_angles=angles)
+        assert a is not b
+        np.testing.assert_array_equal(a.tile1, b.tile1)
+        np.testing.assert_array_equal(a.slot, b.slot)
+
+    def test_memoised_equals_fresh(self, rng, monkeypatch):
+        ts, linkage = self._inputs(rng)
+        angles = np.array([0.015, 0.018, 0.02])
+        memoised = build_tile_pairs(
+            ts, ts, linkage, auto=True, bin_max_angles=angles
+        )
+        memoised_again = build_tile_pairs(
+            ts, ts, linkage, auto=True, bin_max_angles=angles
+        )
+        assert memoised_again is memoised
+        monkeypatch.setenv("YAWT_PAIR_MEMO", "0")
+        fresh = build_tile_pairs(
+            ts, ts, linkage, auto=True, bin_max_angles=angles
+        )
+        np.testing.assert_array_equal(memoised.tile1, fresh.tile1)
+        np.testing.assert_array_equal(memoised.tile2, fresh.tile2)
+        np.testing.assert_array_equal(memoised.slot, fresh.slot)
+        np.testing.assert_array_equal(
+            memoised.slot_patches, fresh.slot_patches
+        )
+
+    def test_lru_bound(self, rng):
+        from yet_another_wizz_tpu.ops.linkage import _PAIR_MEMO_SIZE
+
+        ts, linkage = self._inputs(rng)
+        for i in range(_PAIR_MEMO_SIZE + 4):
+            build_tile_pairs(
+                ts, ts, linkage, auto=True,
+                bin_max_angles=np.full(3, 0.01 + i * 1e-4),
+            )
+        assert len(ts._pair_memo) <= _PAIR_MEMO_SIZE
+
+    def test_entry_dies_with_column_tiles(self, rng):
+        import gc
+
+        ts, linkage = self._inputs(rng)
+        xyz, w, _ = random_cap_catalog(np.random.default_rng(7), 1500, 1)
+        patch = simple_patches(xyz, 4, np.random.default_rng(3))
+        col = build_tile_set(xyz, patch, 4, weights=w, tile_size=64)
+        build_tile_pairs(ts, col, linkage, auto=False)
+        with_col = len(ts._pair_memo)
+        del col
+        gc.collect()
+        assert len(ts._pair_memo) < with_col
+
+    def test_engine_reuses_index_upload(self, rng):
+        """Two identical engine calls share one TilePairs object and its
+        cached stacked index upload; the counts are identical."""
+        ts, linkage = self._inputs(rng)
+        angles = np.array([0.015, 0.018, 0.02])
+        edges = np.tile([0.002, 0.02], (3, 1))
+        chord2 = ((2 * np.sin(edges / 2)) ** 2).astype(np.float32)
+        pairs = build_tile_pairs(
+            ts, ts, linkage, auto=True, bin_max_angles=angles
+        )
+        first = count_pairs_tiles(
+            ts, ts, pairs, chord2, backend="pallas", mesh="single"
+        )
+        cached = dict(pairs._device_cache)
+        assert any(k[0] == "stacked" for k in cached if isinstance(k, tuple))
+        pairs_again = build_tile_pairs(
+            ts, ts, linkage, auto=True, bin_max_angles=angles
+        )
+        assert pairs_again is pairs
+        second = count_pairs_tiles(
+            ts, ts, pairs_again, chord2, backend="pallas", mesh="single"
+        )
+        for key, value in cached.items():
+            assert pairs._device_cache[key] is value
+        np.testing.assert_array_equal(first, second)

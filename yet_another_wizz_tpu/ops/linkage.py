@@ -15,7 +15,10 @@ devices.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+import threading
+import weakref
+from collections import OrderedDict
+from dataclasses import dataclass, field
 from typing import TYPE_CHECKING
 
 import numpy as np
@@ -110,6 +113,14 @@ class TilePairs:
     tile2: NDArray
     slot: NDArray
     slot_patches: NDArray
+    _device_cache: dict = field(
+        default_factory=dict, repr=False, compare=False
+    )
+    """Engine-side derived inputs keyed by their padding geometry (the
+    padded/stacked index upload, the covered-slots flag). Populated by the
+    engines so repeated counts over a memoised pair list skip rebuilding
+    AND re-uploading their index lists (see :func:`build_tile_pairs`);
+    the device arrays are freed with the pair list."""
 
     @property
     def num_pairs(self) -> int:
@@ -148,7 +159,108 @@ def _bin_range_max(bin_max_angles: NDArray) -> NDArray:
     return table * (1.0 + 1e-5)
 
 
+_PAIR_MEMO_SIZE = 8
+"""Per-row-tile-set LRU capacity of the pair-list memo: bounds both the
+host index arrays and the device-resident stacked uploads retained per
+:class:`TileSet` (typical entries are a few MB; the memo exists for the
+warm-repeat and shared-row/column patterns, which revisit only a handful
+of distinct keys)."""
+
+_pair_memo_lock = threading.Lock()
+
+
+def _pair_memo_enabled() -> bool:
+    """The memo is on by default; ``YAWT_PAIR_MEMO=0`` (or any
+    conventional negative spelling) disables it. Evaluated per call so
+    tests can toggle the flag without reloading the module."""
+    import os
+
+    raw = os.environ.get("YAWT_PAIR_MEMO")
+    if raw is None:
+        return True
+    return raw.strip().lower() not in ("", "0", "false", "no", "off", "n")
+
+
+def _drop_pair_memo_entry(tiles1_ref, key) -> None:
+    """Weakref-finalizer hook: evict a memo entry eagerly when its column
+    tile set is garbage collected (e.g. the blocked path's resident-tile
+    layer dropping a column block), instead of waiting for LRU pressure."""
+    tiles1 = tiles1_ref()
+    if tiles1 is None:
+        return
+    memo = getattr(tiles1, "_pair_memo", None)
+    if memo is not None:
+        with _pair_memo_lock:
+            memo.pop(key, None)
+
+
 def build_tile_pairs(
+    tiles1: TileSet,
+    tiles2: TileSet,
+    linkage: Linkage,
+    *,
+    auto: bool,
+    bin_max_angles: NDArray | None = None,
+) -> TilePairs:
+    """Enumerate tile pairs for all linked patch pairs, pruned by tile caps
+    (memoised — see below).
+
+    Tile sets are immutable once built and cached on their catalog
+    (:meth:`Catalog.get_tiles`), so the pruned pair list is fully
+    determined by the two tile-set identities plus the linkage content and
+    cutoff inputs. A small per-``tiles1`` LRU keyed on exactly those
+    inputs makes repeated counts over the same catalogs — warm
+    re-measurements, tomographic runs over a shared reference sample, and
+    the blocked path's DD/DR counts revisiting the same row/column block
+    pairs — reuse one :class:`TilePairs` object, which in turn lets the
+    engines reuse its device-resident index upload
+    (``TilePairs._device_cache``). Set ``YAWT_PAIR_MEMO=0`` to disable.
+    """
+    if not _pair_memo_enabled():
+        return _build_tile_pairs(
+            tiles1, tiles2, linkage, auto=auto, bin_max_angles=bin_max_angles
+        )
+
+    bma_key = (
+        None
+        if bin_max_angles is None
+        else np.asarray(bin_max_angles, np.float64).tobytes()
+    )
+    key = (
+        weakref.ref(tiles2),
+        linkage.linked.shape,
+        linkage.linked.tobytes(),
+        float(linkage.max_angle),
+        bool(auto),
+        bma_key,
+    )
+    with _pair_memo_lock:
+        memo = getattr(tiles1, "_pair_memo", None)
+        if memo is None:
+            memo = OrderedDict()
+            object.__setattr__(tiles1, "_pair_memo", memo)
+        hit = memo.get(key)
+        if hit is not None:
+            memo.move_to_end(key)
+            return hit
+
+    result = _build_tile_pairs(
+        tiles1, tiles2, linkage, auto=auto, bin_max_angles=bin_max_angles
+    )
+
+    with _pair_memo_lock:
+        memo[key] = result
+        memo.move_to_end(key)
+        while len(memo) > _PAIR_MEMO_SIZE:
+            memo.popitem(last=False)
+    if tiles2 is not tiles1:
+        weakref.finalize(
+            tiles2, _drop_pair_memo_entry, weakref.ref(tiles1), key
+        )
+    return result
+
+
+def _build_tile_pairs(
     tiles1: TileSet,
     tiles2: TileSet,
     linkage: Linkage,

@@ -454,12 +454,6 @@ def count_pairs_pallas(
     num_slots_out = bucket_size(num_slots + 1, base=64)
     segment = _grid_size(pairs.num_pairs, max_pairs_per_call)
     padded = -(-pairs.num_pairs // segment) * segment
-    tile1 = np.zeros(padded, dtype=np.int32)
-    tile2 = np.zeros(padded, dtype=np.int32)
-    slots = np.full(padded, num_slots, dtype=np.int32)
-    tile1[: pairs.num_pairs] = pairs.tile1
-    tile2[: pairs.num_pairs] = pairs.tile2
-    slots[: pairs.num_pairs] = pairs.slot
 
     static = dict(
         num_slots_out=num_slots_out,
@@ -472,8 +466,20 @@ def count_pairs_pallas(
     # upload the padded index arrays once, stacked into a single transfer
     # (each host->device transfer pays a full link round trip, which
     # dominates over a tunneled device link); per-segment slicing happens
-    # on the device
-    stacked = jnp.asarray(np.stack([tile1, tile2, slots]))
+    # on the device. The device array is cached on the (memoised) pair
+    # list keyed by its padding geometry, so warm repeats and block-pair
+    # revisits skip the pad + upload entirely.
+    cache_key = ("stacked", padded, segment, num_slots)
+    stacked = pairs._device_cache.get(cache_key)
+    if stacked is None:
+        tile1 = np.zeros(padded, dtype=np.int32)
+        tile2 = np.zeros(padded, dtype=np.int32)
+        slots = np.full(padded, num_slots, dtype=np.int32)
+        tile1[: pairs.num_pairs] = pairs.tile1
+        tile2[: pairs.num_pairs] = pairs.tile2
+        slots[: pairs.num_pairs] = pairs.slot
+        stacked = jnp.asarray(np.stack([tile1, tile2, slots]))
+        pairs._device_cache[cache_key] = stacked
 
     if padded == segment:
         # the common single-launch case: when every real slot appears in
@@ -484,10 +490,13 @@ def count_pairs_pallas(
         # (linked patch pair, no surviving tile pairs) and MUST be
         # masked: their output rows are never written and keep whatever
         # HBM memory XLA handed out.
-        real = pairs.slot
-        covered = len(real) > 0 and (
-            1 + int(np.count_nonzero(np.diff(real))) == num_slots
-        )
+        covered = pairs._device_cache.get("covered")
+        if covered is None:
+            real = pairs.slot
+            covered = len(real) > 0 and (
+                1 + int(np.count_nonzero(np.diff(real))) == num_slots
+            )
+            pairs._device_cache["covered"] = covered
         total = _partial_counts_stacked(
             lane_data1, lane_data2, stacked, chord2_table,
             **static, mask_always=not covered,

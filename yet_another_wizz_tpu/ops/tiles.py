@@ -387,7 +387,9 @@ class HostLanes(NamedTuple):
     zbins: NDArray | None = None  # int8/int16 (N, T) bin lane (fixedpoint)
 
 
-@dataclass
+@dataclass(eq=False)  # identity semantics: field-wise eq over numpy arrays
+# is ambiguous anyway, and identity hashing lets weakrefs key the pair-list
+# memo (ops/linkage.py)
 class TileSet:
     """A catalog packed into fixed-size point tiles for the pair-count engine.
 
@@ -445,6 +447,11 @@ class TileSet:
     _upload_lock: object = field(
         default_factory=threading.Lock, repr=False, compare=False
     )
+    _pair_memo: object = field(default=None, repr=False, compare=False)
+    """Per-tile-set LRU of pruned tile-pair lists, populated and bounded by
+    :func:`yet_another_wizz_tpu.ops.linkage.build_tile_pairs` (keyed on the
+    column tile set + linkage inputs). Lives on the ROW tile set so the memo
+    is dropped with its catalog's tile cache."""
 
     def host_lanes(self, padded_tiles: int | None = None) -> HostLanes:
         """The lane payload to move across the host-device link, in the
