@@ -210,6 +210,17 @@ class TestValidSetups:
         assert project.estimate.nz_est[1].exists()
         assert not project.paircounts.auto_ref.exists()
 
+    def test_quiet_run_still_fills_pipeline_log(self, data_files, tmp_path):
+        """--quiet disables TERMINAL logging only; the per-project
+        pipeline.log must still record the run (the reference's file
+        handler is independent of console verbosity)."""
+        pipeline = run(
+            tmp_path, base_setup(data_files, ["cross_corr"]), quiet=True
+        )
+        content = pipeline.project.log_path.read_text()
+        assert "running task 'cross_corr'" in content
+        assert "task 'cross_corr' finished after" in content
+
     def test_full_pipeline_with_plots(self, data_files, tmp_path):
         tasks = ["auto_ref", "auto_unk", "cross_corr", "estimate", "hist", "plot"]
         pipeline = run(tmp_path, base_setup(data_files, tasks))

@@ -139,7 +139,13 @@ def init_file_logging(path: Path | str, level: str | int = "debug") -> None:
     )
     handler.setLevel(level)
     for name in (LOGGER_NAME, "yet_another_wizz_tpu"):
-        logging.getLogger(name).addHandler(handler)
+        logger = logging.getLogger(name)
+        logger.addHandler(handler)
+        # the file log must fill even when no terminal handler configured
+        # the logger (--quiet pipelines): an unset or stricter logger
+        # level would filter records before any handler sees them
+        if logger.level == logging.NOTSET or logger.level > level:
+            logger.setLevel(level)
 
 
 class Indicator:
