@@ -189,9 +189,19 @@ def _drop_pair_memo_entry(tiles1_ref, key) -> None:
     if tiles1 is None:
         return
     memo = getattr(tiles1, "_pair_memo", None)
-    if memo is not None:
-        with _pair_memo_lock:
-            memo.pop(key, None)
+    if memo is None:
+        return
+    # finalizers run wherever garbage collection happens to trigger —
+    # including during allocations INSIDE a locked memo operation on the
+    # same thread. The lock is not reentrant, so never block here: a
+    # missed eager eviction just leaves the (weakly small) entry to LRU
+    # pressure.
+    if not _pair_memo_lock.acquire(blocking=False):
+        return
+    try:
+        memo.pop(key, None)
+    finally:
+        _pair_memo_lock.release()
 
 
 def build_tile_pairs(
