@@ -107,6 +107,55 @@ class TestNativeKernels:
             ints[order].astype(np.float64),
         )
 
+    def test_strided_radec_equals_contiguous(self, rng):
+        """Structured-array columns (strided views) convert without a
+        copy and bit-match the contiguous entry point."""
+        n = 40_000
+        records = np.zeros(
+            n, dtype=[("ra", "f8"), ("dec", "f8"), ("w", "f8")]
+        )
+        records["ra"] = rng.uniform(0, 2 * np.pi, n)
+        records["dec"] = rng.uniform(-1.5, 1.5, n)
+        strided = _native.radec_to_xyz(records["ra"], records["dec"])
+        contiguous = _native.radec_to_xyz(
+            records["ra"].copy(), records["dec"].copy()
+        )
+        assert np.array_equal(strided, contiguous)
+        # reversed (negative-stride) views too
+        rev = _native.radec_to_xyz(records["ra"][::-1], records["dec"][::-1])
+        assert np.array_equal(rev, contiguous[::-1])
+
+    def test_fused_assign_equals_unfused(self, rng):
+        n = 40_000
+        records = np.zeros(n, dtype=[("ra", "f8"), ("dec", "f8")])
+        records["ra"] = rng.uniform(0, 2 * np.pi, n)
+        records["dec"] = rng.uniform(-1.5, 1.5, n)
+        centers = rng.normal(size=(17, 3))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        fused = _native.assign_patches_radec(
+            records["ra"], records["dec"], centers
+        )
+        xyz = _native.radec_to_xyz(records["ra"], records["dec"])
+        assert np.array_equal(fused, _native.assign_patches(xyz, centers))
+
+    def test_counting_argsort_matches_stable_argsort(self, rng):
+        for num_ids, n in ((7, 100_000), (301, 50_000), (5, 0), (3, 1)):
+            ids = rng.integers(0, num_ids, n).astype(np.int16)
+            order, counts = _native.counting_argsort_ids(ids, num_ids)
+            assert np.array_equal(order, np.argsort(ids, kind="stable"))
+            assert np.array_equal(counts, np.bincount(ids, minlength=num_ids))
+
+    def test_gather_rows_matches_fancy_indexing(self, rng):
+        n = 30_000
+        records = np.zeros(
+            n, dtype=[("ra", "f8"), ("dec", "f8"), ("z", "f8"), ("w", "f8")]
+        )
+        for name in records.dtype.names:
+            records[name] = rng.normal(size=n)
+        order = rng.permutation(n).astype(np.int64)
+        assert np.array_equal(_native.gather_rows(records, order),
+                              records[order])
+
     def test_tileset_native_equals_fallback(self, points, rng, monkeypatch):
         n = len(points)
         weights = rng.uniform(0.5, 2, n)

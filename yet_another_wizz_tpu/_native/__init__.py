@@ -24,12 +24,15 @@ from yet_another_wizz_tpu.utils.misc import env_flag
 __all__ = [
     "NATIVE_ENABLED",
     "assign_patches",
+    "assign_patches_radec",
+    "counting_argsort_ids",
     "encode_fixedpoint",
     "env_flag",
     "filter_tile_pairs",
     "gather_f64",
     "gather_i32",
     "gather_i32_to_f64",
+    "gather_rows",
     "morton_codes",
     "pack_tiles",
     "patch_geometry",
@@ -127,6 +130,16 @@ def _load() -> None:
     _lib.gather_f64.argtypes = [f64p, i64p, i64, i64, f64p]
     _lib.gather_i32.argtypes = [i32p, i64p, i64, i32p]
     _lib.gather_i32_to_f64.argtypes = [i32p, i64p, i64, f64p]
+    _lib.radec_to_xyz_strided.argtypes = [
+        ctypes.c_void_p, i64, ctypes.c_void_p, i64, i64, f64p
+    ]
+    _lib.assign_patches_radec.argtypes = [
+        ctypes.c_void_p, i64, ctypes.c_void_p, i64, i64, f64p, i64, i32p
+    ]
+    _lib.counting_argsort_ids.argtypes = [i32p, i64, i64, i64p, i64p]
+    _lib.gather_rows.argtypes = [
+        ctypes.c_void_p, i64, i64p, i64, ctypes.c_void_p
+    ]
     NATIVE_ENABLED = True
 
 
@@ -356,12 +369,71 @@ def assign_patches(xyz: np.ndarray, centers: np.ndarray) -> np.ndarray:
     return out
 
 
+def _strided_f8(arr: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """``(array, data pointer, byte stride)`` for a 1-D float64 input.
+
+    Float64 1-D views pass through WITHOUT copying whatever their stride
+    (structured-array columns — the catalog chunk and patch-cache row
+    layout — are exactly such views); anything else is converted once.
+    The returned array must stay referenced for the pointer's lifetime.
+    """
+    arr = np.asarray(arr)
+    if arr.dtype != np.float64 or arr.ndim != 1:
+        arr = np.ascontiguousarray(arr, dtype=np.float64)
+    return arr, arr.ctypes.data, arr.strides[0]
+
+
 def radec_to_xyz(ra: np.ndarray, dec: np.ndarray) -> np.ndarray:
-    """Unit-sphere 3-vectors from (ra, dec) in radian (single write pass)."""
-    ra = np.ascontiguousarray(ra, dtype=np.float64)
-    dec = np.ascontiguousarray(dec, dtype=np.float64)
+    """Unit-sphere 3-vectors from (ra, dec) in radian (single write pass).
+
+    Strided float64 inputs (structured-array columns) convert in place —
+    no ascontiguousarray copies."""
+    ra, ra_ptr, ra_stride = _strided_f8(ra)
+    dec, dec_ptr, dec_stride = _strided_f8(dec)
     out = np.empty((len(ra), 3), dtype=np.float64)
-    _lib.radec_to_xyz(ra, dec, len(ra), out)
+    _lib.radec_to_xyz_strided(ra_ptr, ra_stride, dec_ptr, dec_stride,
+                              len(ra), out)
+    return out
+
+
+def assign_patches_radec(
+    ra: np.ndarray, dec: np.ndarray, centers: np.ndarray
+) -> np.ndarray:
+    """Nearest-center ids straight from (strided) ra/dec columns.
+
+    Fuses ``radec_to_xyz`` + ``assign_patches`` with identical arithmetic
+    (bit-identical ids) but no ``(n, 3)`` xyz temporary — the ingestion
+    assignment's memory traffic drops to the two input columns."""
+    ra, ra_ptr, ra_stride = _strided_f8(ra)
+    dec, dec_ptr, dec_stride = _strided_f8(dec)
+    centers = np.ascontiguousarray(centers, np.float64)
+    out = np.empty(len(ra), dtype=np.int32)
+    _lib.assign_patches_radec(ra_ptr, ra_stride, dec_ptr, dec_stride,
+                              len(ra), centers, len(centers), out)
+    return out
+
+
+def counting_argsort_ids(
+    ids: np.ndarray, num_ids: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Stable argsort of small non-negative int ids + their histogram.
+
+    Equals ``np.argsort(ids, kind="stable")`` with ``counts[d] ==
+    np.count_nonzero(ids == d)`` returned for free (one parallel pass)."""
+    ids = np.ascontiguousarray(ids, dtype=np.int32)
+    order = np.empty(len(ids), dtype=np.int64)
+    counts = np.empty(num_ids, dtype=np.int64)
+    _lib.counting_argsort_ids(ids, len(ids), num_ids, order, counts)
+    return order, counts
+
+
+def gather_rows(records: np.ndarray, order: np.ndarray) -> np.ndarray:
+    """Parallel ``records[order]`` for a C-contiguous structured array."""
+    assert records.flags["C_CONTIGUOUS"]
+    order = np.ascontiguousarray(order, dtype=np.int64)
+    out = np.empty(len(order), dtype=records.dtype)
+    _lib.gather_rows(records.ctypes.data, records.dtype.itemsize, order,
+                     len(order), out.ctypes.data)
     return out
 
 

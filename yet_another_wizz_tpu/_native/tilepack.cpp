@@ -529,6 +529,112 @@ void gather_i32_to_f64(const int32_t* src, const int64_t* order, int64_t n,
     for (int64_t i = 0; i < n; ++i) out[i] = (double)src[order[i]];
 }
 
+// Strided variant of radec_to_xyz: reads (ra, dec) through byte strides so
+// structured-array column views (the catalog ingestion and patch-cache row
+// layout) convert without the ascontiguousarray copies the contiguous
+// entry point requires. Identical arithmetic per element.
+void radec_to_xyz_strided(const char* ra, int64_t ra_stride,
+                          const char* dec, int64_t dec_stride,
+                          int64_t n, double* out) {
+    #pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; ++i) {
+        const double r = *reinterpret_cast<const double*>(ra + i * ra_stride);
+        const double d = *reinterpret_cast<const double*>(dec + i * dec_stride);
+        const double cd = std::cos(d);
+        out[3 * i + 0] = cd * std::cos(r);
+        out[3 * i + 1] = cd * std::sin(r);
+        out[3 * i + 2] = std::sin(d);
+    }
+}
+
+// Fused ingestion assignment: nearest-center ids straight from strided
+// (ra, dec) columns — the unit 3-vector lives in registers, so the
+// (n, 3) xyz temporary the radec_to_xyz + assign_patches pair
+// materialises (and re-reads) never exists. Same trig and same
+// compare order as the unfused pair: bit-identical ids.
+void assign_patches_radec(const char* ra, int64_t ra_stride,
+                          const char* dec, int64_t dec_stride,
+                          int64_t n, const double* centers,
+                          int64_t num_centers, int32_t* out) {
+    #pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; ++i) {
+        const double r = *reinterpret_cast<const double*>(ra + i * ra_stride);
+        const double d = *reinterpret_cast<const double*>(dec + i * dec_stride);
+        const double cd = std::cos(d);
+        const double x = cd * std::cos(r);
+        const double y = cd * std::sin(r);
+        const double z = std::sin(d);
+        double best = -2.0;
+        int32_t best_id = 0;
+        for (int64_t c = 0; c < num_centers; ++c) {
+            const double score = x * centers[3 * c] + y * centers[3 * c + 1]
+                               + z * centers[3 * c + 2];
+            if (score > best) {
+                best = score;
+                best_id = (int32_t)c;
+            }
+        }
+        out[i] = best_id;
+    }
+}
+
+// Stable parallel counting-sort argsort on small non-negative ids (patch
+// ids: <= 32768 buckets). One pass of the radix_argsort scheme below with
+// the id itself as the digit; counts[id] additionally returns the
+// per-bucket histogram so callers derive split offsets without a second
+// unique() pass. Matches np.argsort(kind="stable") exactly.
+void counting_argsort_ids(const int32_t* ids, int64_t n, int64_t num_ids,
+                          int64_t* order, int64_t* counts) {
+    for (int64_t d = 0; d < num_ids; ++d) counts[d] = 0;
+    if (n <= 0) return;
+    int num_threads = 1;
+#ifdef _OPENMP
+#pragma omp parallel
+    {
+#pragma omp single
+        num_threads = omp_get_num_threads();
+    }
+#endif
+    const int64_t chunk = (n + num_threads - 1) / num_threads;
+    const int num_chunks = (int)((n + chunk - 1) / chunk);
+    std::vector<int64_t> hist((size_t)num_chunks * num_ids, 0);
+#pragma omp parallel for schedule(static)
+    for (int c = 0; c < num_chunks; ++c) {
+        const int64_t lo = (int64_t)c * chunk;
+        const int64_t hi = lo + chunk < n ? lo + chunk : n;
+        int64_t* cnt = hist.data() + (size_t)c * num_ids;
+        for (int64_t i = lo; i < hi; ++i) ++cnt[ids[i]];
+    }
+    // (id, chunk)-ordered exclusive prefix -> stable write offsets
+    int64_t running = 0;
+    for (int64_t d = 0; d < num_ids; ++d) {
+        for (int c = 0; c < num_chunks; ++c) {
+            int64_t* slot = hist.data() + (size_t)c * num_ids + d;
+            const int64_t cnt = *slot;
+            counts[d] += cnt;
+            *slot = running;
+            running += cnt;
+        }
+    }
+#pragma omp parallel for schedule(static)
+    for (int c = 0; c < num_chunks; ++c) {
+        const int64_t lo = (int64_t)c * chunk;
+        const int64_t hi = lo + chunk < n ? lo + chunk : n;
+        int64_t* off = hist.data() + (size_t)c * num_ids;
+        for (int64_t i = lo; i < hi; ++i) order[off[ids[i]]++] = i;
+    }
+}
+
+// Parallel permutation gather of raw fixed-size records (structured-array
+// rows): out[i] = src[order[i]]. Random reads, sequential writes.
+void gather_rows(const char* src, int64_t itemsize, const int64_t* order,
+                 int64_t n, char* out) {
+    #pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; ++i)
+        std::memcpy(out + i * itemsize, src + order[i] * itemsize,
+                    (size_t)itemsize);
+}
+
 // Nearest-center assignment: argmax of xyz . center over centers, with no
 // score-matrix temporaries (OpenMP over points).
 void assign_patches(const double* xyz, int64_t n, const double* centers,

@@ -63,6 +63,25 @@ def _applied_center(centers_xyz, pid: int):
     )
 
 
+def _assign_from_radec(ra, dec, centers_xyz) -> NDArray:
+    """Nearest-center ids from ra/dec columns.
+
+    Host-sized problems run the FUSED native kernel straight off the
+    (strided) structured-array columns — no ``(n, 3)`` xyz temporary and
+    no contiguity copies, bit-identical ids to the unfused pair; larger
+    problems and native-less hosts fall back to
+    ``assign_patches(radec_to_xyz(...))``."""
+    from yet_another_wizz_tpu import _native
+    from yet_another_wizz_tpu.ops.kmeans import DEVICE_ASSIGN_THRESHOLD
+
+    if (
+        _native.NATIVE_ENABLED
+        and len(ra) * len(centers_xyz) < DEVICE_ASSIGN_THRESHOLD
+    ):
+        return _native.assign_patches_radec(ra, dec, centers_xyz)
+    return assign_patches(radec_to_xyz(ra, dec), centers_xyz)
+
+
 def _chunk_patch_ids(chunk, centers_xyz):
     """Patch ids for one streamed chunk, with the same source priority as
     the in-memory path (_resolve_patch_assignment): explicit centers beat
@@ -72,8 +91,9 @@ def _chunk_patch_ids(chunk, centers_xyz):
     if column_ids is not None:
         chunk, _ = DataChunk.pop(chunk, "patch_ids")
     if centers_xyz is not None:
-        xyz = radec_to_xyz(chunk["ra"], chunk["dec"])
-        return chunk, assign_patches(xyz, centers_xyz)
+        return chunk, _assign_from_radec(
+            chunk["ra"], chunk["dec"], centers_xyz
+        )
     if column_ids is None:
         raise ValueError(
             "chunk provides no patch ids and no centers are set"
@@ -98,6 +118,27 @@ def _split_by_patch(chunk, patch_ids):
             "'patch_ids' must be non-negative (contiguous 0..P-1; "
             "drop or reassign sentinel ids before ingestion)"
         )
+    from yet_another_wizz_tpu import _native
+
+    if (
+        _native.NATIVE_ENABLED
+        and len(patch_ids)
+        and chunk.flags["C_CONTIGUOUS"]
+    ):
+        # one parallel counting-sort pass replaces argsort + the (slow,
+        # single-threaded) structured-row fancy index + unique(); the
+        # stable order is identical to np.argsort(kind="stable")
+        num_ids = int(np.max(patch_ids)) + 1
+        order, counts = _native.counting_argsort_ids(patch_ids, num_ids)
+        sorted_chunk = _native.gather_rows(chunk, order)
+        sorted_ids = patch_ids[order]
+        present = np.flatnonzero(counts)
+        stops = np.cumsum(counts[present])
+        splits = [
+            (int(pid), sorted_chunk[stop - counts[pid] : stop])
+            for pid, stop in zip(present, stops)
+        ]
+        return splits, sorted_ids
     order = np.argsort(patch_ids, kind="stable")
     sorted_ids = patch_ids[order]
     sorted_chunk = chunk[order]
