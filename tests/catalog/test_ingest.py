@@ -188,3 +188,59 @@ class TestStreamingIngestion:
             streaming=True, chunksize=700,
         )
         assert streamed.get_num_records() == other.get_num_records()
+
+
+class TestNativeIngestHelpers:
+    """The fused native assignment/split paths against their fallbacks
+    (the fallbacks also serve compilers-less hosts, so both sides must
+    produce identical caches)."""
+
+    def _chunk(self, rng, n=4000):
+        records = np.zeros(
+            n, dtype=[("ra", "f8"), ("dec", "f8"), ("weights", "f8")]
+        )
+        records["ra"] = rng.uniform(0.1, 0.6, n)
+        records["dec"] = rng.uniform(-0.2, 0.2, n)
+        records["weights"] = rng.uniform(0.5, 2.0, n)
+        return records
+
+    def test_assign_from_radec_matches_fallback(self, rng, monkeypatch):
+        from yet_another_wizz_tpu import _native
+        from yet_another_wizz_tpu.catalog.ingest import _assign_from_radec
+        from yet_another_wizz_tpu.coordinates import radec_to_xyz
+        from yet_another_wizz_tpu.ops.kmeans import assign_patches
+
+        if not _native.NATIVE_ENABLED:
+            pytest.skip("native library unavailable")
+        chunk = self._chunk(rng)
+        centers = radec_to_xyz(
+            np.array([0.2, 0.3, 0.5]), np.array([-0.1, 0.0, 0.1])
+        )
+        fused = _assign_from_radec(chunk["ra"], chunk["dec"], centers)
+        monkeypatch.setattr(_native, "NATIVE_ENABLED", False)
+        fallback = _assign_from_radec(chunk["ra"], chunk["dec"], centers)
+        assert np.array_equal(fused, fallback)
+        assert np.array_equal(
+            fallback, assign_patches(radec_to_xyz(chunk["ra"], chunk["dec"]),
+                                     centers)
+        )
+
+    def test_split_by_patch_matches_fallback(self, rng, monkeypatch):
+        from yet_another_wizz_tpu import _native
+        from yet_another_wizz_tpu.catalog.ingest import _split_by_patch
+
+        if not _native.NATIVE_ENABLED:
+            pytest.skip("native library unavailable")
+        chunk = self._chunk(rng)
+        ids = rng.integers(0, 7, len(chunk)).astype(np.int16)
+        # id 3 intentionally absent: split must skip empty patches
+        ids[ids == 3] = 4
+        native_splits, native_sorted = _split_by_patch(chunk, ids)
+        monkeypatch.setattr(_native, "NATIVE_ENABLED", False)
+        numpy_splits, numpy_sorted = _split_by_patch(chunk, ids)
+        assert np.array_equal(native_sorted, numpy_sorted)
+        assert [pid for pid, _ in native_splits] == [
+            pid for pid, _ in numpy_splits
+        ]
+        for (_, a), (_, b) in zip(native_splits, numpy_splits):
+            assert np.array_equal(a, b)
