@@ -353,8 +353,9 @@ def run_survey_scale(rooflines: dict, link: dict | None = None) -> dict:
     # host-device link once (fresh per-measurement cache): the honest
     # bound for THIS config on THIS link is the upload time of the
     # packed lanes in the active encoding (17 B/point fixed-point,
-    # 13 B/point for uniform-weight catalogs with the weight lane
-    # elided, + ~36 B/tile decode parameters; or 32 B/point float)
+    # minus the elided uniform-weight and zero-bin lanes — 12 B/point
+    # for unbinned unit-weight catalogs — + ~36 B/tile decode
+    # parameters; or 32 B/point float)
     from yet_another_wizz_tpu.ops.tiles import (
         DEFAULT_TILE_SIZE,
         lane_encoding,
@@ -364,11 +365,14 @@ def run_survey_scale(rooflines: dict, link: dict | None = None) -> dict:
     if link and link.get("upload_mb_s"):
         if out["lane_encoding"] == "fixedpoint":
             # the mock reference/unknown carry per-point weights
-            # (17 B/point); the unit-weight randoms elide the weight lane
-            # (13 B/point, ops/tiles.py:uniform_weight_fill)
+            # (17 B/point); the unknown and randoms are unbinned, so
+            # their zero bin lane is elided (-1 B/point), and the
+            # unit-weight randoms additionally elide the weight lane
+            # (ops/tiles.py:uniform_weight_fill) -> 12 B/point
             payload_bytes = (
-                17.0 * (SURVEY_REFERENCE + SURVEY_UNKNOWN)
-                + 13.0 * SURVEY_RANDOMS
+                17.0 * SURVEY_REFERENCE
+                + 16.0 * SURVEY_UNKNOWN
+                + 12.0 * SURVEY_RANDOMS
             )
             param_bytes = 36.0 / DEFAULT_TILE_SIZE * out["rows"]
         else:

@@ -295,6 +295,52 @@ class TestTileSet:
         lane_hole[full[0], 6, 3] = 0.0
         assert uniform_weight_fill(lane_hole) is None
 
+    def test_zero_zbin_lane_elision(self, rng):
+        """Unbinned catalogs (randoms, the unknown sample) hold an
+        identically-zero bin lane: it is elided from the link payload
+        (zero-width zbins array) and the device decode reconstructs the
+        zero lane exactly. Binned catalogs keep the full lane."""
+        from yet_another_wizz_tpu.ops.tiles import decode_fixedpoint_lanes
+
+        xyz, w, z = random_cap_catalog(rng, 1500, 3)
+        patches = simple_patches(xyz, 4, rng)
+
+        # unbinned + per-point weights: only the bin lane is elided
+        ts = build_tile_set(xyz, patches, 4, weights=w, tile_size=64)
+        host = ts.host_lanes()
+        assert host.zbins.shape == (ts.num_tiles, 0)
+        assert host.data.shape[1] == 4  # weight lane still crosses
+        decoded = np.asarray(
+            decode_fixedpoint_lanes()(host.data, host.params, host.zbins)
+        )
+        assert np.array_equal(decoded[:, 6, :], ts.lane_data[:, 6, :])
+        assert np.array_equal(
+            decoded[:, 7, :], np.zeros_like(ts.lane_data[:, 7, :])
+        )
+
+        # unbinned + unit weights (randoms): both elisions compose,
+        # 12 B/point, and the tile-axis padding keeps the empty lane
+        ts = build_tile_set(
+            xyz, patches, 4, weights=np.ones(len(xyz)), tile_size=64
+        )
+        host = ts.host_lanes(padded_tiles=ts.num_tiles + 7)
+        assert host.data.shape == (ts.num_tiles + 7, 3, 64)
+        assert host.zbins.shape == (ts.num_tiles + 7, 0)
+        decoded = np.asarray(
+            decode_fixedpoint_lanes()(host.data, host.params, host.zbins)
+        )
+        assert np.array_equal(
+            decoded[: ts.num_tiles, 6, :], ts.lane_data[:, 6, :]
+        )
+        assert not decoded[:, 7, :].any()
+
+        # a genuinely binned catalog keeps its lane
+        ts = build_tile_set(
+            xyz, patches, 4, weights=w, zbins=z, num_bins=3, tile_size=64
+        )
+        host = ts.host_lanes()
+        assert host.zbins.shape == (ts.num_tiles, 64)
+
     def test_tile_caps_contain_points(self, rng):
         xyz, w, z = random_cap_catalog(rng, 1000, 2)
         patches = simple_patches(xyz, 3, rng)

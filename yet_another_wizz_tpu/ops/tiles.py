@@ -65,6 +65,11 @@ LANE_ENCODING_ENV = "YAWT_LANE_ENCODING"
 # redshift-bin index — bin indices are small ints, so the narrow lane is
 # LOSSLESS), which matters precisely on link-bound devices (the uncached
 # survey-scale measurement runs at the transfer floor, see ROADMAP.md).
+# Two further lossless elisions apply per tile set: uniform-weight
+# catalogs drop the weight channel (-4 B, reconstructed from the
+# per-tile point count) and unbinned catalogs drop the zero bin lane
+# (-1 B), so the common bulk — randoms, the unknown sample — crosses at
+# 12 B/point.
 # Channels of the packed int32 layout:
 FIXEDPOINT_CHANNELS = 4  # [qx, qy, qz, weight (bitcast)]
 FIXEDPOINT_PARAMS = 8  # [cx_hi, cy_hi, cz_hi, cx_lo, cy_lo, cz_lo, scale, 0]
@@ -220,7 +225,14 @@ def decode_fixedpoint_lanes():
                 weight = jax.lax.bitcast_convert_type(
                     packed[..., 3:4, :], jnp.float32
                 )
-            zbin = zbins[..., None, :].astype(jnp.float32)  # exact: small ints
+            if zbins.shape[-1] == 0:
+                # elided bin lane (host_lanes: unbinned catalogs): the
+                # lane is identically zero on the host side
+                zbin = jnp.zeros(
+                    (*packed.shape[:-2], 1, packed.shape[-1]), jnp.float32
+                )
+            else:
+                zbin = zbins[..., None, :].astype(jnp.float32)  # exact ints
             q_lo = ((q + 16384) & 0x7FFF) - 16384  # in [-2^14, 2^14)
             q_hi = q - q_lo  # multiple of 2^15, <= 16 significant bits
             s = params[..., 6][..., None, None]
@@ -457,10 +469,12 @@ class TileSet:
         """The lane payload to move across the host-device link, in the
         active encoding (:func:`lane_encoding`), with the tile axis
         zero-padded to ``padded_tiles`` when given. Fixed-point payloads
-        carry 17 B/point plus 32 B/tile of decode parameters — 13 B/point
-        (+36 B/tile) when the weight lane is uniform and elided
-        (:func:`uniform_weight_fill`); float payloads are the raw
-        32 B/point lanes."""
+        carry 17 B/point plus 32 B/tile of decode parameters — minus
+        4 B/point when the weight lane is uniform and elided
+        (:func:`uniform_weight_fill`, +4 B/tile of parameters) and minus
+        1 B/point when the bin lane is identically zero (unbinned
+        catalogs), so the common bulk crosses at 12 B/point; float
+        payloads are the raw 32 B/point lanes."""
         num_pad = 0
         if padded_tiles is not None and padded_tiles > self.num_tiles:
             num_pad = padded_tiles - self.num_tiles
@@ -495,6 +509,14 @@ class TileSet:
                     axis=1,
                 )
                 params[:, 7] = counts
+            if not zbins.any():
+                # unbinned catalogs (randoms, the unknown sample in a
+                # cross-correlation) hold an identically-zero bin lane:
+                # elide it from the transfer — the decode reconstructs
+                # zeros from the zero-width payload (13 -> 12 B/point
+                # for the uniform-weight bulk). LOSSLESS: padded slots
+                # and bin-0 points decode to the same zero either way.
+                zbins = zbins[:, :0]
             return HostLanes(
                 "fixedpoint", pad(packed), pad(params), pad(zbins)
             )

@@ -138,7 +138,9 @@ def _put_global(arr, sharding: NamedSharding):
 
 def _place_lanes(host, sharding: NamedSharding):
     """Place a :class:`~yet_another_wizz_tpu.ops.tiles.HostLanes` payload
-    onto the mesh. Fixed-point payloads cross the link packed (17 B/point)
+    onto the mesh. Fixed-point payloads cross the link packed (17 B/point,
+    less the elided uniform-weight / zero-bin lanes — see
+    ``TileSet.host_lanes``)
     and expand to the engine's float32 layout through the jitted decode;
     the decode is elementwise over the tile axis, so jit propagates the
     input sharding to the output without any resharding."""
