@@ -365,14 +365,17 @@ def run_survey_scale(rooflines: dict, link: dict | None = None) -> dict:
     if link and link.get("upload_mb_s"):
         if out["lane_encoding"] == "fixedpoint":
             # the mock reference/unknown carry per-point weights
-            # (17 B/point); the unknown and randoms are unbinned, so
-            # their zero bin lane is elided (-1 B/point), and the
-            # unit-weight randoms additionally elide the weight lane
-            # (ops/tiles.py:uniform_weight_fill) -> 12 B/point
+            # (17 B/point); the unknown is unbinned, so its zero bin
+            # lane is elided (-1 B/point -> 16). The randoms are
+            # REFERENCE-side randoms: the RD count bins catalog1, and
+            # HealPixRandoms carry redshifts, so their bin lane is
+            # populated and NOT elided — they keep the int8 bin lane
+            # and only elide the uniform weight lane
+            # (ops/tiles.py:uniform_weight_fill) -> 13 B/point
             payload_bytes = (
                 17.0 * SURVEY_REFERENCE
                 + 16.0 * SURVEY_UNKNOWN
-                + 12.0 * SURVEY_RANDOMS
+                + 13.0 * SURVEY_RANDOMS
             )
             param_bytes = 36.0 / DEFAULT_TILE_SIZE * out["rows"]
         else:

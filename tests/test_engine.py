@@ -341,6 +341,19 @@ class TestTileSet:
         host = ts.host_lanes()
         assert host.zbins.shape == (ts.num_tiles, 64)
 
+        # a binned catalog whose points all happen to land in bin 0
+        # (e.g. one block of a larger binned catalog) must ship the SAME
+        # lane shape as sibling blocks — the elision is gated on the
+        # declared bin count, not the lane contents, so the shared
+        # decode program never recompiles per block
+        ts = build_tile_set(
+            xyz, patches, 4, weights=w,
+            zbins=np.zeros(len(xyz), dtype=np.int64), num_bins=3,
+            tile_size=64,
+        )
+        host = ts.host_lanes()
+        assert host.zbins.shape == (ts.num_tiles, 64)
+
     def test_tile_caps_contain_points(self, rng):
         xyz, w, z = random_cap_catalog(rng, 1000, 2)
         patches = simple_patches(xyz, 3, rng)

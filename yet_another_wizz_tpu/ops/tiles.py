@@ -509,13 +509,19 @@ class TileSet:
                     axis=1,
                 )
                 params[:, 7] = counts
-            if not zbins.any():
-                # unbinned catalogs (randoms, the unknown sample in a
-                # cross-correlation) hold an identically-zero bin lane:
-                # elide it from the transfer — the decode reconstructs
-                # zeros from the zero-width payload (13 -> 12 B/point
-                # for the uniform-weight bulk). LOSSLESS: padded slots
-                # and bin-0 points decode to the same zero either way.
+            if self.num_bins == 0:
+                # unbinned catalogs (the unknown sample in a
+                # cross-correlation and its randoms) hold an
+                # identically-zero bin lane: elide it from the transfer —
+                # the decode reconstructs zeros from the zero-width
+                # payload (13 -> 12 B/point for the uniform-weight
+                # bulk). LOSSLESS: padded slots and bin-0 points decode
+                # to the same zero either way. Gated on the DECLARED bin
+                # count, not the lane contents: a binned catalog's block
+                # that happens to land entirely in bin 0 must ship the
+                # same lane shape as its sibling blocks, or the shared
+                # decode program (device_pad_base shape bucketing)
+                # would recompile per block.
                 zbins = zbins[:, :0]
             return HostLanes(
                 "fixedpoint", pad(packed), pad(params), pad(zbins)
