@@ -220,6 +220,49 @@ def parse_task_walls(log_path: Path) -> dict[str, float]:
     return walls
 
 
+_BIN_LINE = re.compile(
+    r"^(\S+ \S+) \w+ \S+ processing bin (\d+) / (\d+)"
+)
+
+
+def parse_bin_walls(log_path: Path) -> dict[str, list[float]]:
+    """Per-bin marginal wall seconds inside each tomographic task, from
+    the CLIENT-level ``processing bin i / N`` lines: bin i spans its own
+    line to the next bin's line (or the task's ``finished`` line).
+    Records whether the session tile cache amortises the shared
+    reference-side blocks — bins 2..N should be materially cheaper than
+    bin 1, which pays the shared sides' packing/upload."""
+    walls: dict[str, list[float]] = {}
+    task = None
+    bin_start = None
+    for line in log_path.read_text().splitlines():
+        task_match = _TASK_LINE.match(line)
+        if task_match is not None:
+            stamp = datetime.strptime(
+                task_match.group(1), "%Y-%m-%d %H:%M:%S,%f"
+            )
+            if task_match.group(2):
+                task = task_match.group(2)
+                bin_start = None
+            elif task is not None and bin_start is not None:
+                walls.setdefault(task, []).append(
+                    round((stamp - bin_start).total_seconds(), 1)
+                )
+                task, bin_start = None, None
+            continue
+        bin_match = _BIN_LINE.match(line)
+        if bin_match is not None and task is not None:
+            stamp = datetime.strptime(
+                bin_match.group(1), "%Y-%m-%d %H:%M:%S,%f"
+            )
+            if bin_start is not None:
+                walls.setdefault(task, []).append(
+                    round((stamp - bin_start).total_seconds(), 1)
+                )
+            bin_start = stamp
+    return walls
+
+
 def run_pipeline(
     workdir: Path, project: Path, num_bins: int, *, small: bool
 ) -> dict:
@@ -247,6 +290,7 @@ def run_pipeline(
     record = {
         "wall_s": round(wall, 1),
         "task_walls_s": parse_task_walls(project / "pipeline.log"),
+        "bin_walls_s": parse_bin_walls(project / "pipeline.log"),
     }
     if peak_rss > before:  # a smaller later child cannot update the max
         record["peak_host_rss_gb"] = round(peak_rss / 1e6, 2)

@@ -870,3 +870,58 @@ def test_measurement_scoped_cache(catalogs, config):
         ),
         rtol=1e-6, atol=1e-6,
     )
+
+
+def test_tomographic_bins_share_reference_sides(catalogs, config):
+    """The tomographic production pattern: every bin's cross-correlation
+    reuses the SAME reference sample and randoms with a different
+    unknown slice. Under one session cache bin 2 must rebuild ONLY its
+    own unknown blocks — the shared row sides (reference for DD,
+    randoms for RD) are served from cache, so the per-bin marginal cost
+    is the unknown slice alone (round-4 verdict, ask #6)."""
+    from yet_another_wizz_tpu.correlation import blocked as blocked_mod
+    from yet_another_wizz_tpu.correlation.blocked import (
+        measurement_tile_cache,
+    )
+
+    reference, _, randoms = catalogs
+    mock = generate_mock_data(
+        num_reference=10, num_unknown=6000, num_randoms=10, seed=21
+    )["unknown"]
+    rng = np.random.default_rng(5)
+    slice_mask = rng.random(len(mock["ra"])) < 0.5
+
+    def unknown_slice(mask):
+        return Catalog.from_arrays(
+            **{key: value[mask] for key, value in mock.items()},
+            degrees=False,
+            patch_centers=reference.get_centers(),
+        )
+
+    bin1 = unknown_slice(slice_mask)
+    bin2 = unknown_slice(~slice_mask)
+
+    builds = {"n": 0}
+    original = blocked_mod._build_block_tiles
+
+    def counting(catalog, *args, **kwargs):
+        builds["n"] += 1
+        builds.setdefault("catalogs", []).append(catalog)
+        return original(catalog, *args, **kwargs)
+
+    kwargs = dict(backend="xla", max_resident_patches=4)
+    with measurement_tile_cache(resident_tile_bytes=1 << 30):
+        crosscorrelate(config, reference, bin1, ref_rand=randoms, **kwargs)
+        import unittest.mock
+
+        with unittest.mock.patch.object(
+            blocked_mod, "_build_block_tiles", counting
+        ):
+            (second,) = crosscorrelate(
+                config, reference, bin2, ref_rand=randoms, **kwargs
+            )
+    # bin 2 packed blocks ONLY for its own unknown slice; the shared
+    # reference and randoms row sides all hit the session cache
+    assert builds["n"] > 0
+    assert all(cat is bin2 for cat in builds["catalogs"])
+    assert np.isfinite(second.sample().data).all()

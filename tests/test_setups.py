@@ -213,13 +213,21 @@ class TestValidSetups:
     def test_quiet_run_still_fills_pipeline_log(self, data_files, tmp_path):
         """--quiet disables TERMINAL logging only; the per-project
         pipeline.log must still record the run (the reference's file
-        handler is independent of console verbosity)."""
+        handler is independent of console verbosity), and the
+        user-facing task lines carry the CLIENT level (INFO+5,
+        reference cli/logging.py:71-75)."""
         pipeline = run(
             tmp_path, base_setup(data_files, ["cross_corr"]), quiet=True
         )
         content = pipeline.project.log_path.read_text()
+        assert "CLIENT" in content
         assert "running task 'cross_corr'" in content
         assert "task 'cross_corr' finished after" in content
+        assert "processing bin 1 / 1" in content
+        # the task lines specifically are CLIENT-level records
+        for line in content.splitlines():
+            if "running task 'cross_corr'" in line:
+                assert "CLIENT" in line
 
     def test_full_pipeline_with_plots(self, data_files, tmp_path):
         tasks = ["auto_ref", "auto_unk", "cross_corr", "estimate", "hist", "plot"]

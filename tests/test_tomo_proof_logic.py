@@ -62,3 +62,58 @@ class TestParseTaskWalls:
             "finished after 0m02.50s",
         ])
         assert parse_task_walls(log) == {"cross_corr": 3.5}
+
+
+class TestParseBinWalls:
+    def test_marginal_bin_walls(self, tmp_path):
+        from tomo_pipeline_proof import parse_bin_walls
+
+        log = _write_log(tmp_path, [
+            "2026-08-20 07:00:00,000 CLIENT yawt.cli running task "
+            "'cross_corr'",
+            "2026-08-20 07:00:02,000 CLIENT yawt.cli.tasks processing "
+            "bin 1 / 3",
+            "2026-08-20 07:00:32,000 CLIENT yawt.cli.tasks processing "
+            "bin 2 / 3",
+            "2026-08-20 07:00:42,000 CLIENT yawt.cli.tasks processing "
+            "bin 3 / 3",
+            "2026-08-20 07:00:52,500 CLIENT yawt.cli task 'cross_corr' "
+            "finished after 0m52.50s",
+        ])
+        # bin 1 pays the shared sides (30 s); bins 2-3 are marginal
+        assert parse_bin_walls(log) == {"cross_corr": [30.0, 10.0, 10.5]}
+
+    def test_bins_scoped_per_task(self, tmp_path):
+        from tomo_pipeline_proof import parse_bin_walls
+
+        log = _write_log(tmp_path, [
+            "2026-08-20 07:00:00,000 CLIENT yawt.cli running task "
+            "'auto_unk'",
+            "2026-08-20 07:00:01,000 CLIENT yawt.cli.tasks processing "
+            "bin 1 / 2",
+            "2026-08-20 07:00:05,000 CLIENT yawt.cli.tasks processing "
+            "bin 2 / 2",
+            "2026-08-20 07:00:08,000 CLIENT yawt.cli task 'auto_unk' "
+            "finished after 0m08.00s",
+            "2026-08-20 07:00:08,000 CLIENT yawt.cli running task "
+            "'cross_corr'",
+            "2026-08-20 07:00:10,000 CLIENT yawt.cli.tasks processing "
+            "bin 1 / 2",
+            "2026-08-20 07:00:20,000 CLIENT yawt.cli.tasks processing "
+            "bin 2 / 2",
+            "2026-08-20 07:00:25,000 CLIENT yawt.cli task 'cross_corr' "
+            "finished after 0m17.00s",
+        ])
+        assert parse_bin_walls(log) == {
+            "auto_unk": [4.0, 3.0], "cross_corr": [10.0, 5.0],
+        }
+
+    def test_no_bin_lines_yields_empty(self, tmp_path):
+        from tomo_pipeline_proof import parse_bin_walls
+
+        log = _write_log(tmp_path, [
+            "2026-08-20 07:00:00,000 CLIENT yawt.cli running task 'hist'",
+            "2026-08-20 07:00:02,000 CLIENT yawt.cli task 'hist' "
+            "finished after 0m02.00s",
+        ])
+        assert parse_bin_walls(log) == {}

@@ -263,3 +263,32 @@ class TestEnvFlag:
     def test_unset(self, monkeypatch):
         monkeypatch.delenv("YAWT_TEST_FLAG", raising=False)
         assert env_flag("YAWT_TEST_FLAG") is False
+
+
+def test_client_log_level():
+    """CLIENT sits between INFO and WARNING, is registered by name, the
+    Logger.client() convenience emits at it, and the terminal formatter
+    renders it as 'CLI' (reference cli/logging.py:71-75)."""
+    import logging
+
+    from yet_another_wizz_tpu.utils.logging import CLIENT, TerminalFormatter
+
+    assert logging.INFO < CLIENT < logging.WARNING
+    assert logging.getLevelName(CLIENT) == "CLIENT"
+
+    logger = logging.getLogger("yawt.test_client")
+    logger.setLevel(logging.INFO)
+    records = []
+    handler = logging.Handler()
+    handler.emit = records.append
+    logger.addHandler(handler)
+    try:
+        logger.client("task progress %d", 3)
+        logger.log(CLIENT, "also works")
+    finally:
+        logger.removeHandler(handler)
+    assert [r.levelno for r in records] == [CLIENT, CLIENT]
+    assert records[0].getMessage() == "task progress 3"
+
+    rendered = TerminalFormatter(pretty=False).format(records[0])
+    assert "CLI |" in rendered

@@ -19,6 +19,7 @@ from yet_another_wizz_tpu.cli.config import ProjectConfig
 from yet_another_wizz_tpu.cli.directory import ProjectDirectory
 from yet_another_wizz_tpu.cli.tasks import TaskList
 from yet_another_wizz_tpu.utils.logging import (
+    CLIENT,
     get_logger,
     init_file_logging,
 )
@@ -248,7 +249,7 @@ class Pipeline:
         lock = LockFile(self.project.lock_path)
         lock.acquire("starting")
         try:
-            logger.info("running %d task(s)", len(self.tasks))
+            logger.log(CLIENT, "running %d task(s)", len(self.tasks))
             with session_cache, memo:
                 self._run_tasks(lock)
         finally:
@@ -257,10 +258,15 @@ class Pipeline:
     def _run_tasks(self, lock) -> None:
         for task in self.tasks:
             lock.update(task.name)
-            logger.info("running task '%s'", task.name)
+            # CLIENT level: user-facing progress, visible at the default
+            # terminal level and always captured by the file log
+            # (reference: cli/pipeline.py:315,333 logs these via
+            # logger.client)
+            logger.log(CLIENT, "running task '%s'", task.name)
             start = default_timer()
             task.run()
-            logger.info(
+            logger.log(
+                CLIENT,
                 "task '%s' finished after %s",
                 task.name,
                 format_time(default_timer() - start),

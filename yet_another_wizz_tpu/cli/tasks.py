@@ -25,6 +25,7 @@ from graphlib import TopologicalSorter
 from typing import TYPE_CHECKING
 
 from yet_another_wizz_tpu.config.base import ConfigError
+from yet_another_wizz_tpu.utils.logging import CLIENT
 
 if TYPE_CHECKING:
     from yet_another_wizz_tpu.cli.config import ProjectConfig
@@ -294,7 +295,10 @@ class AutoUnkTask(Task):
         from yet_another_wizz_tpu.correlation.measurements import autocorrelate
 
         lazy = self.config.execution.lazy
-        for index, handle in self.project.cache.unknown.items():
+        bins = list(self.project.cache.unknown.items())
+        for number, (index, handle) in enumerate(bins, 1):
+            # reference cli/tasks.py:176: per-bin progress at CLIENT
+            logger.log(CLIENT, "processing bin %d / %d", number, len(bins))
             (corr,) = autocorrelate(
                 self.config.correlation,
                 handle.load_data(lazy=lazy),
@@ -331,7 +335,9 @@ class CrossCorrTask(Task):
         lazy = self.config.execution.lazy
         reference = self.project.cache.reference.load_data(lazy=lazy)
         ref_rand = self.project.cache.reference.load_rand(lazy=lazy)
-        for index, handle in self.project.cache.unknown.items():
+        bins = list(self.project.cache.unknown.items())
+        for number, (index, handle) in enumerate(bins, 1):
+            logger.log(CLIENT, "processing bin %d / %d", number, len(bins))
             (corr,) = crosscorrelate(
                 self.config.correlation,
                 reference,

@@ -137,13 +137,10 @@ class _WeakId:
         return self._ref() is None
 
 
-_TILE_SET_SCALARS = (
-    "num_bins", "num_points", "tile_size", "device_pad_base",
-)
-_TILE_SET_ARRAYS = (
-    "lane_data", "tile_patch", "tile_center", "tile_radius",
-    "patch_tile_start", "patch_tile_stop", "sum_weights", "tile_zmin",
-    "tile_zmax",
+from yet_another_wizz_tpu.catalog.tilestore import (
+    TILE_SET_ARRAYS as _TILE_SET_ARRAYS,
+    tileset_from_payload as _tileset_from_payload,
+    tileset_payload as _tileset_payload,
 )
 
 
@@ -357,8 +354,6 @@ class _ColumnTileCache:
         tests as a proxy for how many blocks were actually packed).
         ``resident_only=True`` skips the disk layer: a deserialization +
         re-upload is never cheaper than tiles the caller already holds."""
-        from yet_another_wizz_tpu.ops.tiles import TileSet
-
         tiles = self._resident.get(key)
         if tiles is not None:
             self._gen[key] = self.generation  # atomic dict write
@@ -375,18 +370,7 @@ class _ColumnTileCache:
         path, _ = entry
         try:
             with np.load(path) as payload:
-                fields = {
-                    name: payload[name] for name in _TILE_SET_ARRAYS
-                }
-                fields.update(
-                    {
-                        name: payload[name].item()
-                        for name in _TILE_SET_SCALARS
-                    }
-                )
-                fields["sum_kappa"] = (
-                    payload["sum_kappa"] if "sum_kappa" in payload else None
-                )
+                tiles = _tileset_from_payload(payload)
         except FileNotFoundError:
             # a concurrent stale-eviction unlinked the spill between the
             # dict read and the open: treat as a miss (the caller rebuilds)
@@ -398,7 +382,6 @@ class _ColumnTileCache:
         if count:
             with self._stats_lock:
                 self.hits += 1
-        tiles = TileSet(**fields)
         # promote a disk hit into the resident layer when there is room:
         # without promotion a key that ever spilled stays disk-tier for
         # the rest of the session even after the resident budget frees
@@ -465,17 +448,7 @@ class _ColumnTileCache:
             )
         if self._used + size > self._max_bytes:
             return
-        payload = {
-            name: getattr(tiles, name) for name in _TILE_SET_ARRAYS
-        }
-        payload.update(
-            {
-                name: np.asarray(getattr(tiles, name))
-                for name in _TILE_SET_SCALARS
-            }
-        )
-        if tiles.sum_kappa is not None:
-            payload["sum_kappa"] = tiles.sum_kappa
+        payload = _tileset_payload(tiles)
         self._stored += 1  # len(_paths) shrinks on purge: not name-safe
         path = os.path.join(self._dir, f"block_{self._stored}.npz")
         try:
@@ -828,6 +801,8 @@ def _blocked_loop(
 ):
     import time
 
+    from yet_another_wizz_tpu.utils.devicemem import track_if_device
+
     phases = {"rows": 0.0, "cols": 0.0, "pairs": 0.0, "queue": 0.0,
               "drain": 0.0, "drain_wait": 0.0, "drain_fetch": 0.0,
               "drain_scatter": 0.0}
@@ -964,19 +939,25 @@ def _blocked_loop(
         import jax.numpy as jnp
 
         from yet_another_wizz_tpu.ops.paircount import _device_table
+        from yet_another_wizz_tpu.utils.devicemem import track
 
         if accum_state["accum"] is None:
-            accum_state["accum"] = jnp.zeros(
-                (
-                    result.shape[0],
-                    result.shape[1],
-                    num_patches + 1,
-                    num_patches + 1,
+            accum_state["accum"] = track(
+                jnp.zeros(
+                    (
+                        result.shape[0],
+                        result.shape[1],
+                        num_patches + 1,
+                        num_patches + 1,
+                    ),
+                    dtype=jnp.float32,
                 ),
-                dtype=jnp.float32,
+                "blocked_accumulator",
             )
         if accum_state["scale_map"] is None:
-            accum_state["scale_map"] = _device_table(mapper.scale_maps)
+            accum_state["scale_map"] = track(
+                _device_table(mapper.scale_maps), "edge_tables"
+            )
         # one stacked int32 upload per block pair (every host-to-device
         # transfer pays a full link round trip): global patch indices
         # plus the validity/halving code consumed by the jitted scatter
@@ -993,9 +974,16 @@ def _blocked_loop(
             idx[2, :n] = np.where(global1 == global2, 1, 2)
         else:
             idx[2, :n] = 2
-        accum_state["accum"] = _scatter_block_scales(
-            cumulative, accum_state["scale_map"], jnp.asarray(idx),
-            accum_state["accum"],
+        # each functional update is a fresh device buffer; tracking it
+        # (and letting the superseded one credit back on GC) keeps the
+        # accumulator honestly charged — the brief old+new overlap is
+        # real HBM double-residency
+        accum_state["accum"] = track(
+            _scatter_block_scales(
+                cumulative, accum_state["scale_map"], jnp.asarray(idx),
+                accum_state["accum"],
+            ),
+            "blocked_accumulator",
         )
 
     def warm_upload(tiles):
@@ -1010,18 +998,46 @@ def _blocked_loop(
             tiles.device_data()
         return tiles
 
+    # persistent packed-tile stores (catalog/tilestore.py): packed
+    # blocks are a pure function of (catalog, binning, mode, layout,
+    # block size, tile size), so for disk-cached catalogs they live
+    # next to the patch cache and survive across measurements AND
+    # processes — a warm-cache measurement then streams disk -> device
+    # instead of re-paying the O(N) Morton sort + native pack per run
+    # (at 100M rows: ~42 s of a 79 s warm wall before round 5)
+    from yet_another_wizz_tpu.catalog.tilestore import PackedTileStore
+
+    row_store = PackedTileStore.open(
+        catalog1, binning, mode[0], layout1, block, tile_size
+    )
+    col_store = PackedTileStore.open(
+        catalog2, binning if binned2 else None, mode[1], layout2, block,
+        tile_size,
+    )
+
     def acquire_rows(lo1):
         """Load-or-build the row tile set for one block (thread-safe:
         cache loads are read-only, ``load_block`` is a stateless read,
-        and the store happens in the main thread afterwards)."""
+        and the session-cache store happens in the main thread
+        afterwards; persistent-store saves are independent atomic
+        files)."""
         hi1 = min(lo1 + block, num_patches)
         if cache_rows:
             tiles = cache.load(row_base + (lo1,))
             if tiles is not None:
                 return warm_upload(tiles), False
+        if row_store is not None:
+            tiles = row_store.load(lo1)
+            if tiles is not None:
+                # built=True: a persistent hit still enters the session
+                # cache so later sweeps skip the disk read AND reuse the
+                # uploaded device arrays
+                return warm_upload(tiles), True
         tiles = _build_block_tiles(
             catalog1, binning, mode[0], lo1, hi1, tile_size, layout=layout1
         )
+        if row_store is not None:
+            row_store.save(lo1, tiles)
         return warm_upload(tiles), True
 
     def acquire_cols(lo2):
@@ -1031,10 +1047,16 @@ def _blocked_loop(
             tiles = cache.load(col_base + (lo2,))
             if tiles is not None:
                 return warm_upload(tiles), False
+        if col_store is not None:
+            tiles = col_store.load(lo2)
+            if tiles is not None:
+                return warm_upload(tiles), True
         tiles = _build_block_tiles(
             catalog2, binning if binned2 else None, mode[1],
             lo2, hi2, tile_size, layout=layout2,
         )
+        if col_store is not None:
+            col_store.save(lo2, tiles)
         return warm_upload(tiles), True
 
     def qualifying_linkage(lo1, lo2):
@@ -1247,6 +1269,7 @@ def _blocked_loop(
                         padded_slots=device_accumulate,
                     )
                     mapper = edges
+                track_if_device(cumulative, "inflight_counts")
                 if device_accumulate:
                     timed(
                         "queue", queue_scatter,

@@ -553,19 +553,32 @@ class TileSet:
                 if self._cache_token is None:
                     import jax.numpy as jnp
 
+                    from yet_another_wizz_tpu.utils.devicemem import track
+
                     padded_tiles = bucket_size(
                         self.num_tiles, base=self.device_pad_base
                     )
                     host = self.host_lanes(padded_tiles)
                     if host.encoding == "fixedpoint":
                         token = decode_fixedpoint_lanes()(
-                            jnp.asarray(host.data),
-                            jnp.asarray(host.params),
-                            jnp.asarray(host.zbins),
+                            *track(
+                                [
+                                    jnp.asarray(host.data),
+                                    jnp.asarray(host.params),
+                                    jnp.asarray(host.zbins),
+                                ],
+                                "lane_staging",
+                            )
                         )
                     else:
                         token = jnp.asarray(host.data)
-                    object.__setattr__(self, "_cache_token", token)
+                    # HBM accounting (utils/devicemem.py): the decoded
+                    # lanes live as long as this TileSet does — the
+                    # resident-tile cache's working set is the sum of
+                    # these tokens
+                    object.__setattr__(
+                        self, "_cache_token", track(token, "tile_lanes")
+                    )
         return self._cache_token
 
     @property

@@ -31,6 +31,7 @@ if TYPE_CHECKING:
     T = TypeVar("T")
 
 __all__ = [
+    "CLIENT",
     "Indicator",
     "get_logger",
     "init_file_logging",
@@ -40,9 +41,34 @@ __all__ = [
 
 LOGGER_NAME = "yawt"
 
+CLIENT = logging.INFO + 5
+"""Custom level for user-facing CLI progress messages, between INFO and
+WARNING: the pipeline's task announcements stay visible at the default
+terminal level while a ``--quiet``-ish INFO filter still drops the
+package's internal chatter. Mirrors the reference's ``CLIENT`` level
+(/root/reference/src/yaw/cli/logging.py:71-75)."""
+
+
+def _register_client_level() -> None:
+    """Register the CLIENT level and a ``Logger.client()`` convenience
+    (idempotent: imports must not fight over the registration)."""
+    if logging.getLevelName(CLIENT) != "CLIENT":
+        logging.addLevelName(CLIENT, "CLIENT")
+
+    def client(self, message, *args, **kwargs):
+        if self.isEnabledFor(CLIENT):
+            self._log(CLIENT, message, args, **kwargs)
+
+    if not hasattr(logging.Logger, "client"):
+        logging.Logger.client = client
+
+
+_register_client_level()
+
 _LEVEL_STYLES = {
     "DBG": "\033[2m",  # dim
     "INF": "",
+    "CLI": "\033[34m",  # blue: user-facing CLI progress
     "WRN": "\033[33m",  # yellow
     "ERR": "\033[31m",  # red
     "CRT": "\033[1;31m",  # bold red
@@ -66,8 +92,8 @@ class TerminalFormatter(logging.Formatter):
 
     def format(self, record: logging.LogRecord) -> str:
         short = {
-            "DEBUG": "DBG", "INFO": "INF", "WARNING": "WRN",
-            "ERROR": "ERR", "CRITICAL": "CRT",
+            "DEBUG": "DBG", "INFO": "INF", "CLIENT": "CLI",
+            "WARNING": "WRN", "ERROR": "ERR", "CRITICAL": "CRT",
         }.get(record.levelname, record.levelname[:3])
         record.shortlevel = short
         text = super().format(record)
