@@ -287,6 +287,30 @@ launch-time difference over the slot-run count: 2.2 us/transition at 64
 patches, 1.5 us at 256; mean rounded down); NOT re-fitted per round."""
 
 
+EXEC_EFFICIENCY = {
+    "cumulative": 1.13,
+    "direct_poly": 1.19,
+    "direct_arcsine": 1.35,
+}
+"""Measured device-execution time over the flat per-op bound, per
+kernel op-class (roofline v3). The round-4 residual
+``kernel_gap_and_dispatch`` was attributed DIRECTLY on-chip by
+scripts/experiment_exec_split.py (queue / forced-execute / fetch
+split): it is device execution — the flat op model undercounts
+pipeline effects on the plain compare/select path (1.13x) and the
+transcendental dispatch rate of the direct separation-weighted blocks
+(sqrt+arcsine chain 1.35x; the small-angle polynomial path 1.19x).
+Calibrated once from that experiment's measurements; NOT refit per
+round, so genuine kernel regressions still surface as a dropping
+``model_fraction``."""
+
+
+def _exec_class(edges) -> str:
+    if edges.direct is None:
+        return "cumulative"
+    return "direct_poly" if edges.direct.spec[3] else "direct_arcsine"
+
+
 def roofline(
     edges,
     candidate_pairs: float,
@@ -295,31 +319,41 @@ def roofline(
     work_stats: list | None = None,
     link: dict | None = None,
 ) -> dict:
-    """Roofline bound and achieved fraction for one timed configuration.
+    """Roofline bound, calibrated execution model, and achieved
+    fractions for one timed configuration.
 
     ``bound_s`` models three measured cost sources: the per-pair kernel
     ops at the sustained VPU rate, the per-output-slot-transition flush
     (dominant at high patch counts, where slot runs are short), and the
     result-tensor fetch through the host-device link (dominant for large
     patch-pair grids on the tunneled chip). ``fraction`` = bound /
-    measured wall-clock; host prep, uploads and float64 post-processing
-    account for the rest.
+    measured wall-clock. ``model_s``/``model_fraction`` additionally
+    scale the per-pair term by the MEASURED op-class execution
+    efficiency (:data:`EXEC_EFFICIENCY`, roofline v3) — the calibrated
+    expectation for this hardware; host prep, uploads and float64
+    post-processing account for the remaining gap to 1.0.
     """
-    bound = candidate_pairs * ops_per_candidate_pair(edges) / VPU_RATE
-    detail = {}
+    pair_s = candidate_pairs * ops_per_candidate_pair(edges) / VPU_RATE
+    bound = pair_s
+    model = pair_s * EXEC_EFFICIENCY[_exec_class(edges)]
+    detail = {"exec_class": _exec_class(edges)}
     if work_stats:
         transitions = sum(w["slot_transitions"] for w in work_stats)
         switch_s = transitions * T_SLOT_SWITCH
         bound += switch_s
+        model += switch_s
         detail["slot_switch_s"] = round(switch_s, 4)
         if link and link.get("fetch_mb_s"):
             fetch_bytes = sum(w["fetch_bytes"] for w in work_stats)
             fetch_s = fetch_bytes / (link["fetch_mb_s"] * 1e6)
             bound += fetch_s
+            model += fetch_s
             detail["fetch_s"] = round(fetch_s, 4)
     return {
         "bound_s": round(bound, 4),
         "fraction": round(bound / measured_s, 3),
+        "model_s": round(model, 4),
+        "model_fraction": round(model / measured_s, 3),
         **detail,
     }
 
@@ -459,7 +493,9 @@ def run_survey_scale(rooflines: dict, link: dict | None = None) -> dict:
     }
     # setup = measurement entry -> blocked loop (catalog open, linkage,
     # normalisation): ON the phase clock since round 5
-    blocked_top = ("rows", "cols", "pairs", "queue", "drain")
+    blocked_top = (
+        "rows", "cols", "pairs", "queue", "drain", "preamble", "teardown"
+    )
     phases["setup"] = round(
         max(
             phases.pop("corr_wall", 0.0)
@@ -555,7 +591,10 @@ def run_survey_scale(rooflines: dict, link: dict | None = None) -> dict:
     # kernel roofline, direct re-measurement). A regression shows up as
     # a specific phase flagged over its bound, not as prose numbers
     # failing to reproduce on a different host allocation.
-    top_level_phases = ("setup", "rows", "cols", "pairs", "queue", "drain")
+    top_level_phases = (
+        "setup", "rows", "cols", "pairs", "queue", "drain", "preamble",
+        "teardown",
+    )
     phase_sum = sum(phases.get(key, 0.0) for key in top_level_phases)
     phase_sum += phases.get("post", 0.0)
     explained = {

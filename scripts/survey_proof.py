@@ -265,7 +265,10 @@ def measure(workdir: Path) -> dict:
     cold_phases["unattributed"] = round(
         t_cold - sum(
             cold_phases.get(key, 0.0)
-            for key in ("rows", "cols", "pairs", "queue", "drain")
+            for key in (
+                "rows", "cols", "pairs", "queue", "drain", "preamble",
+                "teardown",
+            )
         ),
         2,
     )

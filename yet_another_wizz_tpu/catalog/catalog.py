@@ -267,6 +267,7 @@ class Catalog(Mapping):
         "patch_radii",
         "num_patches",
         "_tile_cache",
+        "_bin_sums_cache",
         "__weakref__",  # blocked-path tile caches key catalogs weakly
     )
 
@@ -855,13 +856,38 @@ class Catalog(Mapping):
     def bin_sum_weights(self, binning, num_bins: int) -> NDArray:
         """Per (bin, patch) sum of weights, float64 ``(num_bins, P)``;
         with ``binning=None`` every bin receives the per-patch totals
-        (the normalisation semantics of unbinned pair counting)."""
+        (the normalisation semantics of unbinned pair counting).
+
+        Memoised per binning (like :meth:`LazyCatalog.bin_sum_weights`):
+        the catalog data is immutable and the blocked measurement path
+        calls this once per count — without the memo every measurement
+        re-paid a digitize + bincount pass over the full catalog (the
+        dominant term of the survey bench's flagged ``setup`` phase)."""
+        key = (
+            None
+            if binning is None
+            else (binning.edges.tobytes(), str(binning.closed))
+        )
+        try:
+            memo = self._bin_sums_cache
+        except AttributeError:  # covers every construction path
+            memo = {}
+            self._bin_sums_cache = memo
+        cached = memo.get(key)
+        if cached is not None:
+            if binning is None:
+                return np.broadcast_to(
+                    cached, (num_bins, self.num_patches)
+                ).copy()
+            return cached.copy()  # callers may mutate their result
+
         weights = self.weights
         w = np.ones(len(self._patch_ids)) if weights is None else weights
         if binning is None:
             totals = np.bincount(
                 self._patch_ids, weights=w, minlength=self.num_patches
             )
+            memo[key] = totals
             return np.broadcast_to(
                 totals, (num_bins, self.num_patches)
             ).copy()
@@ -872,9 +898,11 @@ class Catalog(Mapping):
         zbins = binning.digitize(self.redshifts) - 1
         keep = (zbins >= 0) & (zbins < len(binning))
         flat = zbins[keep] * self.num_patches + self._patch_ids[keep]
-        return np.bincount(
+        sums = np.bincount(
             flat, weights=w[keep], minlength=len(binning) * self.num_patches
         ).reshape(len(binning), self.num_patches)
+        memo[key] = sums
+        return sums.copy()
 
     def load_block(self, patch_lo: int, patch_hi: int) -> "BlockData":
         """Columns of the patches in ``[patch_lo, patch_hi)`` with patch

@@ -803,9 +803,10 @@ def _blocked_loop(
 
     from yet_another_wizz_tpu.utils.devicemem import track_if_device
 
+    t_entry = time.perf_counter()
     phases = {"rows": 0.0, "cols": 0.0, "pairs": 0.0, "queue": 0.0,
               "drain": 0.0, "drain_wait": 0.0, "drain_fetch": 0.0,
-              "drain_scatter": 0.0}
+              "drain_scatter": 0.0, "preamble": 0.0, "teardown": 0.0}
 
     def timed(key, fn, *args, **kwargs):
         t0 = time.perf_counter()
@@ -1209,6 +1210,11 @@ def _blocked_loop(
     # once — not per block pair on the queueing hot path
     direct = edges.direct if backend != "oracle" and not audit else None
     direct_table = direct.combined_table() if direct is not None else None
+    # preamble: everything between entry and the first block pair —
+    # layout choice, the linked-pair grid, store fingerprints, executor
+    # setup (the sweep's own clock starts at the loop)
+    phases["preamble"] = time.perf_counter() - t_entry
+
     try:
         for lo1 in starts:
             tiles1 = None  # built lazily: the block pair may be pruned
@@ -1304,11 +1310,13 @@ def _blocked_loop(
         # shut the prefetch workers down on EVERY path: an exception
         # mid-sweep must not leak two live executors whose pending
         # futures pin packed blocks (GBs of host memory at survey scale)
+        t_teardown = time.perf_counter()
         for pool in (executor, col_executor):
             if pool is not None:
                 pool.shutdown(wait=True, cancel_futures=True)
         if gen_token is not None:
             cache.end_count(gen_token)
+        phases["teardown"] = time.perf_counter() - t_teardown
     if indicator is not None:
         next(indicator, None)  # drain: prints the 100% line + newline
 
