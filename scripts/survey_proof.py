@@ -464,6 +464,12 @@ def main() -> None:
     parser.add_argument("--workdir", default="/tmp/yawt_survey_proof")
     parser.add_argument("--out", default=None)
     parser.add_argument(
+        "--downsample", type=int, default=64,
+        help="stride of the oracle-crosscheck downsample (raise at "
+        "200M+ rows: the float64 kd-tree oracle is O(downsampled "
+        "pairs) on the host)",
+    )
+    parser.add_argument(
         "--skip-prepare", action="store_true",
         help="reuse an existing workdir's caches/downsample (re-measure "
         "only; rows are read back from the cached catalogs)",
@@ -473,6 +479,8 @@ def main() -> None:
         help=argparse.SUPPRESS,  # internal: the measurement subprocess
     )
     args = parser.parse_args()
+    global DOWNSAMPLE
+    DOWNSAMPLE = args.downsample
     workdir = Path(args.workdir)
 
     if args.measure_only:
