@@ -159,6 +159,40 @@ is identical, so genuine regressions move the floor while stalls create
 one-sided outliers."""
 
 
+BLOCKED_TOP_PHASES = (
+    "rows", "cols", "pairs", "queue", "drain", "preamble", "teardown"
+)
+"""Top-level phases of the blocked loop's own clock (sub-phases like
+``drain_wait``/``drain_fetch`` nest inside ``drain`` and are excluded
+from wall sums)."""
+
+
+def per_run_phases(totals: dict, num_runs: int) -> dict:
+    """Per-run phase means from accumulated phase totals.
+
+    ``totals`` holds summed blocked-loop phase timers plus the
+    measurement-level ``corr_wall``/``post`` accumulators; counters
+    (``num_block_pairs``, ``candidate_pairs``) are dropped. ``setup`` is
+    derived as the measurement wall not covered by the blocked loop's
+    own clock (catalog open, linkage, normalisation — on the phase clock
+    since round 5)."""
+    num_runs = max(num_runs, 1)
+    phases = {
+        key: round(value / num_runs, 2)
+        for key, value in totals.items()
+        if key not in ("num_block_pairs", "candidate_pairs")
+    }
+    phases["setup"] = round(
+        max(
+            phases.pop("corr_wall", 0.0)
+            - sum(phases.get(key, 0.0) for key in BLOCKED_TOP_PHASES),
+            0.0,
+        ),
+        2,
+    )
+    return phases
+
+
 def timed_median(fn, runs: int = WARM_RUNS):
     """Median + spread of `runs` warm wall-clock timings (the TPU tunnel's
     warm timings swing; a single shot is not load-bearing)."""
@@ -486,24 +520,7 @@ def run_survey_scale(rooflines: dict, link: dict | None = None) -> dict:
     # set the trimmed median covers): on the tunneled chip the link fetch
     # and device-queue wait dominate; locally attached hardware does not
     # pay them
-    phases = {
-        key: round(value / num_kept, 2)
-        for key, value in (kept_phases or {}).items()
-        if key not in ("num_block_pairs", "candidate_pairs")
-    }
-    # setup = measurement entry -> blocked loop (catalog open, linkage,
-    # normalisation): ON the phase clock since round 5
-    blocked_top = (
-        "rows", "cols", "pairs", "queue", "drain", "preamble", "teardown"
-    )
-    phases["setup"] = round(
-        max(
-            phases.pop("corr_wall", 0.0)
-            - sum(phases.get(key, 0.0) for key in blocked_top),
-            0.0,
-        ),
-        2,
-    )
+    phases = per_run_phases(kept_phases or {}, num_kept)
 
     t_links0 = time.perf_counter()
     links = PatchLinkage.from_catalogs(config, reference, unknown, randoms)
@@ -591,10 +608,7 @@ def run_survey_scale(rooflines: dict, link: dict | None = None) -> dict:
     # kernel roofline, direct re-measurement). A regression shows up as
     # a specific phase flagged over its bound, not as prose numbers
     # failing to reproduce on a different host allocation.
-    top_level_phases = (
-        "setup", "rows", "cols", "pairs", "queue", "drain", "preamble",
-        "teardown",
-    )
+    top_level_phases = ("setup",) + BLOCKED_TOP_PHASES
     phase_sum = sum(phases.get(key, 0.0) for key in top_level_phases)
     phase_sum += phases.get("post", 0.0)
     explained = {
@@ -684,14 +698,41 @@ def run_survey_scale(rooflines: dict, link: dict | None = None) -> dict:
 
     with measurement_tile_cache():
         run()  # populates the session cache
-        t_shared, lo_s, hi_s, _ = timed_median(run, runs=2)
+        blocked.reset_phase_totals()
+        shared_timers0 = dict(timers)
+        num_shared_runs = 2
+        t_shared, lo_s, hi_s, _ = timed_median(run, runs=num_shared_runs)
+        shared_totals = dict(blocked.PHASE_TOTALS)
     out["shared_cache_warm_s"] = [
         round(t_shared, 3), round(lo_s, 3), round(hi_s, 3)
     ]
+    # phase attribution for the session-cached runs too (the wall the
+    # CLI pipeline's tomographic bins actually pay): rows/cols are
+    # cache hits (~0), pairs is memoised after the populate run, so
+    # the remaining wall is dispatch (queue) + the device drain. With
+    # zero upload work the drain's honest bound is the kernel roofline
+    # plus the accumulator fetch — recorded as the vs-bound ratio.
+    shared_phases = per_run_phases(
+        {
+            **shared_totals,
+            "corr_wall": timers["corr_wall"] - shared_timers0["corr_wall"],
+            "post": timers["post"] - shared_timers0["post"],
+        },
+        num_shared_runs,
+    )
+    out["shared_cache_phases_s"] = shared_phases
+    shared_drain_bound = (
+        rooflines["survey_scale"]["bound_s"]
+        + shared_phases.get("drain_fetch", 0.0)
+    )
+    if shared_drain_bound > 0:
+        out["shared_cache_drain_vs_kernel_bound"] = round(
+            shared_phases.get("drain_wait", 0.0) / shared_drain_bound, 2
+        )
     log(
         f"survey-scale with a session tile cache (catalogs cross the "
         f"link once): {t_shared:.2f}s warm median [{lo_s:.2f}, "
-        f"{hi_s:.2f}]"
+        f"{hi_s:.2f}], phases/run {shared_phases}"
         + (
             f"; per-measurement link bound {out['link_bound_s']:.1f}s "
             f"(fraction {out['link_fraction']:.2f} of the uncached run)"

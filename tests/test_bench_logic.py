@@ -202,3 +202,27 @@ class TestRoofline:
             pair_s + out["slot_switch_s"] + out["fetch_s"], abs=2e-4
         )
         assert out["fraction"] == pytest.approx(out["bound_s"] / 10.0, abs=1e-3)
+
+
+class TestPerRunPhases:
+    def test_setup_is_wall_not_covered_by_blocked_clock(self):
+        totals = {
+            "rows": 2.0, "cols": 4.0, "drain": 6.0, "drain_wait": 5.0,
+            "queue": 1.0, "corr_wall": 20.0, "post": 0.4,
+            "num_block_pairs": 42, "candidate_pairs": 1e9,
+        }
+        phases = bench.per_run_phases(totals, num_runs=2)
+        # counters dropped, sub-phases kept, everything halved
+        assert "num_block_pairs" not in phases
+        assert "candidate_pairs" not in phases
+        assert phases["drain_wait"] == 2.5
+        assert phases["post"] == 0.2
+        # setup = corr_wall/run minus top-level blocked phases
+        # (10.0 - (1.0 + 2.0 + 3.0 + 0.5)) — drain_wait nests in drain
+        assert phases["setup"] == pytest.approx(3.5)
+
+    def test_setup_clamped_at_zero_and_zero_runs_safe(self):
+        totals = {"drain": 5.0, "corr_wall": 1.0}
+        phases = bench.per_run_phases(totals, num_runs=0)
+        assert phases["setup"] == 0.0
+        assert phases["drain"] == 5.0
