@@ -193,6 +193,56 @@ def per_run_phases(totals: dict, num_runs: int) -> dict:
     return phases
 
 
+LINK_STAGING_PHASES = ("rows", "cols")
+"""Phases that absorb upload-STAGING waits on the shared tunnel link
+(the prefetch-depth A/B in BASELINE.md showed the pack-phase waits are
+staging on the link, not queue-empty bubbles) — their bound seconds
+live in ``drain``'s link bound, so they are judged compositely."""
+
+
+def phase_flags(phases: dict, bounds: dict, flag_bounds: dict | None = None):
+    """PASS/FLAG per phase, link-aware.
+
+    A phase is flagged when it exceeds 1.5x its bound AND by more than
+    0.5 s absolute (small phases must not flag on timer noise).
+    ``flag_bounds`` optionally overrides specific bounds for the flag
+    check only (e.g. the post-run link re-probe's slower drain bound) —
+    the recorded bounds stay the primary calibration.
+
+    Because the rows/cols phases absorb upload staging whose bound
+    seconds live in ``drain``, a flagged staging phase is downgraded to
+    ``STAGING`` when the COMPOSITE link-riding wall (rows + cols +
+    drain_wait) is within 1.15x its composite bound — the wall is the
+    recorded link, not a blocked-path regression. Returns
+    ``(flags, link_phases_vs_bound)``."""
+    effective = dict(bounds)
+    effective.update(flag_bounds or {})
+    flags = {}
+    for key, bound in bounds.items():
+        measured = phases.get(key, 0.0)
+        limit = effective[key]
+        flags[key] = (
+            "FLAG"
+            if measured > 1.5 * limit and measured - limit > 0.5
+            else "PASS"
+        )
+    composite = None
+    if "drain" in effective:
+        measured_link = sum(
+            phases.get(key, 0.0) for key in LINK_STAGING_PHASES
+        ) + phases.get("drain_wait", 0.0)
+        bound_link = effective["drain"] + sum(
+            effective.get(key, 0.0) for key in LINK_STAGING_PHASES
+        )
+        if bound_link > 0:
+            composite = round(measured_link / bound_link, 2)
+            if composite <= 1.15:
+                for key in LINK_STAGING_PHASES:
+                    if flags.get(key) == "FLAG":
+                        flags[key] = "STAGING"
+    return flags, composite
+
+
 def timed_median(fn, runs: int = WARM_RUNS):
     """Median + spread of `runs` warm wall-clock timings (the TPU tunnel's
     warm timings swing; a single shot is not load-bearing)."""
@@ -577,6 +627,7 @@ def run_survey_scale(rooflines: dict, link: dict | None = None) -> dict:
     )
 
     out["lane_encoding"] = lane_encoding()
+    upload_mb = None
     if link and link.get("upload_mb_s"):
         if out["lane_encoding"] == "fixedpoint":
             # the mock reference/unknown carry per-point weights
@@ -673,16 +724,32 @@ def run_survey_scale(rooflines: dict, link: dict | None = None) -> dict:
     t0 = time.perf_counter()
     RedshiftData.from_corrfuncs(last_w_sp[0])
     bounds["post"] = round(time.perf_counter() - t0, 2)
-    # PASS/FLAG per phase: flagged = over 1.5x its bound AND more than
-    # 0.5 s absolute excess (small phases must not flag on timer noise)
-    flags = {}
-    for key, bound in bounds.items():
-        measured = phases.get(key, 0.0)
-        flags[key] = (
-            "FLAG"
-            if measured > 1.5 * bound and measured - bound > 0.5
-            else "PASS"
+    # the shared tunnel's bandwidth drifts minute-to-minute: re-probe
+    # AFTER the timed runs and let the flag check consult the slower of
+    # the two probes' drain bounds, so a mid-run link slowdown is
+    # recorded as bracketed link drift instead of flagging the blocked
+    # path (the recorded bounds stay the pre-run calibration)
+    flag_bounds = {}
+    import jax as _jax
+
+    link_post = probe_link(_jax)
+    out["link_post"] = link_post
+    if upload_mb is not None and link_post.get("upload_mb_s"):
+        out["link_bound_post_s"] = round(
+            upload_mb / link_post["upload_mb_s"], 2
         )
+        if "drain" in bounds:
+            flag_bounds["drain"] = max(
+                bounds["drain"],
+                round(
+                    out["link_bound_post_s"]
+                    + rooflines["survey_scale"]["bound_s"],
+                    2,
+                ),
+            )
+    flags, link_phases_vs_bound = phase_flags(phases, bounds, flag_bounds)
+    if link_phases_vs_bound is not None:
+        explained["link_phases_vs_bound"] = link_phases_vs_bound
     explained["phase_bounds_s"] = bounds
     explained["phase_flags"] = flags
     out["explained"] = explained

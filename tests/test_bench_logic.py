@@ -226,3 +226,40 @@ class TestPerRunPhases:
         phases = bench.per_run_phases(totals, num_runs=0)
         assert phases["setup"] == 0.0
         assert phases["drain"] == 5.0
+
+
+class TestPhaseFlags:
+    def test_pass_and_flag_thresholds(self):
+        phases = {"rows": 0.1, "pairs": 2.0, "queue": 0.6}
+        bounds = {"rows": 0.2, "pairs": 1.0, "queue": 0.1}
+        flags, _ = bench.phase_flags(phases, bounds)
+        assert flags["rows"] == "PASS"      # under bound
+        assert flags["pairs"] == "FLAG"     # 2x bound, +1.0s excess
+        assert flags["queue"] == "PASS"     # 6x bound but <0.5s excess
+
+    def test_staging_downgrade_when_composite_within_bound(self):
+        # cols absorbs 3s of upload staging; its own bound is tiny, but
+        # the composite link wall (rows+cols+drain_wait) is within its
+        # composite bound -> STAGING, not FLAG
+        phases = {"rows": 0.1, "cols": 3.0, "drain_wait": 2.0}
+        bounds = {"rows": 0.1, "cols": 0.1, "drain": 5.5}
+        flags, composite = bench.phase_flags(phases, bounds)
+        assert flags["cols"] == "STAGING"
+        assert composite == pytest.approx(5.1 / 5.7, abs=0.01)
+
+    def test_no_downgrade_when_composite_exceeds_bound(self):
+        phases = {"rows": 0.1, "cols": 3.0, "drain_wait": 9.0}
+        bounds = {"rows": 0.1, "cols": 0.1, "drain": 5.5}
+        flags, composite = bench.phase_flags(phases, bounds)
+        assert flags["cols"] == "FLAG"
+        assert composite > 1.15
+
+    def test_flag_bounds_override_checks_only(self):
+        # post-run re-probe saw a slower link: drain judged against the
+        # conservative bound, recorded bounds untouched by the helper
+        phases = {"drain": 9.0, "drain_wait": 8.8}
+        bounds = {"drain": 5.0}
+        flags, _ = bench.phase_flags(phases, bounds, {"drain": 9.5})
+        assert flags["drain"] == "PASS"
+        flags, _ = bench.phase_flags(phases, bounds)
+        assert flags["drain"] == "FLAG"
