@@ -1547,3 +1547,116 @@ class TestPairListMemo:
         for key, value in cached.items():
             assert pairs._device_cache[key] is value
         np.testing.assert_array_equal(first, second)
+
+
+class TestFusedLaneUpload:
+    """The fused single-buffer upload (one uint8 transfer per block,
+    ops/tiles.py:fuse_host_lanes + _decode_fused_fn) must decode
+    BIT-IDENTICALLY to the split three-array path, for every payload
+    variant the host encoder produces."""
+
+    def _assert_fused_matches_split(self, ts, padded_tiles=None):
+        from yet_another_wizz_tpu.ops.tiles import (
+            _decode_fused_fn,
+            decode_fixedpoint_lanes,
+            fuse_host_lanes,
+        )
+
+        host = ts.host_lanes(padded_tiles)
+        assert host.encoding == "fixedpoint"
+        split = np.asarray(
+            decode_fixedpoint_lanes()(host.data, host.params, host.zbins)
+        )
+        zbin_itemsize = (
+            0
+            if host.zbins is None or host.zbins.shape[-1] == 0
+            else host.zbins.dtype.itemsize
+        )
+        fused = np.asarray(
+            _decode_fused_fn(
+                host.data.shape[0],
+                host.data.shape[1],
+                host.data.shape[2],
+                host.params.shape[1],
+                zbin_itemsize,
+            )(fuse_host_lanes(host))
+        )
+        assert fused.dtype == split.dtype and fused.shape == split.shape
+        # bit-exact: compare the raw float32 bit patterns
+        assert np.array_equal(
+            fused.view(np.uint32), split.view(np.uint32)
+        )
+        return host
+
+    def test_per_point_weights_int8_bins(self, rng):
+        xyz, w, z = random_cap_catalog(rng, 2000, 3)
+        patches = simple_patches(xyz, 5, rng)
+        ts = build_tile_set(
+            xyz, patches, 5, weights=w, zbins=z, num_bins=3, tile_size=64
+        )
+        host = self._assert_fused_matches_split(ts)
+        assert host.data.shape[1] == 4 and host.zbins.dtype == np.int8
+
+    def test_uniform_weight_elision(self, rng):
+        xyz, _, z = random_cap_catalog(rng, 1500, 3)
+        patches = simple_patches(xyz, 4, rng)
+        ts = build_tile_set(
+            xyz, patches, 4, weights=np.full(len(xyz), 2.5),
+            zbins=z, num_bins=3, tile_size=64,
+        )
+        host = self._assert_fused_matches_split(ts)
+        assert host.data.shape[1] == 3 and host.params.shape[1] == 9
+
+    def test_unbinned_elided_bin_lane(self, rng):
+        xyz, w, _ = random_cap_catalog(rng, 1500, 1)
+        patches = simple_patches(xyz, 4, rng)
+        ts = build_tile_set(
+            xyz, patches, 4, weights=w, zbins=None, num_bins=0,
+            tile_size=64,
+        )
+        host = self._assert_fused_matches_split(ts)
+        assert host.zbins.shape[-1] == 0
+
+    def test_wide_binning_int16_lane(self, rng):
+        num_bins = 200
+        xyz, w, _ = random_cap_catalog(rng, 1500, 1)
+        z = rng.integers(0, num_bins, len(xyz))
+        patches = simple_patches(xyz, 4, rng)
+        ts = build_tile_set(
+            xyz, patches, 4, weights=w, zbins=z, num_bins=num_bins,
+            tile_size=64,
+        )
+        host = self._assert_fused_matches_split(ts)
+        assert host.zbins.dtype == np.int16
+
+    def test_padded_tile_axis(self, rng):
+        xyz, w, z = random_cap_catalog(rng, 900, 2)
+        patches = simple_patches(xyz, 3, rng)
+        ts = build_tile_set(
+            xyz, patches, 3, weights=w, zbins=z, num_bins=2, tile_size=64
+        )
+        self._assert_fused_matches_split(ts, padded_tiles=ts.num_tiles + 7)
+
+    def test_device_data_mode_switch(self, rng, monkeypatch):
+        """device_data under both YAWT_LANE_UPLOAD modes yields the same
+        decoded lanes (and the env value is validated)."""
+        import yet_another_wizz_tpu.ops.tiles as tiles_mod
+
+        xyz, w, z = random_cap_catalog(rng, 800, 2)
+        patches = simple_patches(xyz, 3, rng)
+
+        def fresh():
+            return build_tile_set(
+                xyz, patches, 3, weights=w, zbins=z, num_bins=2,
+                tile_size=64,
+            )
+
+        monkeypatch.setenv(tiles_mod.LANE_UPLOAD_ENV, "fused")
+        fused = np.asarray(fresh().device_data())
+        monkeypatch.setenv(tiles_mod.LANE_UPLOAD_ENV, "split")
+        split = np.asarray(fresh().device_data())
+        assert np.array_equal(fused.view(np.uint32), split.view(np.uint32))
+
+        monkeypatch.setenv(tiles_mod.LANE_UPLOAD_ENV, "bogus")
+        with pytest.raises(ValueError, match="YAWT_LANE_UPLOAD"):
+            tiles_mod.lane_upload_mode()

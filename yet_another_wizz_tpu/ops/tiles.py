@@ -23,6 +23,7 @@ tile caps) uses the native C++ kernels from
 
 from __future__ import annotations
 
+import functools
 import os
 import threading
 from dataclasses import dataclass, field
@@ -190,6 +191,55 @@ def uniform_weight_fill(lane_data: NDArray):
 _decode_fn = None
 
 
+def _decode_impl(packed, params, zbins):
+    """Traceable body of the fixed-point decode (see
+    :func:`decode_fixedpoint_lanes` for the numerical contract); shared
+    between the split-array and fused-buffer upload paths."""
+    import jax
+    import jax.numpy as jnp
+
+    q = packed[..., 0:3, :]
+    if packed.shape[-2] == 3:
+        # elided weight lane (uniform_weight_fill): reconstruct
+        # from the per-tile point count (params[..., 7], exact in
+        # float32 for any practical tile size) and the shared
+        # weight value (params[..., 8]); zero-padded tiles decode
+        # to all-zero weights through their zero params row
+        count = params[..., 7][..., None, None]
+        w0 = params[..., 8][..., None, None]
+        slot = jnp.arange(packed.shape[-1], dtype=jnp.float32)
+        weight = jnp.where(slot < count, w0, jnp.float32(0.0))
+    else:
+        weight = jax.lax.bitcast_convert_type(
+            packed[..., 3:4, :], jnp.float32
+        )
+    if zbins.shape[-1] == 0:
+        # elided bin lane (host_lanes: unbinned catalogs): the
+        # lane is identically zero on the host side
+        zbin = jnp.zeros(
+            (*packed.shape[:-2], 1, packed.shape[-1]), jnp.float32
+        )
+    else:
+        zbin = zbins[..., None, :].astype(jnp.float32)  # exact ints
+    q_lo = ((q + 16384) & 0x7FFF) - 16384  # in [-2^14, 2^14)
+    q_hi = q - q_lo  # multiple of 2^15, <= 16 significant bits
+    s = params[..., 6][..., None, None]
+    va = q_hi.astype(jnp.float32) * s  # exact
+    vb = q_lo.astype(jnp.float32) * s  # exact
+    c_hi = params[..., 0:3][..., :, None]
+    c_lo = params[..., 3:6][..., :, None]
+    # TwoSum(c_hi, va): s1 + e1 == c_hi + va exactly
+    s1 = c_hi + va
+    t = s1 - c_hi
+    e1 = (c_hi - (s1 - t)) + (va - t)
+    lo_t = (e1 + vb) + c_lo
+    # renormalise with a second TwoSum: hi + lo == s1 + lo_t exactly
+    hi = s1 + lo_t
+    t2 = hi - s1
+    lo = (s1 - (hi - t2)) + (lo_t - t2)
+    return jnp.concatenate([hi, lo, weight, zbin], axis=-2)
+
+
 def decode_fixedpoint_lanes():
     """The jitted device decode: packed int32 lanes -> the engine's float32
     8-channel layout, bit-compatible in structure with the float encoding.
@@ -206,53 +256,100 @@ def decode_fixedpoint_lanes():
     global _decode_fn
     if _decode_fn is None:
         import jax
-        import jax.numpy as jnp
 
-        @jax.jit
-        def decode(packed, params, zbins):
-            q = packed[..., 0:3, :]
-            if packed.shape[-2] == 3:
-                # elided weight lane (uniform_weight_fill): reconstruct
-                # from the per-tile point count (params[..., 7], exact in
-                # float32 for any practical tile size) and the shared
-                # weight value (params[..., 8]); zero-padded tiles decode
-                # to all-zero weights through their zero params row
-                count = params[..., 7][..., None, None]
-                w0 = params[..., 8][..., None, None]
-                slot = jnp.arange(packed.shape[-1], dtype=jnp.float32)
-                weight = jnp.where(slot < count, w0, jnp.float32(0.0))
-            else:
-                weight = jax.lax.bitcast_convert_type(
-                    packed[..., 3:4, :], jnp.float32
-                )
-            if zbins.shape[-1] == 0:
-                # elided bin lane (host_lanes: unbinned catalogs): the
-                # lane is identically zero on the host side
-                zbin = jnp.zeros(
-                    (*packed.shape[:-2], 1, packed.shape[-1]), jnp.float32
-                )
-            else:
-                zbin = zbins[..., None, :].astype(jnp.float32)  # exact ints
-            q_lo = ((q + 16384) & 0x7FFF) - 16384  # in [-2^14, 2^14)
-            q_hi = q - q_lo  # multiple of 2^15, <= 16 significant bits
-            s = params[..., 6][..., None, None]
-            va = q_hi.astype(jnp.float32) * s  # exact
-            vb = q_lo.astype(jnp.float32) * s  # exact
-            c_hi = params[..., 0:3][..., :, None]
-            c_lo = params[..., 3:6][..., :, None]
-            # TwoSum(c_hi, va): s1 + e1 == c_hi + va exactly
-            s1 = c_hi + va
-            t = s1 - c_hi
-            e1 = (c_hi - (s1 - t)) + (va - t)
-            lo_t = (e1 + vb) + c_lo
-            # renormalise with a second TwoSum: hi + lo == s1 + lo_t exactly
-            hi = s1 + lo_t
-            t2 = hi - s1
-            lo = (s1 - (hi - t2)) + (lo_t - t2)
-            return jnp.concatenate([hi, lo, weight, zbin], axis=-2)
-
-        _decode_fn = decode
+        _decode_fn = jax.jit(_decode_impl)
     return _decode_fn
+
+
+LANE_UPLOAD_ENV = "YAWT_LANE_UPLOAD"
+
+
+def lane_upload_mode() -> str:
+    """How a fixed-point payload crosses the host-device link:
+    ``"fused"`` (default) concatenates the packed data, decode
+    parameters and bin lane into ONE contiguous uint8 buffer per block
+    — a single transfer instead of three, because each transfer on a
+    tunneled link pays a fixed ~tens-of-ms staging cost and small
+    transfers run far below peak bandwidth — with an on-device
+    slice + bitcast feeding the identical decode. ``"split"`` restores
+    the three-array upload (``YAWT_LANE_UPLOAD=split``)."""
+    value = os.environ.get(LANE_UPLOAD_ENV, "fused").strip().lower()
+    if value not in ("fused", "split"):
+        raise ValueError(
+            f"{LANE_UPLOAD_ENV} must be 'fused' or 'split', got {value!r}"
+        )
+    return value
+
+
+def fuse_host_lanes(host: HostLanes) -> NDArray:
+    """One contiguous uint8 buffer holding a fixed-point payload's
+    packed data, decode parameters and (unless elided) bin lane,
+    back-to-back in that order. The layout is fully determined by the
+    array shapes, which :meth:`TileSet.device_data` passes statically
+    to :func:`_decode_fused_fn`; the int32/float32 segments come first
+    so their byte offsets stay 4-aligned."""
+    parts = [
+        np.ascontiguousarray(host.data).view(np.uint8).ravel(),
+        np.ascontiguousarray(host.params).view(np.uint8).ravel(),
+    ]
+    if host.zbins is not None and host.zbins.size:
+        parts.append(np.ascontiguousarray(host.zbins).view(np.uint8).ravel())
+    return np.concatenate(parts)
+
+
+@functools.lru_cache(maxsize=128)
+def _decode_fused_fn(
+    num_tiles: int,
+    num_chan: int,
+    tile_size: int,
+    params_width: int,
+    zbin_itemsize: int,
+):
+    """Jitted uint8-buffer decode for one payload geometry: slice the
+    fused buffer at static offsets, bitcast each segment back to its
+    lane dtype (XLA packs the trailing length-4 byte axis little-endian,
+    matching the host's ``.view(uint8)`` layout — asserted bit-exact
+    against the split path in tests/test_engine.py), and run the shared
+    :func:`_decode_impl`. Cached per shape: block-shape bucketing
+    (``device_pad_base``) keeps the distinct geometries to a handful per
+    run."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    data_bytes = num_tiles * num_chan * tile_size * 4
+    params_bytes = num_tiles * params_width * 4
+
+    @jax.jit
+    def decode(buf):
+        packed = lax.bitcast_convert_type(
+            buf[:data_bytes].reshape(num_tiles, num_chan, tile_size, 4),
+            jnp.int32,
+        )
+        params = lax.bitcast_convert_type(
+            buf[data_bytes:data_bytes + params_bytes].reshape(
+                num_tiles, params_width, 4
+            ),
+            jnp.float32,
+        )
+        zbin_start = data_bytes + params_bytes
+        if zbin_itemsize == 0:
+            zbins = jnp.zeros((num_tiles, 0), jnp.int8)
+        elif zbin_itemsize == 1:
+            zbins = lax.bitcast_convert_type(
+                buf[zbin_start:zbin_start + num_tiles * tile_size],
+                jnp.int8,
+            ).reshape(num_tiles, tile_size)
+        else:
+            zbins = lax.bitcast_convert_type(
+                buf[
+                    zbin_start:zbin_start + num_tiles * tile_size * 2
+                ].reshape(num_tiles, tile_size, 2),
+                jnp.int16,
+            )
+        return _decode_impl(packed, params, zbins)
+
+    return decode
 
 
 def lane_quantisation_scale(tiles: TileSet) -> float:
@@ -560,16 +657,35 @@ class TileSet:
                     )
                     host = self.host_lanes(padded_tiles)
                     if host.encoding == "fixedpoint":
-                        token = decode_fixedpoint_lanes()(
-                            *track(
-                                [
-                                    jnp.asarray(host.data),
-                                    jnp.asarray(host.params),
-                                    jnp.asarray(host.zbins),
-                                ],
+                        if lane_upload_mode() == "fused":
+                            # ONE transfer per block: the tunneled link
+                            # pays a fixed staging cost per transfer and
+                            # runs small transfers far below peak rate
+                            staged = track(
+                                jnp.asarray(fuse_host_lanes(host)),
                                 "lane_staging",
                             )
-                        )
+                            token = _decode_fused_fn(
+                                host.data.shape[0],
+                                host.data.shape[1],
+                                host.data.shape[2],
+                                host.params.shape[1],
+                                0
+                                if host.zbins is None
+                                or host.zbins.shape[-1] == 0
+                                else host.zbins.dtype.itemsize,
+                            )(staged)
+                        else:
+                            token = decode_fixedpoint_lanes()(
+                                *track(
+                                    [
+                                        jnp.asarray(host.data),
+                                        jnp.asarray(host.params),
+                                        jnp.asarray(host.zbins),
+                                    ],
+                                    "lane_staging",
+                                )
+                            )
                     else:
                         token = jnp.asarray(host.data)
                     # HBM accounting (utils/devicemem.py): the decoded
