@@ -238,14 +238,15 @@ class TestPhaseFlags:
         assert flags["queue"] == "PASS"     # 6x bound but <0.5s excess
 
     def test_staging_downgrade_when_composite_within_bound(self):
-        # cols absorbs 3s of upload staging; its own bound is tiny, but
-        # the composite link wall (rows+cols+drain_wait) is within its
-        # composite bound -> STAGING, not FLAG
-        phases = {"rows": 0.1, "cols": 3.0, "drain_wait": 2.0}
+        # cols absorbs 1s of upload staging while the link is saturated
+        # (drain_wait near its link bound); the composite link wall
+        # (rows+cols+drain_wait) is within its composite bound ->
+        # STAGING, not FLAG
+        phases = {"rows": 0.1, "cols": 1.0, "drain_wait": 4.7}
         bounds = {"rows": 0.1, "cols": 0.1, "drain": 5.5}
         flags, composite = bench.phase_flags(phases, bounds)
         assert flags["cols"] == "STAGING"
-        assert composite == pytest.approx(5.1 / 5.7, abs=0.01)
+        assert composite == pytest.approx(5.8 / 5.7, abs=0.01)
 
     def test_no_downgrade_when_composite_exceeds_bound(self):
         phases = {"rows": 0.1, "cols": 3.0, "drain_wait": 9.0}
@@ -253,6 +254,16 @@ class TestPhaseFlags:
         flags, composite = bench.phase_flags(phases, bounds)
         assert flags["cols"] == "FLAG"
         assert composite > 1.15
+
+    def test_no_downgrade_when_link_not_saturated(self):
+        # a genuine rows regression (store-read slowdown) must not hide
+        # inside the drain bound's slack: composite ~1.0 but drain_wait
+        # is far under its bound, so the link is NOT the cause
+        phases = {"rows": 4.5, "cols": 0.06, "drain_wait": 1.0}
+        bounds = {"rows": 0.15, "cols": 0.06, "drain": 5.35}
+        flags, composite = bench.phase_flags(phases, bounds)
+        assert composite <= 1.15  # the composite alone would downgrade
+        assert flags["rows"] == "FLAG"
 
     def test_flag_bounds_override_checks_only(self):
         # post-run re-probe saw a slower link: drain judged against the
