@@ -1,2 +1,2 @@
-__version__ = "0.4.0"
-__version_tuple__ = (0, 4, 0)
+__version__ = "0.6.0"
+__version_tuple__ = (0, 6, 0)
